@@ -1,0 +1,477 @@
+"""Checkout settlement semantics (SURVEY.md §2 J1/A1/A2/A3, T1–T5, S6)
+re-expressed as set-based Spark DataFrame algebra.
+
+The reference processes orders row-at-a-time inside MySQL transactions
+(src/order_processor/app.py:55-124): INSERT IGNORE dedup, per-item
+``SELECT ... FOR UPDATE`` stock check, all-or-nothing decrement with
+rollback.  Spark has no row locks, so the engine replaces the mechanism
+while preserving semantics (SURVEY.md §4): decisions are computed
+set-based over a consistent snapshot, then applied conditionally —
+there is nothing to roll back by construction.
+
+Order stream derivation
+-----------------------
+The driver testdata has no literal order stream, so one is derived
+deterministically from ``events``: each ``purchase`` event is an order
+*item* (product = event_id mod 100, quantity = 1 + event_id mod 5) and
+an *order* is the basket of one customer within one day — giving
+realistic multi-item orders.  Inventory is derived from ``part``
+(products 0..99, stock scaled to purchase volume so PROCESSED/FAILED
+outcomes stay mixed at every scale factor).  The identical derivation
+is written once in DuckDB SQL (CTEs below) and once in DataFrame
+algebra, so every settlement query is oracle-checkable.
+
+Admission policy (documented divergence, SURVEY.md §7 "hard #1"): the
+reference's skip-on-failure replay is inherently sequential; the
+engine's micro-batch rule is *optimistic prefix-demand admission* — an
+order is PROCESSED iff, for every item, the running demand for that
+product up to and including this item (ordered by event time, all
+orders counted) fits in stock.  Deterministic, shuffle-parallel by
+product, and SQL-expressible.  The exact sequential replay is also
+provided (``state_inventory_replay``) via applyInPandas per product —
+see golden tests for its semantics vs a pure-Python model.
+
+At 100 TB: items partition by ``product_id`` (the window and the
+inventory join share that partitioning — one shuffle, reused), the
+inventory dimension is broadcast (≤100 rows here; bounded by catalog
+size in general), and the per-order fold shuffles by ``order_id`` once.
+No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared derivation — DuckDB CTE text (oracle side)
+# ---------------------------------------------------------------------------
+
+SQL_ITEMS = """
+items AS (
+    SELECT
+        e.event_id,
+        e.ts AS item_ts,
+        'cust-' || CAST(e.user_id AS VARCHAR) AS customer_id,
+        'cust-' || CAST(e.user_id AS VARCHAR) || '@' || strftime(e.ts, '%Y-%m-%d')
+            AS order_id,
+        'prod-' || CAST(e.event_id % 100 AS VARCHAR) AS product_id,
+        1 + (e.event_id % 5) AS quantity
+    FROM events e
+    WHERE e.event_type = 'purchase'
+)
+"""
+
+SQL_INVENTORY = """
+inv AS (
+    SELECT
+        'prod-' || CAST(p.p_partkey AS VARCHAR) AS product_id,
+        p.p_name AS product_name,
+        CAST(p.p_size AS BIGINT) * s.scale AS stock
+    FROM part p
+    CROSS JOIN (
+        SELECT greatest(1, count(*) // 250) AS scale
+        FROM events WHERE event_type = 'purchase'
+    ) s
+    WHERE p.p_partkey < 100
+)
+"""
+
+SQL_FLAGGED = """
+ranked AS (
+    SELECT i.*,
+        SUM(i.quantity) OVER (
+            PARTITION BY i.product_id
+            ORDER BY i.item_ts, i.event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_demand
+    FROM items i
+),
+flagged AS (
+    SELECT r.*, v.stock,
+        COALESCE(r.running_demand <= v.stock, FALSE) AS item_ok
+    FROM ranked r LEFT JOIN inv v USING (product_id)
+)
+"""
+
+SQL_SETTLED = """
+settled AS (
+    SELECT
+        order_id,
+        customer_id,
+        CASE WHEN bool_and(item_ok) THEN 'PROCESSED' ELSE 'FAILED' END AS status,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(quantity) AS BIGINT) AS total_qty,
+        min(item_ts) AS created_at
+    FROM flagged
+    GROUP BY order_id, customer_id
+)
+"""
+
+SQL_RAW_ORDERS = """
+raw_orders AS (
+    SELECT
+        e.event_id,
+        CASE WHEN e.user_id % 13 = 0 THEN NULL
+             ELSE 'cust-' || CAST(e.user_id AS VARCHAR) END AS customer_id,
+        CASE WHEN e.event_id % 11 = 0 THEN NULL
+             ELSE 'prod-' || CAST(e.event_id % 100 AS VARCHAR) END AS product_id,
+        (e.event_id % 7) - 1 AS quantity,
+        e.ts
+    FROM events e
+)
+"""
+
+_PIPE = f"WITH {SQL_ITEMS.strip()}, {SQL_INVENTORY.strip()}, {SQL_FLAGGED.strip()}, {SQL_SETTLED.strip()}"
+
+
+# ---------------------------------------------------------------------------
+# Shared derivation — DataFrame side
+# ---------------------------------------------------------------------------
+
+
+def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase events → order items (one row per item)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = F.concat(F.lit("cust-"), F.col("user_id").cast("string"))
+    return e.select(
+        F.col("event_id"),
+        F.col("ts").alias("item_ts"),
+        cust.alias("customer_id"),
+        F.concat(cust, F.lit("@"), F.date_format("ts", "yyyy-MM-dd")).alias("order_id"),
+        F.concat(F.lit("prod-"), (F.col("event_id") % 100).cast("string")).alias(
+            "product_id"
+        ),
+        (F.lit(1) + F.col("event_id") % 5).alias("quantity"),
+    )
+
+
+def inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → keyed inventory state seed (products 0..99).
+
+    Mirrors the reference's small hot ``inventory`` dimension
+    (db/init_schema.sql:2-14).  Stock scales with purchase volume so
+    outcomes stay mixed at every sf.  The scale scalar stays in-plan
+    (cross join of a 1-row aggregate, which Spark broadcasts) — no
+    driver-side collect.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    scale = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.greatest(F.lit(1).cast("long"), F.expr("count(*) div 250")).alias("scale"))
+    )
+    return p.crossJoin(F.broadcast(scale)).select(
+        F.concat(F.lit("prod-"), F.col("p_partkey").cast("string")).alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        (F.col("p_size").cast("long") * F.col("scale")).alias("stock"),
+    )
+
+
+def flagged_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Items with running per-product demand + sufficiency flag (J1+P8).
+
+    The window and the join both key on ``product_id`` — Catalyst reuses
+    one hash partitioning for both; the inventory side is broadcast.
+    A missing product (null stock) is insufficient, matching the
+    reference's ``not result`` branch (src/order_processor/app.py:88).
+    """
+    items = order_items(spark, sf_dir)
+    inv = inventory(spark, sf_dir)
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy("item_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = items.withColumn("running_demand", F.sum("quantity").over(w))
+    return ranked.join(F.broadcast(inv.drop("product_name")), "product_id", "left").withColumn(
+        "item_ok",
+        F.coalesce(F.col("running_demand") <= F.col("stock"), F.lit(False)),
+    )
+
+
+def settled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order all-or-nothing outcome (A2 fold → status)."""
+    return (
+        flagged_items(spark, sf_dir)
+        .groupBy("order_id", "customer_id")
+        .agg(
+            F.when(F.bool_and("item_ok"), F.lit("PROCESSED"))
+            .otherwise(F.lit("FAILED"))
+            .alias("status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("quantity").alias("total_qty"),
+            F.min("item_ts").alias("created_at"),
+        )
+    )
+
+
+def raw_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All events → raw (pre-validation) single-item order requests,
+    deliberately including invalid rows (null customer/product,
+    quantity ≤ 0) to exercise the reject channel."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("cust-"), F.col("user_id").cast("string"))
+        ).alias("customer_id"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("prod-"), (F.col("event_id") % 100).cast("string"))
+        ).alias("product_id"),
+        ((F.col("event_id") % 7) - 1).alias("quantity"),
+        "ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txn_settlement",
+    oracle=f"{_PIPE} SELECT * FROM settled",
+    doc="Flagship: end-to-end batch settlement (validate→explode→join "
+    "inventory→prefix-demand admission→per-order fold). "
+    "Ref: src/order_processor/app.py:55-124.",
+)
+def q_txn_settlement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return settled_orders(spark, sf_dir)
+
+
+@register(
+    "join_items_inventory",
+    oracle=f"WITH {SQL_ITEMS.strip()}, {SQL_INVENTORY.strip()}, {SQL_FLAGGED.strip()} "
+    "SELECT order_id, event_id, product_id, quantity, running_demand, stock, item_ok "
+    "FROM flagged",
+    doc="Items ⋈ inventory broadcast left join + sufficiency flag "
+    "(J1/P8; ref loop src/order_processor/app.py:80-94).",
+)
+def q_join_items_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagged_items(spark, sf_dir).select(
+        "order_id", "event_id", "product_id", "quantity", "running_demand", "stock", "item_ok"
+    )
+
+
+@register(
+    "agg_order_sufficiency",
+    oracle=f"WITH {SQL_ITEMS.strip()}, {SQL_INVENTORY.strip()}, {SQL_FLAGGED.strip()} "
+    "SELECT order_id, bool_and(item_ok) AS all_sufficient, "
+    "CAST(count(*) AS BIGINT) AS n_items FROM flagged GROUP BY order_id",
+    doc="Per-order ALL-sufficient fold (A2; ref break+flag "
+    "src/order_processor/app.py:78-91).",
+)
+def q_agg_order_sufficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        flagged_items(spark, sf_dir)
+        .groupBy("order_id")
+        .agg(
+            F.bool_and("item_ok").alias("all_sufficient"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_inventory_decrement",
+    oracle=f"{_PIPE} SELECT v.product_id, v.stock, "
+    "CAST(COALESCE(SUM(CASE WHEN s.status = 'PROCESSED' THEN f.quantity END), 0) AS BIGINT)"
+    " AS consumed, "
+    "v.stock - CAST(COALESCE(SUM(CASE WHEN s.status = 'PROCESSED' THEN f.quantity END), 0) AS BIGINT)"
+    " AS remaining "
+    "FROM inv v LEFT JOIN flagged f USING (product_id) "
+    "LEFT JOIN settled s USING (order_id) "
+    "GROUP BY v.product_id, v.stock",
+    doc="Per-key inventory decrement from PROCESSED orders only (A1/T1; "
+    "ref UPDATE src/order_processor/app.py:94).",
+)
+def q_agg_inventory_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv = inventory(spark, sf_dir).drop("product_name")
+    consumed = (
+        flagged_items(spark, sf_dir)
+        .join(
+            settled_orders(spark, sf_dir).select("order_id", "status"),
+            "order_id",
+            "left",
+        )
+        .withColumn(
+            "processed_qty",
+            F.when(F.col("status") == "PROCESSED", F.col("quantity")),
+        )
+        .groupBy("product_id")
+        .agg(F.coalesce(F.sum("processed_qty"), F.lit(0)).alias("consumed"))
+    )
+    return (
+        inv.join(consumed, "product_id", "left")
+        .select(
+            "product_id",
+            "stock",
+            F.coalesce(F.col("consumed"), F.lit(0)).alias("consumed"),
+            (F.col("stock") - F.coalesce(F.col("consumed"), F.lit(0))).alias("remaining"),
+        )
+    )
+
+
+@register(
+    "agg_first_writer_wins",
+    oracle=f"WITH {SQL_ITEMS.strip()}, dup AS ("
+    "  SELECT *, row_number() OVER (PARTITION BY order_id, product_id "
+    "         ORDER BY item_ts, event_id) AS rn FROM items) "
+    "SELECT order_id, product_id, event_id, quantity FROM dup WHERE rn = 1",
+    doc="First-writer-wins dedup by key (A3/T2; ref INSERT IGNORE + "
+    "rowcount==0 src/order_processor/app.py:66-75).",
+)
+def q_agg_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("order_id", "product_id").orderBy("item_ts", "event_id")
+    return (
+        order_items(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("order_id", "product_id", "event_id", "quantity")
+    )
+
+
+@register(
+    "filter_valid_orders",
+    oracle=f"WITH {SQL_RAW_ORDERS.strip()} SELECT event_id, customer_id, product_id, "
+    "quantity FROM raw_orders WHERE customer_id IS NOT NULL AND product_id IS NOT NULL "
+    "AND quantity > 0",
+    doc="Payload validation accept-side (P1/P2; ref validate_input "
+    "src/ingest_order/app.py:76-92). Spark side builds the nested items "
+    "array and applies the forall predicate.",
+)
+def q_filter_valid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import valid_order_predicate
+
+    nested = raw_orders(spark, sf_dir).withColumn(
+        "items", F.array(F.struct("product_id", "quantity"))
+    )
+    return nested.filter(valid_order_predicate()).select(
+        "event_id", "customer_id", "product_id", "quantity"
+    )
+
+
+@register(
+    "filter_invalid_orders",
+    oracle=f"WITH {SQL_RAW_ORDERS.strip()} SELECT event_id, customer_id, product_id, "
+    "quantity FROM raw_orders WHERE NOT (customer_id IS NOT NULL AND "
+    "product_id IS NOT NULL AND quantity > 0)",
+    doc="Reject-channel split, complement of filter_valid_orders "
+    "(P2; ref 400 path src/ingest_order/app.py:22-27).",
+)
+def q_filter_invalid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import valid_order_predicate
+
+    nested = raw_orders(spark, sf_dir).withColumn(
+        "items", F.array(F.struct("product_id", "quantity"))
+    )
+    return nested.filter(~valid_order_predicate()).select(
+        "event_id", "customer_id", "product_id", "quantity"
+    )
+
+
+@register(
+    "join_created_processed",
+    oracle=f"{_PIPE} SELECT i.order_id, i.customer_id, s.status, s.created_at, "
+    "s.n_items FROM (SELECT DISTINCT order_id, customer_id FROM items) i "
+    "JOIN settled s USING (order_id)",
+    doc="OrderCreated ⋈ OrderProcessed 1:1 correlation by order_id "
+    "(J2; ref src/order_processor/app.py:131-136).",
+)
+def q_join_created_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    created = order_items(spark, sf_dir).select("order_id", "customer_id").distinct()
+    processed = settled_orders(spark, sf_dir).select(
+        "order_id", "status", "created_at", "n_items"
+    )
+    return created.join(processed, "order_id").select(
+        "order_id", "customer_id", "status", "created_at", "n_items"
+    )
+
+
+@register(
+    "snk_orders_upsert",
+    oracle=f"{_PIPE}, base AS ("
+    "  SELECT order_id, customer_id, status, 1 AS version FROM settled), "
+    "delta AS ("
+    "  SELECT order_id, customer_id, 'REFUNDED' AS status, 2 AS version "
+    "  FROM settled WHERE status = 'PROCESSED' AND n_items >= 3), "
+    "unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta), "
+    "latest AS (SELECT *, row_number() OVER (PARTITION BY order_id "
+    "           ORDER BY version DESC) AS rn FROM unioned) "
+    "SELECT order_id, customer_id, status FROM latest WHERE rn = 1",
+    doc="Keyed upsert as union + window-latest rewrite (S6; ref "
+    "INSERT..ON DUPLICATE KEY UPDATE src/order_processor/app.py:111-118).",
+)
+def q_snk_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settled = settled_orders(spark, sf_dir)
+    base = settled.select("order_id", "customer_id", "status", F.lit(1).alias("version"))
+    delta = (
+        settled.filter((F.col("status") == "PROCESSED") & (F.col("n_items") >= 3))
+        .select(
+            "order_id", "customer_id", F.lit("REFUNDED").alias("status"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("order_id").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("order_id", "customer_id", "status")
+    )
+
+
+@register(
+    "snk_dlq",
+    oracle="WITH fails AS (SELECT event_id, user_id, ts, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS attempt "
+    "FROM events WHERE event_type = 'error') "
+    "SELECT event_id, user_id, attempt FROM fails WHERE attempt >= 3",
+    doc="Dead-letter diversion after 3 attempts (T4/S11; ref "
+    "maxReceiveCount=3 iac/main.tf:21-24).",
+)
+def q_snk_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("attempt", F.row_number().over(w))
+        .filter(F.col("attempt") >= 3)
+        .select("event_id", "user_id", "attempt")
+    )
+
+
+@register(
+    "ddl_bootstrap",
+    oracle="SELECT * FROM (VALUES "
+    "('prod-101', 'Wireless Headphones', 50), "
+    "('prod-102', 'Mechanical Keyboard', 20), "
+    "('prod-103', 'Gaming Mouse', 35), "
+    "('prod-104', 'USB-C Monitor', 10), "
+    "('prod-105', 'Ergonomic Chair', 5)) "
+    "AS t(product_id, product_name, quantity_available)",
+    doc="DDL bootstrap + seed (S8; ref db/init_schema.sql:2-14 via "
+    "init_db.py:40-54). Runs as a SQL statement loop like the reference's "
+    "script runner.",
+)
+def q_ddl_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirror the reference's split-on-; script runner with Spark SQL.
+    script = """
+    CREATE OR REPLACE TEMPORARY VIEW inventory_seed AS
+    SELECT * FROM VALUES
+        ('prod-101', 'Wireless Headphones', 50),
+        ('prod-102', 'Mechanical Keyboard', 20),
+        ('prod-103', 'Gaming Mouse', 35),
+        ('prod-104', 'USB-C Monitor', 10),
+        ('prod-105', 'Ergonomic Chair', 5)
+    AS t(product_id, product_name, quantity_available);
+    SELECT * FROM inventory_seed
+    """
+    result = None
+    for stmt in script.split(";"):
+        if stmt.strip():
+            result = spark.sql(stmt)
+    return result

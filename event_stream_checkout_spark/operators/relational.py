@@ -1,0 +1,542 @@
+"""Batch relational core (SURVEY.md §2.1/2.2/2.3/2.4/2.6).
+
+Scans, filters/projections, the join family, aggregations, sorts,
+limits and set operations over the driver's star schema.  Everything is
+declarative DataFrame algebra — Catalyst handles pushdown, pruning,
+join selection; AQE handles runtime coalescing and skew.
+
+Scale notes per operator are inline; the common themes:
+- dimensions (region/nation/part-slice) are broadcast explicitly,
+- fact-fact joins shuffle on their equi keys and rely on AQE,
+- every top-k has a deterministic total order (unique tiebreaker),
+- float reductions follow functions/numeric.py policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dstddev, dsum, sql_davg, sql_dstddev, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans (S7/S10) — full scans; Catalyst prunes columns when composed.
+# ---------------------------------------------------------------------------
+
+
+@register("scan_lineitem", oracle="SELECT * FROM lineitem",
+          doc="Full fact scan (S10); parquet vectorized reader.")
+def q_scan_lineitem(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem")
+
+
+@register("scan_orders", oracle="SELECT * FROM orders",
+          doc="Full table scan (S7; ref check_db.py:33).")
+def q_scan_orders(spark, sf_dir):
+    return _t(spark, sf_dir, "orders")
+
+
+@register(
+    "src_json_events",
+    oracle="SELECT event_id, event_type, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
+    "(props IS NULL OR json_extract_string(props, '$.k') IS NULL) AS malformed "
+    "FROM events",
+    doc="JSON event ingest with error channel (S1/P3; ref "
+    "src/ingest_order/app.py:19,64-68): parse body, flag malformed.",
+)
+def q_src_json_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("k_val"),
+        (F.col("props").isNull() | k.isNull()).alias("malformed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (P4-P6)
+# ---------------------------------------------------------------------------
+
+
+@register("filter_processed",
+          oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+                 "WHERE o_orderstatus = 'P'",
+          doc="Status equality filter (P4; ref notification_sender/app.py:19). "
+              "Predicate pushes down to the parquet scan.")
+def q_filter_processed(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+@register("project_notification",
+          oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+          doc="Field projection (P5; ref notification_sender/app.py:14-16). "
+              "Column pruning reaches the scan (ReadSchema shows 3 cols).")
+def q_project_notification(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "filter_point_lookup",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey = "
+    "(SELECT min(o_orderkey) FROM orders)",
+    doc="Point lookup by key (P6; ref WHERE product_id=%s app.py:85). "
+    "At scale this is partition/file pruning on the key; the 1-row "
+    "probe side is broadcast.",
+)
+def q_filter_point_lookup(spark, sf_dir):
+    key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey").alias("_k"))
+    li = _t(spark, sf_dir, "lineitem")
+    return li.join(F.broadcast(key), li.l_orderkey == key._k).drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J4-J7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_orders_customer",
+    oracle="SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    doc="Inner equi join fact⋈dim (J4). Customer is small relative to "
+    "orders — broadcast; at 100 TB both sides large → AQE picks SMJ.",
+)
+def q_join_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="SELECT n.n_name, "
+    + sql_dsum("l.l_extendedprice * (1 - l.l_discount)")
+    + " AS revenue, CAST(count(*) AS BIGINT) AS n_lines "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+    doc="5-way star join + agg (J4, TPC-H Q5 shape). Dims broadcast; "
+    "the single shuffle is lineitem⋈orders on orderkey, then AQE "
+    "coalesces the tiny group-by.",
+)
+def q_join_multiway(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'F')",
+    doc="Left-semi join (J5): customers having a finished order. "
+    "Semi joins never duplicate the left side — cheaper than "
+    "join+distinct at scale.",
+)
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_dedup",
+    oracle="SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="Left-anti join (J3 generalized): rows absent from the other "
+    "side — the set form of the reference's INSERT IGNORE dedup "
+    "(src/order_processor/app.py:66-75).",
+)
+def q_join_anti_dedup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle="SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity, "
+    "p.p_size FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2",
+    doc="Equi + range (theta) join (J6). The equi key carries the "
+    "shuffle; the band predicate evaluates post-match, so no O(n²) "
+    "blowup. Pure range joins at scale → bucketed-range technique.",
+)
+def q_join_range(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 2)
+        & (l.l_quantity <= p.p_size + 2)
+    )
+    return l.join(F.broadcast(p), cond).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size"
+    )
+
+
+@register(
+    "join_asof",
+    oracle="WITH tagged AS ("
+    "  SELECT user_id, ts, event_type, value, "
+    "    CASE WHEN event_type = 'signup' THEN ts END AS signup_ts "
+    "  FROM events WHERE event_type IN ('signup', 'purchase')), "
+    "enriched AS ("
+    "  SELECT user_id, ts, event_type, value, "
+    "    max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts "
+    "  FROM tagged) "
+    "SELECT user_id, ts, value, last_signup_ts FROM enriched "
+    "WHERE event_type = 'purchase'",
+    doc="As-of join (J7): each purchase enriched with the latest "
+    "signup at-or-before it. Expressed as union+running-max — one "
+    "shuffle by key, no per-row probing; the classic scalable ASOF plan.",
+)
+def q_join_asof(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "last_signup_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A4-A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+    + sql_dsum("l_extendedprice") + " AS sum_base_price, "
+    + sql_dsum("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, "
+    + sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS sum_charge, "
+    "CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty, "
+    + sql_davg("l_extendedprice") + " AS avg_price, "
+    + sql_davg("l_discount") + " AS avg_disc, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    doc="Hash aggregate, multiple measures (A4; TPC-H Q1 shape). "
+    "Catalyst plans partial (map-side) + final agg automatically. "
+    "sum(l_quantity) is exact (integral doubles); money sums follow "
+    "the decimal policy.",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_filtered_sum",
+    oracle="SELECT " + sql_dsum("l_extendedprice * l_discount") + " AS revenue, "
+    "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    doc="Selective predicate + global agg (TPC-H Q6 shape). All three "
+    "predicates push to the parquet scan (PushedFilters); the agg is a "
+    "two-stage partial/final with a 1-row result.",
+)
+def q_agg_filtered_sum(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) "
+    "AS n_customers, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="Distinct aggregation (A5). Catalyst expands to a two-phase "
+    "distinct-then-count; no driver-side dedup.",
+)
+def q_agg_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check +
+    # unit test asserts ≤2% relative error vs exact.
+    doc="approx_count_distinct (A5): HyperLogLog++ sketch — the 100 TB "
+    "path for cardinality (constant memory, mergeable across partitions).",
+)
+def q_agg_approx_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+    "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    doc="Hierarchical totals (A6): rollup = grouping-sets expansion in "
+    "a single pass.",
+)
+def q_agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus)",
+    doc="Cross-tabulated totals (A6).",
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="SELECT l_returnflag, "
+    "CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O, "
+    "CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Pivot (A4 variant): conditional aggregation; Spark's pivot "
+    "compiles to the same FILTER-agg form.",
+)
+def q_agg_pivot(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, "
+    + sql_dsum("c_acctbal") + " AS sum_bal, "
+    + sql_davg("c_acctbal") + " AS avg_bal, "
+    "min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal, "
+    + sql_dstddev("c_acctbal") + " AS std_bal "
+    "FROM customer GROUP BY c_nationkey",
+    doc="Statistical aggregate bundle (A4): stddev expanded to the "
+    "closed form over exact decimal sums (engine-stable).",
+)
+def q_agg_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal").alias("sum_bal"),
+        davg("c_acctbal").alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        dstddev("c_acctbal").alias("std_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_orders",
+    oracle="SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
+    "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS pos FROM orders",
+    doc="Total sort (O1), made hash-visible via a global rank column. "
+    "Spark executes a range-partitioned sort (sampled boundaries) — "
+    "no single-node sort at scale; the rank window is the only "
+    "single-partition stage and exists for verification only.",
+)
+def q_sort_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="Top-k (O2): TakeOrderedAndProject — per-partition heaps, no "
+    "full sort, no full shuffle. Deterministic via o_orderkey tiebreak.",
+)
+def q_topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "topk_revenue_orders",
+    oracle="SELECT l.l_orderkey, "
+    + sql_dsum("l.l_extendedprice * (1 - l.l_discount)") + " AS revenue, "
+    "o.o_orderdate, o.o_orderpriority "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue DESC, l.l_orderkey LIMIT 10",
+    doc="Join + agg + top-k (TPC-H Q3 shape): the scalable 'shipping "
+    "priority' pattern — agg shuffles by orderkey, then a bounded "
+    "TakeOrdered.",
+)
+def q_topk_revenue_orders(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "setop_union",
+    oracle="SELECT c_nationkey AS nationkey FROM customer UNION "
+    "SELECT s_nationkey AS nationkey FROM supplier",
+    doc="Distinct union (O3).",
+)
+def q_setop_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+    doc="Intersect (O4): customers with both finished and open orders.",
+)
+def q_setop_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "setop_except",
+    oracle="SELECT c_custkey FROM customer EXCEPT "
+    "SELECT o_custkey AS c_custkey FROM orders",
+    doc="Except (O4): the anti-join expressed as a set difference.",
+)
+def q_setop_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)

@@ -1,0 +1,130 @@
+"""Batch-checkable analogues of the streaming operators (§2.8 T6/T7 +
+stream dedup).  The true streaming forms (readStream → watermark →
+windowed agg → sink) live in ``streaming/``; these run the identical
+window semantics in batch so the DuckDB oracle can grade them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_dsum, dsum
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "stream_tumbling",
+    oracle="SELECT date_trunc('hour', ts) AS wstart, event_type, "
+    "CAST(count(*) AS BIGINT) AS n, " + sql_dsum("value") + " AS total_value "
+    "FROM events GROUP BY 1, 2",
+    doc="Tumbling window aggregation (T6): 1-hour windows via "
+    "F.window; epoch-aligned so the oracle's date_trunc is identical. "
+    "Streaming form: groupBy(window(ts,'1 hour')) + watermark.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="SELECT make_timestamp(((epoch_us(e.ts) // 900000000) - s.i) * 900000000)"
+    " AS wstart, CAST(count(*) AS BIGINT) AS n, "
+    + sql_dsum("e.value") + " AS total_value "
+    "FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s "
+    "GROUP BY 1",
+    doc="Sliding window (T6): 1-hour windows every 15 minutes — each "
+    "event lands in 4 windows. Oracle expands the same windows with "
+    "epoch arithmetic.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "n", "total_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="WITH flagged AS ("
+    "  SELECT user_id, ts, value, "
+    "    CASE WHEN lag(ts) OVER w IS NULL "
+    "         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+    "      AS new_session "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sessions AS ("
+    "  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "  FROM flagged) "
+    "SELECT user_id, min(ts) AS session_start, "
+    "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "CAST(count(*) AS BIGINT) AS n_events, " + sql_dsum("value") + " AS total_value "
+    "FROM sessions GROUP BY user_id, session_id",
+    doc="Session window, 30-minute gap (T6): F.session_window merges "
+    "overlapping [ts, ts+gap) intervals; session end = last event + "
+    "gap. The oracle derives identical sessions via lag + cumulative "
+    "new-session flags.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_watermark",
+    oracle="WITH wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS horizon FROM events) "
+    "SELECT date_trunc('hour', e.ts) AS wstart, CAST(count(*) AS BIGINT) AS n "
+    "FROM events e CROSS JOIN wm WHERE e.ts > wm.horizon GROUP BY 1",
+    doc="Watermark semantics, batch analogue (T7): rows older than "
+    "max(event_time) - delay are dropped before the windowed count — "
+    "exactly what withWatermark does to late data in streaming.",
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("horizon")
+    )
+    return (
+        e.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("horizon"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT user_id, event_type, event_id, ts FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+    "    ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1",
+    doc="Keyed streaming dedup, batch analogue (T2; ref first-writer-"
+    "wins src/order_processor/app.py:66-75): earliest row per key "
+    "wins. Streaming form: dropDuplicatesWithinWatermark.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

@@ -1,0 +1,124 @@
+"""Window functions (SURVEY.md §2.5, W1-W4).
+
+All frames carry a deterministic total order (unique tiebreaker) so
+results are engine-stable.  Windowed double sums follow the decimal
+policy (frame accumulation order is engine-defined otherwise).
+
+Scale note: every window here partitions by a real key (nation, user,
+brand) — one shuffle per distinct partitioning, state bounded by
+partition. No global (unpartitioned) windows on fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import epoch_seconds
+from ..functions.numeric import quant, sql_quant
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "win_rank",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal, "
+    "CAST(row_number() OVER w AS BIGINT) AS rn, "
+    "CAST(rank() OVER w AS BIGINT) AS rnk, "
+    "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+    "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+    "FROM customer WINDOW w AS (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey)",
+    doc="Ranking family (W1).",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="SELECT user_id, event_id, ts, "
+    "lag(ts) OVER w AS prev_ts, lead(ts) OVER w AS next_ts, "
+    "CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+    doc="Analytic lag/lead (W2): per-user event gaps in seconds.",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_es", epoch_seconds(F.col("ts"))
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.col("_es") - F.lag("_es").over(w)).alias("gap_s"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="SELECT user_id, event_id, ts, value, "
+    f"CAST(sum({sql_quant('value')}) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  AS DOUBLE) / 10000.0 AS running_value, "
+    f"CAST(sum({sql_quant('value')}) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "  / 10000.0 / CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_5 "
+    "FROM events",
+    doc="Frame specs (W3): running sum + 5-row moving average.",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-4, Window.currentRow)
+    e = load_table(spark, sf_dir, "events")
+    vq = quant("value")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.sum(vq).over(run).cast("double") / 10000.0).alias("running_value"),
+        (
+            F.sum(vq).over(mov).cast("double")
+            / 10000.0
+            / F.count(F.lit(1)).over(mov).cast("double")
+        ).alias("moving_avg_5"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="SELECT p_brand, p_partkey, p_name, p_retailprice FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY p_brand "
+    "    ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
+    "WHERE rn <= 3",
+    doc="Top-k per group (W4) — also the engine's upsert/'latest "
+    "version' primitive (S6). At scale: partial per-partition top-k "
+    "before the shuffle keeps state bounded.",
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )

@@ -1,0 +1,81 @@
+"""Oracle-parity harness: mirrors the driver's correctness gate.
+
+For every registered query with an oracle, run the Spark DataFrame and
+the DuckDB SQL on the same parquet tables and require *exact* equality:
+same columns, same row count, same values (order-insensitive).  The
+engine's numeric policy (functions/numeric.py) is what makes exact
+float equality achievable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from event_stream_checkout_spark.registry import load_all
+
+QUERIES = load_all()
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, rows sorted by stringified
+    values, datetimes normalized to datetime64[us]."""
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = df[col].astype("datetime64[us]")
+        elif df[col].dtype == object:
+            # normalize date/decimal objects to strings for stable compare
+            df[col] = df[col].map(lambda v: None if v is None else str(v))
+    if len(df):
+        key = df.astype(str).agg("|".join, axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
+    return df
+
+
+def assert_frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: str):
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"{key}: column mismatch spark={sorted(spark_df.columns)} "
+        f"oracle={sorted(oracle_df.columns)}"
+    )
+    assert len(spark_df) == len(oracle_df), (
+        f"{key}: row count spark={len(spark_df)} oracle={len(oracle_df)}"
+    )
+    s, o = canon(spark_df), canon(oracle_df)
+    for col in s.columns:
+        sv, ov = s[col].values, o[col].values
+        if pd.api.types.is_float_dtype(s[col]) and pd.api.types.is_float_dtype(o[col]):
+            both_nan = pd.isna(sv) & pd.isna(ov)
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                bad = np.where(~eq)[0][:5]
+                diffs = [(i, sv[i], ov[i]) for i in bad]
+                raise AssertionError(
+                    f"{key}.{col}: {int((~eq).sum())}/{len(eq)} float mismatches, "
+                    f"max abs diff={np.nanmax(np.abs(sv - ov))}, sample={diffs}"
+                )
+        else:
+            sv2 = pd.Series(sv).where(pd.Series(sv).notna(), None)
+            ov2 = pd.Series(ov).where(pd.Series(ov).notna(), None)
+            neq = ~(sv2.eq(ov2) | (sv2.isna() & ov2.isna()))
+            if neq.any():
+                bad = np.where(neq.values)[0][:5]
+                diffs = [(i, sv2.iloc[i], ov2.iloc[i]) for i in bad]
+                raise AssertionError(
+                    f"{key}.{col}: {int(neq.sum())}/{len(neq)} mismatches, "
+                    f"sample={diffs} (spark dtype={s[col].dtype}, "
+                    f"oracle dtype={o[col].dtype})"
+                )
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_parity(key, spark, duck):
+    q = QUERIES[key]
+    sdf = q.fn(spark, SF_DIR).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only smoke, mirrors driver's weak check
+        return
+    odf = duck.sql(q.oracle).df()
+    assert_frames_equal(sdf, odf, key)
