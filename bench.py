@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query materializes through the noop sink (full execution, no
+driver-side row transfer), timed individually after a session warmup
+so JVM startup doesn't pollute per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "agg_pricing_summary",   # TPC-H Q1 shape: wide hash aggregate
+    "agg_filtered_sum",      # Q6 shape: pushdown + global agg
+    "topk_revenue_orders",   # Q3 shape: join + agg + top-k
+    "join_multiway",         # Q5 shape: 5-way star join
+    "txn_settlement",        # flagship checkout settlement
+    "win_topk_per_group",    # window family
+    "stream_session",        # sessionization
+    "join_asof",             # as-of enrichment
+    "llm_exact_dedup",       # content-hash dedup
+    "llm_similarity_topk",   # brute-force cosine top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from event_stream_checkout_spark.registry import load_all
+    from event_stream_checkout_spark.session import get_session
+
+    spark = get_session("ecs-bench")
+    registry = load_all()
+
+    # Warmup: start executors, prime the parquet footer caches.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        q = registry[key]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
