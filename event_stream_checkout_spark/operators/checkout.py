@@ -445,6 +445,80 @@ def q_snk_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "state_inventory_replay",
+    # Exact sequential greedy replay is not window-expressible; the
+    # oracle iterates with a recursive CTE (depth = max items per
+    # product, ~20 at sf0.01).
+    oracle="WITH RECURSIVE "
+    + SQL_ITEMS.strip()
+    + ", "
+    + SQL_INVENTORY.strip()
+    + ", ranked AS ("
+    "  SELECT i.*, CAST(row_number() OVER (PARTITION BY i.product_id "
+    "    ORDER BY i.item_ts, i.event_id) AS BIGINT) AS rn FROM items i), "
+    "st AS ("
+    "  SELECT v.product_id, CAST(0 AS BIGINT) AS rn, v.stock AS remaining, "
+    "    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS quantity, "
+    "    CAST(NULL AS BOOLEAN) AS item_ok "
+    "  FROM inv v "
+    "  UNION ALL "
+    "  SELECT r.product_id, r.rn, "
+    "    CASE WHEN r.quantity <= s.remaining THEN s.remaining - r.quantity "
+    "         ELSE s.remaining END, "
+    "    r.event_id, r.quantity, r.quantity <= s.remaining "
+    "  FROM st s JOIN ranked r ON r.product_id = s.product_id "
+    "    AND r.rn = s.rn + 1) "
+    "SELECT product_id, rn, event_id, quantity, item_ok, "
+    "remaining AS remaining_after FROM st WHERE rn >= 1",
+    doc="Keyed mutable state replay (T1; ref FOR UPDATE loop "
+    "src/order_processor/app.py:85-94): exact sequential greedy fold "
+    "per product — failures take nothing. Custom stateful operator via "
+    "applyInPandas (Arrow-batched, one shuffle by product_id, O(1) "
+    "state per key).",
+)
+def q_state_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    items = order_items(spark, sf_dir)
+    inv = inventory(spark, sf_dir).select("product_id", "stock")
+    joined = items.join(F.broadcast(inv), "product_id", "left")
+
+    schema = T.StructType(
+        [
+            T.StructField("product_id", T.StringType(), True),
+            T.StructField("rn", T.LongType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("quantity", T.LongType(), True),
+            T.StructField("item_ok", T.BooleanType(), True),
+            T.StructField("remaining_after", T.LongType(), True),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["item_ts", "event_id"], kind="stable")
+        stock_vals = pdf["stock"].dropna()
+        remaining = int(stock_vals.iloc[0]) if len(stock_vals) else -1
+        rows = []
+        for rn, (eid, q, pid) in enumerate(
+            zip(pdf["event_id"], pdf["quantity"], pdf["product_id"]), start=1
+        ):
+            ok = 0 <= int(q) <= remaining
+            if ok:
+                remaining -= int(q)
+            rows.append((pid, rn, int(eid), int(q), ok, remaining))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "product_id", "rn", "event_id", "quantity", "item_ok",
+                "remaining_after",
+            ],
+        )
+
+    return joined.groupBy("product_id").applyInPandas(fold, schema)
+
+
+@register(
     "ddl_bootstrap",
     oracle="SELECT * FROM (VALUES "
     "('prod-101', 'Wireless Headphones', 50), "

@@ -1,0 +1,234 @@
+"""Golden-state tests for the checkout pipeline — ports of the
+reference's four manual E2E scenarios (README.md:185-258) plus the
+contention/duplicate/multi-item cases its unit tests imply
+(tests/test_processor.py), asserted against final orders + inventory
+state exactly like check_db.py does.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_stream_checkout_spark import pipeline as P
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("items", P.ITEM_TYPE, True),
+        T.StructField("timestamp", T.TimestampNTZType(), True),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def raw_df(spark, rows):
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+def inv_map(res: P.SettlementResult) -> dict[str, int]:
+    return {
+        r["product_id"]: r["quantity_available"] for r in res.inventory.collect()
+    }
+
+
+def order_statuses(res: P.SettlementResult) -> dict[str, str]:
+    return {r["order_id"]: r["status"] for r in res.orders.collect()}
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
+def test_happy_path(spark, mode):
+    """README Test 1: valid order → PROCESSED, stock decremented."""
+    raw = raw_df(spark, [("cust-1", [("prod-101", 1)], ts(0))])
+    split, res = P.run_checkout_batch(spark, raw, mode=mode)
+    assert split.rejected.count() == 0
+    orders = res.orders.collect()
+    assert len(orders) == 1
+    assert orders[0]["status"] == "PROCESSED"
+    assert inv_map(res)["prod-101"] == 49
+    # OrderProcessed event emitted with the projection the notifier
+    # consumes (README.md:279-288)
+    ev = res.processed_events.collect()[0]
+    assert ev["customer_id"] == "cust-1" and ev["status"] == "PROCESSED"
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
+def test_idempotency_same_payload_same_id(spark, mode):
+    """README Test 2: identical payload → identical order_id; the
+    duplicate is a no-op (stock decremented once)."""
+    rows = [
+        ("cust-1", [("prod-102", 2)], ts(0)),
+        ("cust-1", [("prod-102", 2)], ts(60)),  # retry of the same basket
+    ]
+    split, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode=mode)
+    orders = res.orders.collect()
+    assert len(orders) == 1  # first writer wins
+    assert inv_map(res)["prod-102"] == 18
+
+
+def test_content_id_is_deterministic(spark):
+    """Same payload always yields the same UUID-formatted id."""
+    rows = [("cust-1", [("prod-101", 1)], ts(0))]
+    a = P.derive_order_ids(raw_df(spark, rows)).collect()[0]["order_id"]
+    b = P.derive_order_ids(raw_df(spark, rows)).collect()[0]["order_id"]
+    assert a == b
+    assert len(a) == 36 and a.count("-") == 4  # 8-4-4-4-12
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
+def test_validation_rejects_bad_payloads(spark, mode):
+    """README Test 3: invalid payloads → reject channel, DB untouched."""
+    rows = [
+        (None, [("prod-101", 1)], ts(0)),          # missing customer_id
+        ("cust-2", [], ts(1)),                      # empty items
+        ("cust-3", None, ts(2)),                    # missing items
+        ("cust-4", [("prod-101", -5)], ts(3)),      # negative quantity (T3)
+        ("cust-5", [("prod-101", 0)], ts(4)),       # zero quantity
+        ("cust-6", [(None, 1)], ts(5)),             # item missing product_id
+        ("cust-7", [("prod-101", None)], ts(6)),    # item missing quantity
+    ]
+    split, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode=mode)
+    assert split.valid.count() == 0
+    assert split.rejected.count() == 7
+    assert res.orders.count() == 0
+    assert inv_map(res) == {p: q for p, _, q in P.INVENTORY_SEED}
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
+def test_insufficient_inventory_rolls_back(spark, mode):
+    """README Test 4: quantity 9999 → FAILED, stock unchanged."""
+    raw = raw_df(spark, [("cust-1", [("prod-101", 9999)], ts(0))])
+    _, res = P.run_checkout_batch(spark, raw, mode=mode)
+    assert order_statuses(res) == {
+        o["order_id"]: "FAILED" for o in res.orders.collect()
+    }
+    assert inv_map(res)["prod-101"] == 50
+
+
+@pytest.mark.parametrize("mode", ["replay_items", "replay_global"])
+def test_contention_resolved_by_t5_ordering(spark, mode):
+    """Two orders race for the last units: the earlier (timestamp,
+    order_id) wins, the later FAILS, exactly once-decrement."""
+    rows = [
+        ("cust-early", [("prod-105", 4)], ts(0)),   # stock 5 → takes 4
+        ("cust-late", [("prod-105", 3)], ts(1)),    # only 1 left → FAILED
+    ]
+    _, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode=mode)
+    st = {o["customer_id"]: o["status"] for o in res.orders.collect()}
+    assert st == {"cust-early": "PROCESSED", "cust-late": "FAILED"}
+    assert inv_map(res)["prod-105"] == 1
+
+
+def test_optimistic_contention_both_fail_late_order(spark):
+    """Optimistic admission: later order sees cumulative demand 4+3=7
+    > 5 → FAILED; earlier passes. Same outcome as replay here."""
+    rows = [
+        ("cust-early", [("prod-105", 4)], ts(0)),
+        ("cust-late", [("prod-105", 3)], ts(1)),
+    ]
+    _, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode="optimistic")
+    st = {o["customer_id"]: o["status"] for o in res.orders.collect()}
+    assert st == {"cust-early": "PROCESSED", "cust-late": "FAILED"}
+    assert inv_map(res)["prod-105"] == 1
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_global"])
+def test_multi_item_all_or_nothing(spark, mode):
+    """One insufficient item fails the whole order; no partial
+    decrement (the rollback semantics, app.py:106-119)."""
+    raw = raw_df(
+        spark, [("cust-1", [("prod-101", 1), ("prod-105", 9999)], ts(0))]
+    )
+    _, res = P.run_checkout_batch(spark, raw, mode=mode)
+    assert list(order_statuses(res).values()) == ["FAILED"]
+    inv = inv_map(res)
+    assert inv["prod-101"] == 50 and inv["prod-105"] == 5
+
+
+def test_multi_item_replay_items_is_item_level(spark):
+    """Documented divergence of the per-product replay mode: item
+    decisions are product-local, so a sufficient item of a FAILED
+    order still consumes its stock (order status stays all-or-nothing)."""
+    raw = raw_df(
+        spark, [("cust-1", [("prod-101", 1), ("prod-105", 9999)], ts(0))]
+    )
+    _, res = P.run_checkout_batch(spark, raw, mode="replay_items")
+    assert list(order_statuses(res).values()) == ["FAILED"]
+    inv = inv_map(res)
+    assert inv["prod-101"] == 49 and inv["prod-105"] == 5
+
+
+@pytest.mark.parametrize("mode", ["replay_items", "replay_global"])
+def test_unknown_product_fails_order(spark, mode):
+    """Missing inventory row → insufficient (ref 'not result' app.py:88)."""
+    raw = raw_df(spark, [("cust-1", [("prod-999", 1)], ts(0))])
+    _, res = P.run_checkout_batch(spark, raw, mode=mode)
+    assert list(order_statuses(res).values()) == ["FAILED"]
+
+
+def test_global_replay_releases_stock_of_failed_orders(spark):
+    """The distinguishing case vs optimistic admission: a FAILED
+    multi-product order must not consume stock that a later order
+    needs. Global replay processes sequentially, so the later order
+    succeeds."""
+    rows = [
+        # Fails on prod-105 (9999), so its prod-104 demand (8) takes nothing.
+        ("cust-a", [("prod-104", 8), ("prod-105", 9999)], ts(0)),
+        # Needs 9 of prod-104 (stock 10) — succeeds only if cust-a's
+        # failed demand was released.
+        ("cust-b", [("prod-104", 9)], ts(1)),
+    ]
+    _, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode="replay_global")
+    st = {o["customer_id"]: o["status"] for o in res.orders.collect()}
+    assert st == {"cust-a": "FAILED", "cust-b": "PROCESSED"}
+    assert inv_map(res)["prod-104"] == 1
+    # Optimistic mode (documented divergence): cumulative demand 8+9 > 10
+    # → cust-b also FAILED.
+    _, res2 = P.run_checkout_batch(spark, raw_df(spark, rows), mode="optimistic")
+    st2 = {o["customer_id"]: o["status"] for o in res2.orders.collect()}
+    assert st2 == {"cust-a": "FAILED", "cust-b": "FAILED"}
+
+
+@pytest.mark.parametrize("mode", ["optimistic", "replay_global"])
+def test_duplicate_storm(spark, mode):
+    """At-least-once delivery: 10 copies of one order settle once."""
+    rows = [("cust-1", [("prod-103", 5)], ts(i)) for i in range(10)]
+    _, res = P.run_checkout_batch(spark, raw_df(spark, rows), mode=mode)
+    assert res.orders.count() == 1
+    assert inv_map(res)["prod-103"] == 30
+
+
+def test_existing_orders_anti_join(spark):
+    """Orders already in the table are skipped entirely (INSERT IGNORE
+    against the persistent orders table)."""
+    rows = [("cust-1", [("prod-101", 1)], ts(0))]
+    raw = raw_df(spark, rows)
+    existing_id = P.derive_order_ids(raw).collect()[0]["order_id"]
+    existing = spark.createDataFrame(
+        [(existing_id,)], T.StructType([T.StructField("order_id", T.StringType())])
+    )
+    _, res = P.run_checkout_batch(
+        spark, raw, existing_orders=existing, mode="replay_global"
+    )
+    assert res.orders.count() == 0
+    assert inv_map(res)["prod-101"] == 50
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """Companion check for agg_approx_distinct (no oracle): HLL++
+    estimate within 2% of exact."""
+    from event_stream_checkout_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
+    for r in df:
+        exact, approx = r["exact_customers"], r["approx_customers"]
+        assert abs(approx - exact) / max(exact, 1) < 0.05, (exact, approx)
