@@ -1,0 +1,510 @@
+"""LLM-data-pipeline operators, wave 2 (SURVEY.md §2.10 X2-X5).
+
+Near-duplicate detection (minhash LSH, simhash, n-gram Jaccard),
+quality scoring, language-ID, fingerprinting, and the IVF-style
+partition-pruned similarity path.  Everything is expression-level
+DataFrame algebra; hashing is md5-based so the DuckDB oracle can
+reproduce it exactly (engine-specific hash functions like xxhash64
+would not be portable).
+
+Scale notes:
+- Shingling explodes ~n_words rows per doc; the per-doc minhash
+  aggregation collapses it right back — the shuffle is by doc_id,
+  uniformly distributed.
+- LSH banding turns O(n²) pair search into groupBy(band) — candidate
+  pairs only form inside buckets.  Band keys are md5s: no skew.
+- Simhash bit-voting explodes tokens×16 rows; at 100 TB you'd fuse
+  the bit loop into one aggregate pass (bit_count tricks); kept
+  explicit here for clarity and oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --------------------------------------------------------------------------
+# Shared shingling (word 3-grams) — Spark + DuckDB forms
+# --------------------------------------------------------------------------
+
+# 1-based index i over words, i in [1, n-2]; both engines' element
+# access is 1-based (F.element_at / DuckDB list indexing).
+SQL_GRAMS = """
+grams AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           unnest(list_transform(
+               generate_series(1, len(string_split(d.text, ' ')) - 2),
+               i -> string_split(d.text, ' ')[i] || ' ' ||
+                    string_split(d.text, ' ')[i + 1] || ' ' ||
+                    string_split(d.text, ' ')[i + 2])) AS gram
+    FROM documents d
+    WHERE len(string_split(d.text, ' ')) >= 3
+)
+"""
+
+
+def grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    d = d.withColumn("_words", words).filter(F.size("_words") >= 3)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_words") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_words"), i),
+            F.element_at(F.col("_words"), i + 1),
+            F.element_at(F.col("_words"), i + 2),
+        ),
+    )
+    return d.select(
+        "doc_id", "lang", "source", "n_chars", F.explode(gram).alias("gram")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2a: minhash + LSH banding
+# --------------------------------------------------------------------------
+
+_N_HASHES = 8  # 4 bands × 2 rows
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature: min(md5(seed||gram)) per seed.
+
+    The string-min of a uniform hash is a valid minwise sketch; md5
+    keeps it engine-portable. One shuffle (groupBy doc_id), K aggs."""
+    g = grams_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")))).alias(f"h{s}")
+        for s in range(_N_HASHES)
+    ]
+    return g.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_SIGS = (
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{s}:' || gram)) AS h{s}" for s in range(_N_HASHES)
+    )
+    + f" FROM grams GROUP BY doc_id)"
+)
+
+_SQL_BANDS = (
+    "bands AS (SELECT doc_id, band_idx, band_key FROM sigs, "
+    "UNNEST([" + ", ".join(str(i) for i in range(len(_BANDS))) + "]) AS t(band_idx), "
+    "LATERAL (SELECT CASE band_idx "
+    + " ".join(
+        f"WHEN {i} THEN md5(h{a} || h{b})" for i, (a, b) in enumerate(_BANDS)
+    )
+    + " END AS band_key) l)"
+)
+
+
+@register(
+    "llm_minhash_signatures",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS} SELECT * FROM sigs",
+    doc="Minwise sketch per document (X2): 8 md5-seeded minhashes "
+    "over word 3-gram shingles. The sketch is mergeable — at 100 TB "
+    "it computes as a partial aggregate, no doc ever materializes its "
+    "full shingle set.",
+)
+def q_llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sigs(spark, sf_dir)
+
+
+@register(
+    "llm_near_dedup",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS} "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id",
+    doc="Near-duplicate candidate pairs via LSH banding (X2): docs "
+    "sharing any of 4 bands (2 minhashes each) are candidates. "
+    "Bucket-join replaces the O(n²) scan; the groupBy key is an md5 — "
+    "uniform, unskewed.",
+)
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
+            )
+            for i, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_arr).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# X2b: simhash (16-bit, hex-char parity construction — portable)
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "llm_simhash",
+    oracle="WITH toks AS ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "hashed AS (SELECT doc_id, md5(tok) AS h FROM toks), "
+    "bits AS (SELECT doc_id, i, "
+    "  CASE WHEN (strpos('0123456789abcdef', substring(h, i, 1)) - 1) % 2 = 1 "
+    "       THEN 1 ELSE -1 END AS vote "
+    f"  FROM hashed, UNNEST(generate_series(1, {_SIMHASH_BITS})) AS t(i)), "
+    "votes AS (SELECT doc_id, i, sum(vote) AS v FROM bits GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN power(2, i - 1) ELSE 0 END) "
+    "AS BIGINT) AS simhash FROM votes GROUP BY doc_id",
+    doc="SimHash document sketch (X2): per-token md5 → 16 bit votes → "
+    "majority sign per bit. Hamming distance between sketches "
+    "approximates cosine over token sets. Two shuffles, both by "
+    "doc_id — no pairwise work.",
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_SIMHASH_BITS))).alias("i"),
+        "h",
+    ).select(
+        "doc_id",
+        "i",
+        F.when(
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.col("h"), F.col("i").cast("int"), F.lit(1)),
+                )
+                - 1
+            )
+            % 2
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("i") - 1)).otherwise(
+                F.lit(0.0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2c: n-gram Jaccard over blocked candidate pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "dg AS (SELECT DISTINCT doc_id, lang, n_chars // 50 AS bucket, gram FROM grams), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  CAST(count(*) AS BIGINT) AS n_common "
+    "  FROM dg a JOIN dg b ON a.gram = b.gram AND a.lang = b.lang "
+    "  AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
+    "  CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2",
+    doc="Exact n-gram Jaccard similarity on blocked pairs (X2): "
+    "blocking on (lang, length-bucket) bounds the pair space; the "
+    "gram-level equi-join computes intersections distributively. "
+    "Integer-ratio output is engine-exact.",
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = (
+        grams_df(spark, sf_dir)
+        .select(
+            "doc_id", "lang", F.expr("n_chars div 50").alias("bucket"), "gram"
+        )
+        .distinct()
+    )
+    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = dg.alias("a"), dg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: quality scoring, language-ID, fingerprinting
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+@register(
+    "llm_quality_score",
+    oracle="WITH t AS (SELECT doc_id, lang, n_chars, "
+    "  len(string_split(text, ' ')) AS n_tokens, "
+    "  len(list_filter(string_split(text, ' '), "
+    f"    w -> list_contains({_STOPWORDS!r}, w))) AS n_stop, "
+    "  length(text) - length(replace(replace(replace(text, '.', ''), "
+    "    '!', ''), '?', '')) AS n_punct "
+    "  FROM documents) "
+    "SELECT doc_id, lang, n_tokens, "
+    "  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio, "
+    "  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio, "
+    "  CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len, "
+    "  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END + "
+    "   CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 1 ELSE 0 END)"
+    "  AS quality FROM t",
+    doc="Heuristic quality scoring (X4): length band, stopword ratio, "
+    "punctuation density — the standard pretraining-corpus filters, "
+    "all as scan-local expressions (no shuffle at all).",
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length("text") - F.length(
+        F.translate(F.col("text"), ".!?", "")
+    )
+    stopword_ratio = n_stop.cast("double") / n_tokens
+    t = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            F.when((n_tokens >= 20) & (n_tokens <= 1000), 1).otherwise(0)
+            + F.when(stopword_ratio >= 0.05, 1).otherwise(0)
+        ).alias("quality"),
+    )
+    return t
+
+
+_LANG_MARKERS = {
+    "en": " the ",
+    "es": " el ",
+    "de": " der ",
+    "fr": " le ",
+    "zh": " zh ",
+}
+
+
+def _occurrences_sql(marker: str) -> str:
+    return (
+        f"(length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{marker}', ''))) "
+        f"// length('{marker}')"
+    )
+
+
+@register(
+    "llm_lang_id",
+    oracle="SELECT doc_id, lang, "
+    + ", ".join(
+        f"CAST({_occurrences_sql(m)} AS BIGINT) AS n_{l}"
+        for l, m in _LANG_MARKERS.items()
+    )
+    + ", CASE "
+    + " ".join(
+        f"WHEN {_occurrences_sql(m)} > 0 AND "
+        + " AND ".join(
+            f"{_occurrences_sql(m)} >= {_occurrences_sql(m2)}"
+            for l2, m2 in _LANG_MARKERS.items()
+            if l2 != l
+        )
+        + f" THEN '{l}'"
+        for l, m in _LANG_MARKERS.items()
+    )
+    + " ELSE 'und' END AS guess FROM documents",
+    doc="Marker-n-gram language ID heuristic (X4): per-language "
+    "marker occurrence counts via length-delta (scan-local, no "
+    "shuffle); argmax with fixed priority tie-break.",
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def occ(marker: str):
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(marker))))
+            / F.length(F.lit(marker))
+        ).cast("long")
+
+    counts = {l: occ(m) for l, m in _LANG_MARKERS.items()}
+    # Nest WHENs from the last language outward so evaluation order
+    # matches the SQL CASE (earlier languages win ties).
+    guess = F.lit("und")
+    for l in reversed(list(_LANG_MARKERS)):
+        others = [counts[l2] for l2 in _LANG_MARKERS if l2 != l]
+        cond = (counts[l] > 0)
+        for o in others:
+            cond = cond & (counts[l] >= o)
+        guess = F.when(cond, F.lit(l)).otherwise(guess)
+    cols = [F.col("doc_id"), F.col("lang")]
+    cols += [counts[l].alias(f"n_{l}") for l in _LANG_MARKERS]
+    cols.append(guess.alias("guess"))
+    return d.select(*cols)
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"WITH {SQL_GRAMS.strip()} "
+    "SELECT doc_id, min(md5(gram)) AS fingerprint, "
+    "CAST(count(DISTINCT gram) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id",
+    doc="Rolling-hash document fingerprint (X4, winnowing-style): "
+    "minimum shingle hash as a stable content signature; mergeable "
+    "partial aggregate at scale.",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        grams_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("gram")).alias("fingerprint"),
+            F.count_distinct("gram").alias("n_grams"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: IVF-style partition-pruned similarity (the 100 TB ANN path)
+# --------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_BUCKET = (
+    "(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END + "
+    "CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END + "
+    "CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END + "
+    "CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "llm_similarity_ivf",
+    oracle="WITH b AS (SELECT vec_id, label, embedding, "
+    + _SQL_BUCKET
+    + " AS bucket FROM embeddings), "
+    "q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0), "
+    "scored AS (SELECT e.vec_id, e.label, e.bucket, "
+    "  list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+    "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), "
+    "    (x, y) -> x + y) AS dot "
+    "  FROM b e CROSS JOIN q WHERE e.bucket = q.qbucket AND e.vec_id <> 0) "
+    "SELECT vec_id, label, bucket, dot FROM scored "
+    "ORDER BY dot DESC, vec_id LIMIT 10",
+    doc="IVF-style ANN (X3 scale path): a 4-bit sign-quantized coarse "
+    "bucket prunes the search to 1/16 of the corpus before exact "
+    "scoring. At 100 TB the bucket is the partition column — the scan "
+    "prunes at the file level; probe more buckets for higher recall.",
+)
+def q_llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) >= 0, 8).otherwise(0)
+        + F.when(F.element_at("embedding", 2) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 3) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 4) >= 0, 1).otherwise(0)
+    )
+    b = e.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            _dot(F.col("embedding"), F.col("qv")).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "llm_embedding_stats",
+    oracle="WITH n AS (SELECT vec_id, label, "
+    "  sqrt(list_reduce(list_transform(embedding, "
+    "    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nrm "
+    "  FROM embeddings) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "(CAST(SUM(CAST(floor((nrm) * 10000.0 + 0.5) AS DECIMAL(25,0))) AS DOUBLE) "
+    "/ 10000.0) / COUNT(nrm) AS avg_norm, "
+    "min(nrm) AS min_norm, max(nrm) AS max_norm "
+    "FROM n GROUP BY label",
+    doc="Embedding-column profile (X5): vector norms via expression "
+    "fold, per-label stats under the engine's stable-float policy.",
+)
+def q_llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    n = e.select("vec_id", "label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg("nrm").alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

@@ -53,6 +53,8 @@ def load_all() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         checkout,
         llm,
+        llm_advanced,
+        multimodal,
         relational,
         scalar_fns,
         streaming_analogues,
