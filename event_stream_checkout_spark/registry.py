@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         llm_advanced,
         multimodal,
         relational,
+        relational2,
         scalar_fns,
         streaming_analogues,
         windows,
