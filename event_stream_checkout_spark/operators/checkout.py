@@ -445,6 +445,15 @@ def q_snk_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_inventory",
+    oracle=f"WITH {SQL_INVENTORY.strip()} SELECT * FROM inv",
+    doc="Inventory table scan (S7; ref check_db.py:42).",
+)
+def q_scan_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inventory(spark, sf_dir)
+
+
+@register(
     "state_inventory_replay",
     # Exact sequential greedy replay is not window-expressible; the
     # oracle iterates with a recursive CTE (depth = max items per

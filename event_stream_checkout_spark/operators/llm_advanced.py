@@ -508,3 +508,91 @@ def q_llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# X2d: embedding-cosine near-duplicate pairs (bucketed)
+# --------------------------------------------------------------------------
+
+_SQL_DOT_AB = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_SQL_NRM = (
+    "sqrt(list_reduce(list_transform({t}.embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+@register(
+    "llm_embedding_near_dup",
+    oracle="WITH b AS (SELECT vec_id, label, embedding, "
+    + _SQL_BUCKET
+    + " AS bucket FROM embeddings), "
+    "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "  " + _SQL_DOT_AB + " / (" + _SQL_NRM.format(t="a") + " * "
+    + _SQL_NRM.format(t="b") + ") AS cosine "
+    "  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+    "SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs "
+    "WHERE cosine >= 0.4",
+    doc="Embedding-cosine near-duplicate pairs (X2): sign-bucket "
+    "blocking bounds the pair space (same pruning as the IVF search), "
+    "exact cosine + threshold inside buckets. At 100 TB the bucket is "
+    "the shuffle/partition key; raise bits for tighter blocking.",
+)
+def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) >= 0, 8).otherwise(0)
+        + F.when(F.element_at("embedding", 2) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 3) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 4) >= 0, 1).otherwise(0)
+    )
+    b = e.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    a2, b2 = b.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_c"),
+        )
+        .filter(F.col("_c") >= 0.4)
+        .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
+    )
+
+
+@register(
+    "llm_token_regex",
+    oracle="SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) "
+    "AS n_subword_tokens, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens "
+    "FROM documents",
+    doc="Token counting, whitespace + BPE-ish regex (X4): the regex "
+    "splits into lowercase runs / digit runs / other symbols — the "
+    "classic pre-tokenizer shape; both counters are scan-local "
+    "expressions.",
+)
+def q_llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_subword_tokens"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_ws_tokens"),
+    )
