@@ -308,13 +308,21 @@ def settle_replay_global(orders: DataFrame, inventory: DataFrame) -> SettlementR
                 remaining[pid] = -1 if pd.isna(st) else int(st)
         out = []
         for oid, grp in pdf.groupby("order_id", sort=False):
-            ok = all(
-                0 <= int(q) <= remaining[pid]
-                for pid, q in zip(grp["product_id"], grp["quantity"])
-            )
+            # Items decrement sequentially inside the transaction
+            # (ref app.py:80-94), so a product repeated within one
+            # order draws down cumulatively; failure of any item
+            # rolls the whole tentative set back.
+            tentative: dict[str, int] = {}
+            ok = True
+            for pid, q in zip(grp["product_id"], grp["quantity"]):
+                q = int(q)
+                if not 0 <= q <= remaining[pid] - tentative.get(pid, 0):
+                    ok = False
+                    break
+                tentative[pid] = tentative.get(pid, 0) + q
             if ok:
-                for pid, q in zip(grp["product_id"], grp["quantity"]):
-                    remaining[pid] -= int(q)
+                for pid, q in tentative.items():
+                    remaining[pid] -= q
             out.append((oid, "PROCESSED" if ok else "FAILED"))
         return pd.DataFrame(out, columns=["order_id", "status"])
 

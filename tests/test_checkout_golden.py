@@ -174,6 +174,21 @@ def test_unknown_product_fails_order(spark, mode):
     assert list(order_statuses(res).values()) == ["FAILED"]
 
 
+@pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
+def test_repeated_product_within_order_is_cumulative(spark, mode):
+    """An order listing the same product twice must draw down
+    cumulatively (the reference decrements per item inside the
+    transaction): 2×4 units against stock 5 FAILS in every mode;
+    whole-order modes leave stock untouched, the item-level mode keeps
+    the first item's draw (its documented divergence)."""
+    raw = raw_df(
+        spark, [("cust-1", [("prod-105", 4), ("prod-105", 4)], ts(0))]
+    )
+    _, res = P.run_checkout_batch(spark, raw, mode=mode)
+    assert list(order_statuses(res).values()) == ["FAILED"]
+    assert inv_map(res)["prod-105"] == (1 if mode == "replay_items" else 5)
+
+
 def test_global_replay_releases_stock_of_failed_orders(spark):
     """The distinguishing case vs optimistic admission: a FAILED
     multi-product order must not consume stock that a later order
