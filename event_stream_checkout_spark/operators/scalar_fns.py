@@ -151,9 +151,10 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(month(o_orderdate) AS INTEGER) AS m, "
     "CAST(day(o_orderdate) AS INTEGER) AS d, "
     "date_trunc('month', o_orderdate) AS month_start, "
-    "CAST(o_orderdate AS DATE) + 30 AS due_date, "
+    "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date, "
     "CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INTEGER)"
-    " AS days_to_98, last_day(CAST(o_orderdate AS DATE)) AS month_end "
+    " AS days_to_98, "
+    "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end "
     "FROM orders",
     doc="Date/time function family (F8).",
 )
@@ -165,11 +166,17 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # DATE values serialize as strings: engine-stable across
+        # client libraries (date objects canonicalize differently).
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"
+        ).alias("due_date"),
         F.datediff(
             F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days_to_98"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_format(
+            F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("month_end"),
     )
 
 

@@ -125,3 +125,43 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     )
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_salted_aggregation_matches_direct(spark):
+    """Skew mitigation by salting: a hot grouping key is split across
+    N salt shards for the partial aggregate, then the shards merge in
+    a second (tiny) aggregate. Results must equal the direct groupBy;
+    at 100 TB this caps any single reducer's input at ~1/N of the hot
+    key. (AQE's skewJoin handles skewed JOINS automatically; salting
+    is the manual lever for skewed AGGREGATIONS.)"""
+    from tests.conftest import SF_DIR
+    from event_stream_checkout_spark.functions.numeric import quant
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # Synthesize a 90%-hot key from event_id.
+    skewed = e.withColumn(
+        "hot_key",
+        F.when(F.col("event_id") % 10 < 9, F.lit("HOT")).otherwise(
+            (F.col("event_id") % 10).cast("string")
+        ),
+    )
+    direct = skewed.groupBy("hot_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quant("value")).cast("double") / 10000.0).alias("total"),
+    )
+    salted = (
+        skewed.withColumn("_salt", F.col("event_id") % 16)
+        .groupBy("hot_key", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(quant("value")).alias("pt"),
+        )
+        .groupBy("hot_key")
+        .agg(
+            F.sum("pn").alias("n"),
+            (F.sum("pt").cast("double") / 10000.0).alias("total"),
+        )
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
