@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         relational,
         relational2,
+        relational3,
         scalar_fns,
         streaming_analogues,
         windows,
