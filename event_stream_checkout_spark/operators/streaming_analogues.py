@@ -94,8 +94,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT date_trunc('hour', e.ts) AS wstart, CAST(count(*) AS BIGINT) AS n "
     "FROM events e CROSS JOIN wm WHERE e.ts > wm.horizon GROUP BY 1",
     doc="Watermark semantics, batch analogue (T7): rows older than "
-    "max(event_time) - delay are dropped before the windowed count — "
-    "exactly what withWatermark does to late data in streaming.",
+    "max(event_time) - delay are excluded from the windowed count — "
+    "the strictest reading of withWatermark. (Streaming's actual "
+    "guarantee is weaker: drop-after-finalization; see "
+    "tests/test_streaming.py::test_streaming_late_data_dropped_past_"
+    "watermark for the empirically pinned behavior.)",
 )
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -198,18 +198,22 @@ class CheckoutStream:
 
 
 def streaming_tumbling_counts(
-    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """True streaming windowed aggregation (T6/T7): parquet stream →
     watermark → tumbling 1h counts. Used by the batch/stream
     equivalence test; at scale this is the standing dashboard query."""
     configure(spark)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long, "
-            "event_type string, value double, props string"
-        ).parquet(events_dir)
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
     # Watermarks require TIMESTAMP (instant) semantics; with the session
     # pinned to UTC the cast preserves wall clock, and we project the
     # window start back to NTZ for engine-wide consistency.
@@ -222,5 +226,91 @@ def streaming_tumbling_counts(
             F.col("w.start").cast("timestamp_ntz").alias("wstart"),
             "event_type",
             "n",
+        )
+    )
+
+
+def streaming_purchase_enrichment(
+    spark: SparkSession, events_dir: str, join_window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream equi-join with watermarks (T6/J2's true streaming
+    form): purchases joined to the same user's signups within a time
+    window.  Both sides carry watermarks so the join state is bounded —
+    the 100 TB requirement for any standing stream-stream join.
+    """
+    configure(spark)
+
+    def src():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    return purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {join_window}")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "signup_id",
+        F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
+        "value",
+    )
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, events_dir: str, delay: str = "2 hours"
+) -> DataFrame:
+    """In-stream keyed dedup with bounded state (T2's scalable mode):
+    dropDuplicatesWithinWatermark keeps the seen-set only within the
+    watermark delay — the documented divergence from the reference's
+    unbounded PK dedup, for streams where keys can't recur later than
+    the delay."""
+    configure(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
         )
     )

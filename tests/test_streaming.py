@@ -184,3 +184,160 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join == the equivalent batch join."""
+    from event_stream_checkout_spark.streaming.pipeline import (
+        streaming_purchase_enrichment,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events_dir = str(tmp_path / "events")
+    events = load_table(spark, SF_DIR, "events")
+    events.write.parquet(events_dir)
+
+    q = (
+        streaming_purchase_enrichment(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["signup_id"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["signup_id"])
+        for r in p.join(
+            s,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("signup_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("signup_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dropduplicates_within_watermark_drops_in_stream_dupes(spark, tmp_path):
+    """Duplicate keys arriving within the watermark delay are dropped;
+    the first arrival survives."""
+    from event_stream_checkout_spark.streaming.pipeline import (
+        streaming_dedup_within_watermark,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click"),
+        (2, "2024-01-01 10:05:00", 7, "click"),   # dup key within delay
+        (3, "2024-01-01 10:10:00", 7, "view"),
+        (4, "2024-01-01 10:20:00", 8, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), u, e, 1.0, "{}")
+         for i, t, u, e in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(events_dir / "p"))
+
+    q = (
+        streaming_dedup_within_watermark(spark, str(events_dir / "p"))
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM deduped").collect())
+    # Exactly one of the duplicate pair {1, 2} survives (which one is
+    # arbitrary within a micro-batch — partitions race); 3 and 4 are
+    # distinct keys and must both survive.
+    assert len(got) == 3
+    assert sum(1 for e in got if e in (1, 2)) == 1
+    assert {3, 4} <= set(got)
+
+
+def test_streaming_late_data_dropped_past_watermark(spark, tmp_path):
+    """The watermark guarantee (T7), as Spark actually defines it: a
+    window is finalized and emitted exactly once when the watermark
+    passes its end, and a late row arriving AFTER finalization can
+    neither re-emit nor change it. (Rows later than the watermark but
+    arriving before finalization MAY still be aggregated — Spark
+    documents dropping as best-effort until state eviction, and 4.1
+    behaves that way; verified empirically.)"""
+    from event_stream_checkout_spark.streaming.pipeline import (
+        streaming_tumbling_counts,
+    )
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), 1, "click",
+                 1.0, "{}")
+                for i, t in rows
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(events_dir / name))
+
+    import time
+
+    # Batch 1 advances the watermark to 13:00 - 1h = 12:00.
+    write_batch("b1", [(1, "2024-01-01 10:30:00"), (2, "2024-01-01 13:00:00")])
+    time.sleep(1.1)  # file-source orders batches by modification time
+    # Batch 2: watermark 12:00 now active → hour-10 window (end 11:00)
+    # finalizes and emits with n=1.
+    write_batch("b2", [(3, "2024-01-01 13:30:00")])
+    time.sleep(1.1)
+    # Batch 3: a very late row for the already-finalized hour-10.
+    write_batch("b3", [(4, "2024-01-01 10:45:00"), (5, "2024-01-01 13:45:00")])
+    q = (
+        streaming_tumbling_counts(
+            spark, str(events_dir / "*"), watermark="1 hour",
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (str(r["wstart"]), r["n"])
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    ]
+    # Exactly one emission of hour 10, with the pre-finalization count;
+    # the late event #4 neither re-emitted nor changed it.
+    assert got.count(("2024-01-01 10:00:00", 1)) == 1
+    assert all(w != "2024-01-01 10:00:00" or n == 1 for w, n in got)
