@@ -83,11 +83,11 @@ inv AS (
 SQL_FLAGGED = """
 ranked AS (
     SELECT i.*,
-        SUM(i.quantity) OVER (
+        CAST(SUM(i.quantity) OVER (
             PARTITION BY i.product_id
             ORDER BY i.item_ts, i.event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_demand
+        ) AS BIGINT) AS running_demand
     FROM items i
 ),
 flagged AS (
@@ -428,7 +428,8 @@ def q_snk_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snk_dlq",
     oracle="WITH fails AS (SELECT event_id, user_id, ts, "
-    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS attempt "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS BIGINT) AS attempt "
     "FROM events WHERE event_type = 'error') "
     "SELECT event_id, user_id, attempt FROM fails WHERE attempt >= 3",
     doc="Dead-letter diversion after 3 attempts (T4/S11; ref "
@@ -438,7 +439,7 @@ def q_snk_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        e.withColumn("attempt", F.row_number().over(w))
+        e.withColumn("attempt", F.row_number().over(w).cast("long"))
         .filter(F.col("attempt") >= 3)
         .select("event_id", "user_id", "attempt")
     )

@@ -295,7 +295,7 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
     "  length(text) - length(replace(replace(replace(text, '.', ''), "
     "    '!', ''), '?', '')) AS n_punct "
     "  FROM documents) "
-    "SELECT doc_id, lang, n_tokens, "
+    "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
     "  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio, "
     "  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio, "
     "  CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len, "
@@ -319,7 +319,7 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         stopword_ratio.alias("stopword_ratio"),
         (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
         (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),

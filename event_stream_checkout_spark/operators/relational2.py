@@ -26,7 +26,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q_scan_documents(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+        "doc_id", "lang", "source", "n_chars",
+        F.length("text").cast("long").alias("text_len")
     )
 
 

@@ -137,3 +137,33 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "agg_correlated_subquery",
+    # Both engines decorrelate the scalar subquery into an aggregate
+    # join; sum/count of integral doubles keeps the threshold exact.
+    oracle="SELECT l.l_partkey, "
+    "CAST(count(*) AS BIGINT) AS n_small_lines, "
+    "CAST(sum(l.l_quantity) AS DOUBLE) AS small_qty "
+    "FROM lineitem l "
+    "WHERE l.l_quantity < (SELECT 0.5 * (sum(l2.l_quantity) / count(*)) "
+    "  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) "
+    "GROUP BY l.l_partkey",
+    doc="Correlated scalar subquery (TPC-H Q17 shape): lines below "
+    "half the part's average quantity. Written as a genuine correlated "
+    "subquery on both sides — Catalyst decorrelates it into an "
+    "aggregate + join (no per-row re-execution); verify via "
+    "EXPLAIN: no more than two exchanges.",
+)
+def q_agg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_corr")
+    return spark.sql(
+        "SELECT l.l_partkey, "
+        "count(*) AS n_small_lines, "
+        "CAST(sum(l.l_quantity) AS DOUBLE) AS small_qty "
+        "FROM _li_corr l "
+        "WHERE l.l_quantity < (SELECT 0.5 * (sum(l2.l_quantity) / count(*)) "
+        "  FROM _li_corr l2 WHERE l2.l_partkey = l.l_partkey) "
+        "GROUP BY l.l_partkey"
+    )

@@ -187,7 +187,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sqrt(o_totalprice) AS rt, o_totalprice * o_totalprice AS sq, "
     "CAST(o_orderkey % 7 AS BIGINT) AS bucket, "
     "round(ln(o_totalprice), 6) AS log_price, "
-    "sign(o_totalprice - 100000.0) AS above "
+    "CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS above "
     "FROM orders",
     doc="Math function family (F9). sqrt is IEEE-correctly-rounded "
     "(engine-stable); ln rounded to 6 (libm implementations may differ "
