@@ -596,3 +596,57 @@ def q_llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_subword_tokens"),
         F.size(F.split("text", " ", -1)).cast("long").alias("n_ws_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# X2e: near-duplicate resolution (candidate pairs → canonical groups)
+# --------------------------------------------------------------------------
+
+_SQL_PAIRS = (
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+    "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+    # Undirected edge list incl. self-loops so isolated members keep
+    # their own label.
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs "
+    "UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs), "
+    "l0 AS (SELECT src AS doc_id, min(dst) AS label FROM edges GROUP BY src), "
+    "l1 AS (SELECT e.src AS doc_id, least(min(l.label), min(e.src)) AS label "
+    "  FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src), "
+    "l2 AS (SELECT e.src AS doc_id, least(min(l.label), min(e.src)) AS label "
+    "  FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src)"
+)
+
+
+@register(
+    "llm_near_dedup_groups",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS} "
+    "SELECT doc_id, label AS group_id FROM l2",
+    doc="Near-duplicate resolution (X2): LSH candidate pairs → "
+    "connected components via 2 rounds of min-label propagation "
+    "(iterated joins — each round is one shuffle; rounds bound the "
+    "component diameter, 2 suffices for LSH clusters which are "
+    "near-cliques). group_id = smallest doc_id in the component — the "
+    "canonical survivor.",
+)
+def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_llm_near_dedup(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .union(pairs.select(F.col("doc_a"), F.col("doc_a")))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_b")))
+        .distinct()
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("label")).withColumnRenamed(
+        "src", "doc_id"
+    )
+    for _ in range(2):
+        labels = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.least(F.min("label"), F.min("src")).alias("label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+    return labels.select("doc_id", F.col("label").alias("group_id"))
