@@ -112,13 +112,15 @@ def q_filter_point_lookup(spark, sf_dir):
     "join_orders_customer",
     oracle="SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
-    doc="Inner equi join fact⋈dim (J4). Customer is small relative to "
-    "orders — broadcast; at 100 TB both sides large → AQE picks SMJ.",
+    doc="Inner equi join fact⋈dim (J4). No broadcast hint: customer "
+    "scales with the fact side, so the choice belongs to "
+    "autoBroadcastJoinThreshold + AQE (broadcast at small SF, SMJ at "
+    "100 TB). A forced hint would OOM executors at scale.",
 )
 def q_join_orders_customer(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -134,9 +136,11 @@ def q_join_orders_customer(spark, sf_dir):
     "JOIN nation n ON c.c_nationkey = n.n_nationkey "
     "JOIN region r ON n.n_regionkey = r.r_regionkey "
     "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
-    doc="5-way star join + agg (J4, TPC-H Q5 shape). Dims broadcast; "
-    "the single shuffle is lineitem⋈orders on orderkey, then AQE "
-    "coalesces the tiny group-by.",
+    doc="5-way star join + agg (J4, TPC-H Q5 shape). Bounded dims "
+    "(nation=25, region=5 rows) broadcast; customer is scale-growing "
+    "so its join strategy is left to AQE. The single guaranteed "
+    "shuffle is lineitem⋈orders on orderkey, then AQE coalesces the "
+    "tiny group-by.",
 )
 def q_join_multiway(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
@@ -146,7 +150,7 @@ def q_join_multiway(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -197,7 +201,9 @@ def q_join_anti_dedup(spark, sf_dir):
     "AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2",
     doc="Equi + range (theta) join (J6). The equi key carries the "
     "shuffle; the band predicate evaluates post-match, so no O(n²) "
-    "blowup. Pure range joins at scale → bucketed-range technique.",
+    "blowup. Part scales with the data — no broadcast hint; AQE "
+    "picks broadcast at small SF, shuffle join at 100 TB. Pure range "
+    "joins at scale → bucketed-range technique.",
 )
 def q_join_range(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
@@ -207,7 +213,7 @@ def q_join_range(spark, sf_dir):
         & (l.l_quantity >= p.p_size - 2)
         & (l.l_quantity <= p.p_size + 2)
     )
-    return l.join(F.broadcast(p), cond).select(
+    return l.join(p, cond).select(
         "l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size"
     )
 
@@ -444,19 +450,37 @@ def q_agg_stats(spark, sf_dir):
     "sort_orders",
     oracle="SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
     "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS pos FROM orders",
-    doc="Total sort (O1), made hash-visible via a global rank column. "
-    "Spark executes a range-partitioned sort (sampled boundaries) — "
-    "no single-node sort at scale; the rank window is the only "
-    "single-partition stage and exists for verification only.",
+    doc="Total sort (O1), made hash-visible via a global rank column — "
+    "computed as a TWO-PASS rank with no single-partition data stage: "
+    "range-partition on the sort key (sampled boundaries), per-partition "
+    "row_number in parallel, then add broadcast prefix-count offsets. "
+    "The only unpartitioned window runs over the per-partition counts "
+    "(O(#partitions) rows, not O(data)). The sort key is unique "
+    "(totalprice, orderkey), so ranks are exact regardless of where "
+    "range boundaries fall; the shared range Exchange is computed once "
+    "(ReuseExchange) so both branches see identical partition ids.",
 )
 def q_sort_orders(spark, sf_dir):
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    ranged = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .repartitionByRange(32, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("_pid").orderBy(*keys)
+    local = ranged.withColumn("_rn", F.row_number().over(wp))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("pos", (F.col("_off") + F.col("_rn")).cast("long"))
+        .select("o_orderkey", "o_totalprice", "pos")
     )
 
 
@@ -488,7 +512,8 @@ def q_topk_orders(spark, sf_dir):
     "ORDER BY revenue DESC, l.l_orderkey LIMIT 10",
     doc="Join + agg + top-k (TPC-H Q3 shape): the scalable 'shipping "
     "priority' pattern — agg shuffles by orderkey, then a bounded "
-    "TakeOrdered.",
+    "TakeOrdered. Customer scales with the data, so no broadcast "
+    "hint — AQE decides per actual size.",
 )
 def q_topk_revenue_orders(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
@@ -496,7 +521,7 @@ def q_topk_revenue_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
