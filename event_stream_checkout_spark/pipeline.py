@@ -341,11 +341,16 @@ def run_checkout_batch(
     raw: DataFrame,
     inventory: DataFrame | None = None,
     existing_orders: DataFrame | None = None,
-    mode: str = "replay_global",
+    mode: str = "optimistic",
 ) -> tuple[ValidationResult, SettlementResult]:
     """End-to-end batch checkout: validate → identity → dedup → settle.
 
     The streaming pipeline calls exactly this per micro-batch.
+
+    Default mode is ``optimistic`` — the shuffle-parallel admission rule
+    that scales to 100 TB.  ``replay_global`` reproduces the reference's
+    sequential transactional loop exactly and is selected explicitly by
+    the golden-parity tests (tests/test_checkout_golden.py).
     """
     inventory = inventory if inventory is not None else seed_inventory(spark)
     split = validate_split(raw)

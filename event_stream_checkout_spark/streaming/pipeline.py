@@ -13,11 +13,42 @@ DAG:
         └─ notifications: status=='PROCESSED' proj   (P4/P5/S9)
 
 Delivery semantics: the file source is at-least-once into
-foreachBatch; every write is keyed-idempotent (orders anti-joined
-against the table before append; inventory written as a new version
-then atomically published), so replays of a batch are no-ops — the
-exact contract the reference builds from SQS redelivery + INSERT
-IGNORE (src/order_processor/app.py:45-48,66-75).
+foreachBatch; replays are safe because every micro-batch is a
+DETERMINISTIC function of the pre-batch committed state plus
+independently idempotent writes:
+
+- decisions (validation, dedup, settlement) are computed against the
+  state as of *before this batch_id* — orders rows carry a ``batch_id``
+  column and inventory/retry state are versioned by batch_id, so a
+  replayed batch re-derives exactly the same decisions no matter which
+  of its writes already landed;
+- inventory/retry/events/quarantine/responses are written as
+  per-batch-id versions or partitions with ``overwrite`` (+ _SUCCESS
+  marker = atomic publish) — rewriting them is a no-op;
+- the orders append anti-joins against the FULL orders table at write
+  time (INSERT IGNORE, src/order_processor/app.py:66-75), so a replay
+  after a completed append appends nothing;
+- notifications are the reference's fire-and-forget notifier —
+  at-least-once by design (notification_sender/app.py:24-26).
+
+There is therefore no crash window: a failure between any two writes
+leaves a state from which replaying the same batch_id converges to the
+same final state (the round-1 ordering bug — orders append gating the
+inventory write — is gone).
+
+Retry/DLQ (T4): a record whose *processing* fails transiently is
+re-queued with an incremented attempt (receive) count and re-processed
+in the next micro-batch; at MAX_RECEIVE_COUNT=3 failed receives it is
+diverted to the quarantine with reason PROCESSING_FAILURE — mirroring
+the reference's SQS redrive policy (iac/main.tf:21-24) + re-raise
+(src/order_processor/app.py:45-48).
+
+Ingest response channel (S1): per input record the batch writes the
+API-gateway response the reference's ingest Lambda would return
+(src/ingest_order/app.py:48-62): 400 for validation/malformed-JSON
+rejects, 500 when the queue publish fails (injectable), 202 +
+content-addressed order_id on success.  500-failed records never enter
+processing — they never reached the queue.
 
 State bounding (documented divergence, SURVEY.md §2 T2): the
 reference dedups forever via the orders PK; this shell dedups against
@@ -32,12 +63,19 @@ for a transactional table format; the foreachBatch body is unchanged.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..pipeline import ITEM_TYPE, run_checkout_batch, seed_inventory
+from ..pipeline import (
+    ITEM_TYPE,
+    derive_order_ids,
+    run_checkout_batch,
+    seed_inventory,
+    validate_split,
+)
 from ..session import configure
 
 WIRE_SCHEMA = T.StructType(
@@ -49,46 +87,100 @@ WIRE_SCHEMA = T.StructType(
     ]
 )
 
+# SQS redrive policy: a record is received at most this many times
+# before the queue moves it to the DLQ (iac/main.tf:21-24).
+MAX_RECEIVE_COUNT = 3
+
+_RETRY_SCHEMA = (
+    "customer_id string, items array<struct<product_id:string,quantity:long>>, "
+    "timestamp timestamp_ntz, attempts long"
+)
+
+# Predicate factories take the candidate DataFrame and return a boolean
+# Column; True = this record fails that stage on this attempt.  They
+# model the reference's two failure surfaces: the ingest Lambda's queue
+# publish (HTTP 500, src/ingest_order/app.py:48-53) and the processor
+# Lambda raising mid-record (SQS redelivery, app.py:45-48).
+FailPredicate = Callable[[DataFrame], Column]
+
 
 class CheckoutStream:
     """File-source streaming checkout with parquet-backed state."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, mode: str = "replay_global"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        mode: str = "optimistic",
+        process_fail: FailPredicate | None = None,
+        publish_fail: FailPredicate | None = None,
+    ):
         self.spark = configure(spark)
         self.state = state_dir
         self.mode = mode
+        self.process_fail = process_fail
+        self.publish_fail = publish_fail
         self.orders_dir = os.path.join(state_dir, "orders")
         self.inv_root = os.path.join(state_dir, "inventory")
+        self.retry_root = os.path.join(state_dir, "retry")
         self.events_dir = os.path.join(state_dir, "processed_events")
         self.quarantine_dir = os.path.join(state_dir, "quarantine")
         self.notify_dir = os.path.join(state_dir, "notifications")
+        self.responses_dir = os.path.join(state_dir, "responses")
         self.checkpoint_dir = os.path.join(state_dir, "_checkpoint")
+        # Fault injection for the replay-convergence tests: crash the
+        # batch right after the named write step ("state" | "orders").
+        self._crash_after: str | None = None
 
     # -- state table accessors -------------------------------------------
 
-    def current_inventory(self) -> DataFrame:
-        versions = self._inventory_versions()
+    def current_inventory(self, before_batch: int | None = None) -> DataFrame:
+        """Latest committed inventory version; with ``before_batch``,
+        the latest version strictly below it — the replay-stable
+        pre-batch snapshot (a replayed batch must not read its own
+        tentative version)."""
+        versions = self._versions(self.inv_root)
+        if before_batch is not None:
+            versions = [v for v in versions if v < before_batch]
         if not versions:
             return seed_inventory(self.spark)
-        latest = os.path.join(self.inv_root, f"v{max(versions)}")
-        return self.spark.read.parquet(latest)
+        return self.spark.read.parquet(
+            os.path.join(self.inv_root, f"v{max(versions)}")
+        )
 
-    def _inventory_versions(self) -> list[int]:
-        if not os.path.isdir(self.inv_root):
+    def pending_retries(self, before_batch: int | None = None) -> DataFrame:
+        versions = self._versions(self.retry_root)
+        if before_batch is not None:
+            versions = [v for v in versions if v < before_batch]
+        if not versions:
+            return self.spark.createDataFrame([], _RETRY_SCHEMA)
+        # Explicit schema: a drained retry version is an EMPTY parquet
+        # dir (consumed-state must be overwritten even when empty, or a
+        # later batch would re-read and re-process stale retries).
+        return self.spark.read.schema(_RETRY_SCHEMA).parquet(
+            os.path.join(self.retry_root, f"v{max(versions)}")
+        )
+
+    @staticmethod
+    def _versions(root: str) -> list[int]:
+        if not os.path.isdir(root):
             return []
         out = []
-        for name in os.listdir(self.inv_root):
+        for name in os.listdir(root):
             # A version is visible only once fully committed (_SUCCESS).
             if name.startswith("v") and os.path.exists(
-                os.path.join(self.inv_root, name, "_SUCCESS")
+                os.path.join(root, name, "_SUCCESS")
             ):
                 out.append(int(name[1:]))
         return out
 
-    def existing_orders(self) -> DataFrame | None:
+    def existing_orders(self, before_batch: int | None = None) -> DataFrame | None:
         if not os.path.isdir(self.orders_dir) or not os.listdir(self.orders_dir):
             return None
-        return self.spark.read.parquet(self.orders_dir)
+        df = self.spark.read.parquet(self.orders_dir)
+        if before_batch is not None:
+            df = df.filter(F.col("batch_id") < before_batch)
+        return df
 
     def orders_table(self) -> DataFrame:
         df = self.existing_orders()
@@ -99,7 +191,7 @@ class CheckoutStream:
                 [],
                 "order_id string, customer_id string, items string, "
                 "status string, created_at timestamp_ntz, "
-                "processed_at timestamp_ntz",
+                "processed_at timestamp_ntz, batch_id long",
             )
         )
 
@@ -120,12 +212,72 @@ class CheckoutStream:
                     F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
                 ),
             )
+            .withColumn("attempts", F.lit(1).cast("long"))
         )
-        split, res = run_checkout_batch(
+
+        # ---- ingest stage (S1): validate → publish → respond ----------
+        split = validate_split(parsed)
+        with_ids = derive_order_ids(split.valid)
+        pub_fail_cond = (
+            self.publish_fail(with_ids) if self.publish_fail else F.lit(False)
+        )
+        with_ids = with_ids.withColumn("_pub_fail", pub_fail_cond)
+        responses = (
+            corrupt.select(
+                F.lit(400).alias("status_code"),
+                F.lit(None).cast("string").alias("order_id"),
+                F.lit("MALFORMED_JSON").alias("reason"),
+            )
+            .unionByName(
+                split.rejected.select(
+                    F.lit(400).alias("status_code"),
+                    F.lit(None).cast("string").alias("order_id"),
+                    F.lit("VALIDATION").alias("reason"),
+                )
+            )
+            .unionByName(
+                with_ids.select(
+                    F.when(F.col("_pub_fail"), F.lit(500))
+                    .otherwise(F.lit(202))
+                    .alias("status_code"),
+                    F.when(~F.col("_pub_fail"), F.col("order_id")).alias("order_id"),
+                    F.when(F.col("_pub_fail"), F.lit("PUBLISH_FAILURE")).alias(
+                        "reason"
+                    ),
+                )
+            )
+        )
+        published = (
+            with_ids.filter(~F.col("_pub_fail"))
+            .select("customer_id", "items", "timestamp", "attempts")
+        )
+
+        # ---- queue merge + processing-failure injection (T4) ----------
+        queued = published.unionByName(self.pending_retries(before_batch=batch_id))
+        fail_cond = self.process_fail(queued) if self.process_fail else F.lit(False)
+        queued = queued.withColumn("_fail", fail_cond)
+        failing = queued.filter(F.col("_fail"))
+        to_dlq = failing.filter(F.col("attempts") >= MAX_RECEIVE_COUNT)
+        to_retry = (
+            failing.filter(F.col("attempts") < MAX_RECEIVE_COUNT)
+            .select(
+                "customer_id",
+                "items",
+                "timestamp",
+                (F.col("attempts") + 1).alias("attempts"),
+            )
+        )
+        processable = queued.filter(~F.col("_fail")).drop("_fail", "attempts")
+
+        # ---- settle against the PRE-batch committed state -------------
+        # Decisions are a deterministic function of (input, state before
+        # this batch_id), so replays after any partial write re-derive
+        # identical results.
+        _, res = run_checkout_batch(
             self.spark,
-            parsed,
-            inventory=self.current_inventory(),
-            existing_orders=self.existing_orders(),
+            processable,
+            inventory=self.current_inventory(before_batch=batch_id),
+            existing_orders=self.existing_orders(before_batch=batch_id),
             mode=self.mode,
         )
         # Materialize ALL decisions before any write (T3: decide, then
@@ -138,40 +290,85 @@ class CheckoutStream:
         new_orders = res.orders.localCheckpoint()
         new_inventory = res.inventory.localCheckpoint()
         processed = res.processed_events.localCheckpoint()
-        if new_orders.count() > 0:
-            new_orders.write.mode("append").parquet(self.orders_dir)
-            # Versioned write + _SUCCESS marker = atomic publish; a
-            # replayed batch rewrites the same version (idempotent).
-            new_inventory.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.inv_root, f"v{batch_id}")
+        to_retry = to_retry.localCheckpoint()
+
+        # ---- idempotent writes (each safe to repeat, any crash point) --
+        # 1. Versioned state first (inventory, retry): overwrite of
+        #    v{batch_id} + _SUCCESS marker = atomic publish; written
+        #    unconditionally so a replayed batch always reconverges.
+        new_inventory.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.inv_root, f"v{batch_id}")
+        )
+        to_retry.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.retry_root, f"v{batch_id}")
+        )
+        if self._crash_after == "state":
+            raise RuntimeError("injected crash after state writes")
+        # 2. Orders: INSERT IGNORE — anti-join against the FULL table so
+        #    a replay after a completed append appends nothing.
+        existing = self.existing_orders()
+        orders_out = new_orders.withColumn("batch_id", F.lit(batch_id))
+        if existing is not None:
+            orders_out = orders_out.join(
+                existing.select("order_id"), "order_id", "left_anti"
+            ).localCheckpoint()
+        if orders_out.count() > 0:
+            orders_out.write.mode("append").parquet(self.orders_dir)
+        if self._crash_after == "orders":
+            raise RuntimeError("injected crash after orders append")
+        # 3. Per-batch partitions, overwritten: events / quarantine /
+        #    responses replay as exact rewrites.  Empty partitions are
+        #    skipped — decisions are deterministic, so a replay could
+        #    only ever rewrite identical content, and an all-empty
+        #    parquet root breaks schema inference for readers.
+        if processed.count() > 0:
+            processed.write.mode("overwrite").parquet(
+                os.path.join(self.events_dir, f"batch_id={batch_id}")
             )
-            processed.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(self.events_dir)
-            # Notification stage (P4/P5): the reference notifier's
-            # filter+projection, errors swallowed per its policy.
-            try:
-                (
-                    processed.filter(F.col("status") == "PROCESSED")
-                    .select("order_id", "customer_id", "status")
-                    .write.mode("append")
-                    .parquet(self.notify_dir)
+        bad = (
+            split.rejected.select(
+                F.lit("VALIDATION").alias("reason"),
+                F.to_json(F.struct("customer_id", "items", "timestamp")).alias(
+                    "payload"
+                ),
+                F.lit(None).cast("long").alias("attempts"),
+            )
+            .unionByName(
+                corrupt.select(
+                    F.lit("MALFORMED_JSON").alias("reason"),
+                    F.col("_corrupt_record").alias("payload"),
+                    F.lit(None).cast("long").alias("attempts"),
                 )
-            except Exception:
-                pass  # notifier swallows (notification_sender/app.py:24-26)
-        bad = split.rejected.select(
-            F.lit("VALIDATION").alias("reason"),
-            F.to_json(F.struct("customer_id", "items", "timestamp")).alias("payload"),
-        ).unionByName(
-            corrupt.select(
-                F.lit("MALFORMED_JSON").alias("reason"),
-                F.col("_corrupt_record").alias("payload"),
+            )
+            .unionByName(
+                to_dlq.select(
+                    F.lit("PROCESSING_FAILURE").alias("reason"),
+                    F.to_json(F.struct("customer_id", "items", "timestamp")).alias(
+                        "payload"
+                    ),
+                    F.col("attempts"),
+                )
             )
         )
         if bad.count() > 0:
-            bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                self.quarantine_dir
+            bad.write.mode("overwrite").parquet(
+                os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
             )
+        if responses.count() > 0:
+            responses.write.mode("overwrite").parquet(
+                os.path.join(self.responses_dir, f"batch_id={batch_id}")
+            )
+        # 4. Notifications (P4/P5): the reference notifier is
+        #    fire-and-forget — at-least-once, errors swallowed
+        #    (notification_sender/app.py:24-26).
+        notify = processed.filter(F.col("status") == "PROCESSED").select(
+            "order_id", "customer_id", "status"
+        )
+        try:
+            if notify.count() > 0:
+                notify.write.mode("append").parquet(self.notify_dir)
+        except Exception:
+            pass  # notifier swallows (notification_sender/app.py:24-26)
         batch_df.unpersist()
 
     # -- wiring ----------------------------------------------------------

@@ -111,7 +111,8 @@ def test_incremental_stream_settlement(stream_env):
 def test_batch_stream_equivalence(stream_env):
     """The same events through the streaming shell (two micro-batches)
     and through one batch call yield identical orders + inventory —
-    the M3 contract that streaming is a thin shell over M2."""
+    the M3 contract that streaming is a thin shell over M2.  Both sides
+    run the default ``optimistic`` mode (the parallel 100 TB path)."""
     spark, input_dir, state_dir = stream_env
     write_file(input_dir, "a.json", FILE1)
     write_file(input_dir, "b.json", FILE2)
@@ -136,7 +137,7 @@ def test_batch_stream_equivalence(stream_env):
         "customer_id string, items array<struct<product_id:string,"
         "quantity:long>>, timestamp timestamp_ntz",
     )
-    _, res = P.run_checkout_batch(spark, raw, mode="replay_global")
+    _, res = P.run_checkout_batch(spark, raw, mode="optimistic")
 
     stream_orders = {
         (r["order_id"], r["status"]) for r in stream.orders_table().collect()
@@ -151,6 +152,159 @@ def test_batch_stream_equivalence(stream_env):
         r["product_id"]: r["quantity_available"] for r in res.inventory.collect()
     }
     assert stream_inv == batch_inv
+
+
+def parsed_batch(spark, lines):
+    """Build the foreachBatch input frame (WIRE_SCHEMA shape) directly,
+    for tests that drive process_batch without the file source."""
+    import json as _json
+
+    rows = []
+    for line in lines:
+        try:
+            d = _json.loads(line)
+            rows.append((d.get("customer_id"),
+                         [(i["product_id"], i["quantity"]) for i in d.get("items", [])],
+                         d.get("timestamp"), None))
+        except ValueError:
+            rows.append((None, None, None, line))
+    return spark.createDataFrame(
+        rows,
+        "customer_id string, items array<struct<product_id:string,"
+        "quantity:long>>, timestamp string, _corrupt_record string",
+    )
+
+
+def test_retry_then_dlq(stream_env):
+    """T4: a transiently failing record is retried with an attempt
+    counter and succeeds on its 3rd receive; a poison record is
+    retried twice then diverted to the DLQ on its 3rd receive —
+    the reference's maxReceiveCount=3 redrive policy (iac/main.tf:21-24,
+    src/order_processor/app.py:45-48)."""
+    spark, input_dir, state_dir = stream_env
+    from pyspark.sql import functions as SF
+
+    stream = CheckoutStream(
+        spark,
+        state_dir,
+        process_fail=lambda df: (
+            ((df.customer_id == "cust-t") & (df.attempts <= 2))
+            | (df.customer_id == "cust-p")
+        ),
+    )
+    # Three files → three micro-batches; retries drain on later batches.
+    write_file(input_dir, "f1.json", [
+        order("cust-t", [("prod-101", 1)], 0),   # fails receives 1-2
+        order("cust-p", [("prod-102", 1)], 1),   # always fails
+        order("cust-ok", [("prod-103", 1)], 2),
+    ])
+    write_file(input_dir, "f2.json", [order("cust-f2", [("prod-103", 1)], 60)])
+    write_file(input_dir, "f3.json", [order("cust-f3", [("prod-103", 1)], 120)])
+    stream.run_available(input_dir)
+
+    orders = {r["customer_id"]: r["status"] for r in stream.orders_table().collect()}
+    # cust-t succeeded on its 3rd receive; cust-p never settled.
+    assert orders["cust-t"] == "PROCESSED"
+    assert "cust-p" not in orders
+    assert orders["cust-ok"] == "PROCESSED"
+
+    dlq = (
+        spark.read.parquet(stream.quarantine_dir)
+        .filter(SF.col("reason") == "PROCESSING_FAILURE")
+        .collect()
+    )
+    assert len(dlq) == 1
+    assert dlq[0]["attempts"] == 3
+    assert "cust-p" in dlq[0]["payload"]
+    # Retry state fully drained.
+    assert stream.pending_retries().count() == 0
+    # cust-p's item was never decremented; cust-t's was (exactly once).
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in stream.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 49 and inv["prod-102"] == 20
+
+
+def test_ingest_response_channel(stream_env):
+    """S1 fidelity: per-record API responses — 400 for validation and
+    malformed JSON, 500 for a failed queue publish (record never enters
+    processing), 202 + content-addressed order_id on success
+    (src/ingest_order/app.py:48-62)."""
+    spark, input_dir, state_dir = stream_env
+    stream = CheckoutStream(
+        spark, state_dir, publish_fail=lambda df: df.customer_id == "cust-5xx"
+    )
+    write_file(input_dir, "f1.json", [
+        order("cust-5xx", [("prod-101", 1)], 0),
+        order("cust-1", [("prod-101", 1)], 1),
+        json.dumps({"customer_id": "cust-3", "items": [], "timestamp": iso(2)}),
+        'this is {not valid json',
+    ])
+    stream.run_available(input_dir)
+
+    resp = spark.read.parquet(stream.responses_dir).collect()
+    by_code = {}
+    for r in resp:
+        by_code.setdefault(r["status_code"], []).append(r)
+    assert sorted(r["reason"] for r in by_code[400]) == [
+        "MALFORMED_JSON", "VALIDATION"
+    ]
+    assert len(by_code[500]) == 1
+    assert by_code[500][0]["reason"] == "PUBLISH_FAILURE"
+    assert by_code[500][0]["order_id"] is None
+    assert len(by_code[202]) == 1 and by_code[202][0]["order_id"] is not None
+
+    # The 500 record never reached the queue: not settled, no decrement.
+    orders = {r["customer_id"] for r in stream.orders_table().collect()}
+    assert orders == {"cust-1"}
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in stream.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 49
+
+
+@pytest.mark.parametrize("crash_point", ["state", "orders"])
+def test_replay_converges_after_crash(stream_env, crash_point):
+    """The idempotency contract: crash after ANY write step, then
+    replay the same batch_id — the final state equals an uninterrupted
+    run (no lost inventory decrement, no duplicated orders)."""
+    spark, _input_dir, state_dir = stream_env
+    batch0 = parsed_batch(spark, FILE1)
+    batch1 = parsed_batch(spark, FILE2)
+
+    crashed = CheckoutStream(spark, state_dir + "/crashed")
+    crashed.process_batch(batch0, 0)
+    crashed._crash_after = crash_point
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crashed.process_batch(batch1, 1)
+    crashed._crash_after = None
+    crashed.process_batch(batch1, 1)  # the driver replays the batch
+
+    clean = CheckoutStream(spark, state_dir + "/clean")
+    clean.process_batch(batch0, 0)
+    clean.process_batch(batch1, 1)
+
+    def snapshot(s):
+        orders = sorted(
+            (r["order_id"], r["status"], r["batch_id"])
+            for r in s.orders_table().collect()
+        )
+        inv = sorted(
+            (r["product_id"], r["quantity_available"])
+            for r in s.current_inventory().collect()
+        )
+        events = sorted(
+            (r["order_id"], r["status"])
+            for r in spark.read.parquet(s.events_dir).collect()
+        )
+        return orders, inv, events
+
+    assert snapshot(crashed) == snapshot(clean)
+    # Replaying a fully committed batch is also a no-op.
+    crashed.process_batch(batch1, 1)
+    assert snapshot(crashed) == snapshot(clean)
 
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
