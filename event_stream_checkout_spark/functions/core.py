@@ -36,16 +36,49 @@ def uuid_from_hex(hex_col: Column) -> Column:
     )
 
 
-def content_order_id(customer_id: Column, items_json: Column) -> Column:
-    """Deterministic content-addressed order id.
+def canonical_items_json(items: Column) -> Column:
+    """Items array serialized EXACTLY as Python's
+    ``json.dumps(items, sort_keys=True)`` would emit it for the wire
+    schema — ``", "`` element separator, ``": "`` after keys, item keys
+    in sorted order (product_id < quantity):
+
+        [{"product_id": "p1", "quantity": 2}, {...}]
+
+    Spark's ``to_json`` is compact (no spaces), so the string is built
+    by expression instead.  Not modeled (same caveats as the reference,
+    whose payloads are plain ids): JSON string escaping inside
+    product/customer ids, and item fields beyond the wire schema.
+    """
+    item = lambda x: F.concat(  # noqa: E731
+        F.lit('{"product_id": "'),
+        x["product_id"],
+        F.lit('", "quantity": '),
+        x["quantity"].cast("string"),
+        F.lit("}"),
+    )
+    return F.concat(F.lit("["), F.array_join(F.transform(items, item), ", "), F.lit("]"))
+
+
+def content_order_id(customer_id: Column, items: Column) -> Column:
+    """Deterministic content-addressed order id, byte-compatible with
+    the reference.
 
     Mirrors ``uuid.UUID(hashlib.md5(json.dumps({"c":..., "i":...},
-    sort_keys=True)).hexdigest())`` (src/ingest_order/app.py:30-32):
-    same payload → same id, forever.  Canonical form here is the
-    sorted-key JSON of (customer_id, items).
+    sort_keys=True).encode()).hexdigest())`` (src/ingest_order/
+    app.py:30-32) — the digest input reproduces Python's default
+    ``json.dumps`` separators exactly, so the same payload yields the
+    SAME order_id the reference system would generate
+    (verified against hashlib in tests/test_checkout_golden.py).
+
+    ``items`` is the typed items array column (not pre-serialized
+    JSON — serialization is part of the identity contract).
     """
     canonical = F.concat(
-        F.lit('{"c": "'), customer_id, F.lit('", "i": '), items_json, F.lit("}")
+        F.lit('{"c": "'),
+        customer_id,
+        F.lit('", "i": '),
+        canonical_items_json(items),
+        F.lit("}"),
     )
     return uuid_from_hex(F.md5(canonical))
 

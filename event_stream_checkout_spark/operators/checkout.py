@@ -482,17 +482,36 @@ def q_scan_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "remaining AS remaining_after FROM st WHERE rn >= 1",
     doc="Keyed mutable state replay (T1; ref FOR UPDATE loop "
     "src/order_processor/app.py:85-94): exact sequential greedy fold "
-    "per product — failures take nothing. Custom stateful operator via "
-    "applyInPandas (Arrow-batched, one shuffle by product_id, O(1) "
-    "state per key).",
+    "per product — failures take nothing. INCREMENTAL custom stateful "
+    "operator: the history is chunked by per-key rank, each chunk is an "
+    "Arrow-batched applyInPandas over bounded groups (≤ chunk_rows rows "
+    "in memory per key, never the whole history), and only the O(1) "
+    "carry state (remaining per product) crosses chunk boundaries. "
+    "Sequentiality across chunks of one key is irreducible (the fold "
+    "is order-dependent); chunking bounds MEMORY, keys stay parallel. "
+    "At sf≤0.1 every key fits one chunk, so the plan equals the "
+    "single-pass form.",
 )
-def q_state_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-    from pyspark.sql import types as T
-
+def q_state_inventory_replay(
+    spark: SparkSession, sf_dir: str, chunk_rows: int = 65536
+) -> DataFrame:
     items = order_items(spark, sf_dir)
     inv = inventory(spark, sf_dir).select("product_id", "stock")
-    joined = items.join(F.broadcast(inv), "product_id", "left")
+    return _chunked_greedy_replay(items, inv, chunk_rows)
+
+
+def _chunked_greedy_replay(
+    items: DataFrame, inv: DataFrame, chunk_rows: int
+) -> DataFrame:
+    """Sequential greedy per-key fold with bounded per-group memory.
+
+    One shuffle ranks items per product; chunk k processes ranks
+    (k*chunk_rows, (k+1)*chunk_rows] for EVERY product in parallel,
+    seeded with the carry state from chunk k-1 (a product_id →
+    remaining table, localCheckpoint-pinned so lineage stays flat).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
 
     schema = T.StructType(
         [
@@ -505,18 +524,32 @@ def q_state_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    w = Window.partitionBy("product_id").orderBy("item_ts", "event_id")
+    ranked = (
+        items.withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("product_id", "rn", "event_id", "quantity")
+    )
+    n_chunks_row = ranked.agg(
+        F.ceil(F.max("rn") / F.lit(chunk_rows)).alias("n")
+    ).collect()[0]
+    n_chunks = int(n_chunks_row["n"] or 0)
+    if n_chunks > 1:
+        # Multi-chunk path: pin the ranked table once so each chunk's
+        # filter scans it without recomputing the rank shuffle.
+        ranked = ranked.localCheckpoint()
+
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["item_ts", "event_id"], kind="stable")
-        stock_vals = pdf["stock"].dropna()
-        remaining = int(stock_vals.iloc[0]) if len(stock_vals) else -1
+        pdf = pdf.sort_values("rn", kind="stable")
+        rem = pdf["remaining"].dropna()
+        remaining = int(rem.iloc[0]) if len(rem) else -1
         rows = []
-        for rn, (eid, q, pid) in enumerate(
-            zip(pdf["event_id"], pdf["quantity"], pdf["product_id"]), start=1
+        for rn, eid, q, pid in zip(
+            pdf["rn"], pdf["event_id"], pdf["quantity"], pdf["product_id"]
         ):
             ok = 0 <= int(q) <= remaining
             if ok:
                 remaining -= int(q)
-            rows.append((pid, rn, int(eid), int(q), ok, remaining))
+            rows.append((pid, int(rn), int(eid), int(q), ok, remaining))
         return pd.DataFrame(
             rows,
             columns=[
@@ -525,7 +558,39 @@ def q_state_inventory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    return joined.groupBy("product_id").applyInPandas(fold, schema)
+    state = inv.select("product_id", F.col("stock").alias("remaining"))
+    outputs = []
+    for k in range(n_chunks):
+        chunk = ranked.filter(
+            (F.col("rn") > k * chunk_rows) & (F.col("rn") <= (k + 1) * chunk_rows)
+        ).join(F.broadcast(state), "product_id", "left")
+        out = chunk.groupBy("product_id").applyInPandas(fold, schema)
+        if n_chunks > 1:
+            out = out.localCheckpoint()
+            # Carry state: last remaining per product this chunk;
+            # untouched products keep their previous state.
+            new_state = out.groupBy("product_id").agg(
+                F.max_by("remaining_after", "rn").alias("remaining")
+            )
+            state = (
+                state.join(
+                    new_state.withColumnRenamed("remaining", "_new"),
+                    "product_id",
+                    "left",
+                )
+                .select(
+                    "product_id",
+                    F.coalesce(F.col("_new"), F.col("remaining")).alias("remaining"),
+                )
+                .localCheckpoint()
+            )
+        outputs.append(out)
+    if not outputs:
+        return ranked.sparkSession.createDataFrame([], schema)
+    result = outputs[0]
+    for out in outputs[1:]:
+        result = result.unionByName(out)
+    return result
 
 
 @register(

@@ -177,45 +177,39 @@ _SIMHASH_BITS = 16
     "AS BIGINT) AS simhash FROM votes GROUP BY doc_id",
     doc="SimHash document sketch (X2): per-token md5 → 16 bit votes → "
     "majority sign per bit. Hamming distance between sketches "
-    "approximates cosine over token sets. Two shuffles, both by "
-    "doc_id — no pairwise work.",
+    "approximates cosine over token sets. FUSED single-pass form: all "
+    "16 bit votes are computed as columns of the one token row (no "
+    "tokens×16 explode), so exactly ONE shuffle by doc_id aggregates "
+    "16 partial sums — 1/16th the shuffle volume of the naive plan.",
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
-    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(_SIMHASH_BITS))).alias("i"),
-        "h",
-    ).select(
-        "doc_id",
-        "i",
-        F.when(
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.col("h"), F.col("i").cast("int"), F.lit(1)),
-                )
-                - 1
+    h = F.md5("tok")
+
+    def vote(i: int):
+        # Parity of the i-th hex char of md5(token): +1 / -1.
+        return (
+            F.when(
+                (F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1) % 2
+                == 1,
+                F.lit(1),
             )
-            % 2
-            == 1,
-            F.lit(1),
+            .otherwise(F.lit(-1))
+            .alias(f"v{i}")
         )
-        .otherwise(F.lit(-1))
-        .alias("vote"),
+
+    voted = toks.select(
+        "doc_id", *[vote(i) for i in range(1, _SIMHASH_BITS + 1)]
     )
-    votes = bits.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("i") - 1)).otherwise(
-                F.lit(0.0)
-            )
-        )
-        .cast("long")
-        .alias("simhash")
+    sums = voted.groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(1, _SIMHASH_BITS + 1)]
     )
+    simhash = None
+    for i in range(1, _SIMHASH_BITS + 1):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 # --------------------------------------------------------------------------
@@ -438,6 +432,23 @@ _SQL_BUCKET = (
 )
 
 
+def _sign_bucket(col, bits: int):
+    """Sign-quantized coarse bucket over the first ``bits`` embedding
+    dimensions (2**bits buckets).  Bucket count must GROW with corpus
+    size — in-bucket pair/scan work is ~n²/2**bits, so choose
+    bits ≈ log2(n / target_bucket_rows); at 100 TB (billions of
+    vectors) that is 20+ bits, at which point the bucket becomes the
+    table's partition column and scans prune at the file level.
+    Default 4 bits matches the registered oracle (_SQL_BUCKET).
+    """
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(
+            F.element_at(col, i + 1) >= 0, F.lit(1 << (bits - 1 - i))
+        ).otherwise(F.lit(0))
+    return b
+
+
 @register(
     "llm_similarity_ivf",
     oracle="WITH b AS (SELECT vec_id, label, embedding, "
@@ -451,20 +462,18 @@ _SQL_BUCKET = (
     "  FROM b e CROSS JOIN q WHERE e.bucket = q.qbucket AND e.vec_id <> 0) "
     "SELECT vec_id, label, bucket, dot FROM scored "
     "ORDER BY dot DESC, vec_id LIMIT 10",
-    doc="IVF-style ANN (X3 scale path): a 4-bit sign-quantized coarse "
-    "bucket prunes the search to 1/16 of the corpus before exact "
-    "scoring. At 100 TB the bucket is the partition column — the scan "
-    "prunes at the file level; probe more buckets for higher recall.",
+    doc="IVF-style ANN (X3 scale path): a sign-quantized coarse bucket "
+    "(2**bits cells, default 4 bits → 1/16 of the corpus) prunes the "
+    "search before exact scoring. ``bits`` scales with corpus size "
+    "(see _sign_bucket); at 100 TB the bucket is the partition "
+    "column — the scan prunes at the file level; probe more buckets "
+    "for higher recall.",
 )
-def q_llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_similarity_ivf(
+    spark: SparkSession, sf_dir: str, bits: int = 4
+) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = (
-        F.when(F.element_at("embedding", 1) >= 0, 8).otherwise(0)
-        + F.when(F.element_at("embedding", 2) >= 0, 4).otherwise(0)
-        + F.when(F.element_at("embedding", 3) >= 0, 2).otherwise(0)
-        + F.when(F.element_at("embedding", 4) >= 0, 1).otherwise(0)
-    )
-    b = e.withColumn("bucket", bucket)
+    b = e.withColumn("bucket", _sign_bucket("embedding", bits))
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -538,18 +547,18 @@ _SQL_NRM = (
     "WHERE cosine >= 0.4",
     doc="Embedding-cosine near-duplicate pairs (X2): sign-bucket "
     "blocking bounds the pair space (same pruning as the IVF search), "
-    "exact cosine + threshold inside buckets. At 100 TB the bucket is "
-    "the shuffle/partition key; raise bits for tighter blocking.",
+    "exact cosine + threshold inside buckets. In-bucket pair work is "
+    "~n²/2**bits, so ``bits`` must grow with the corpus "
+    "(see _sign_bucket) — at 100 TB the bucket is the shuffle/"
+    "partition key with 20+ bits.",
 )
-def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, bits: int = 4
+) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = (
-        F.when(F.element_at("embedding", 1) >= 0, 8).otherwise(0)
-        + F.when(F.element_at("embedding", 2) >= 0, 4).otherwise(0)
-        + F.when(F.element_at("embedding", 3) >= 0, 2).otherwise(0)
-        + F.when(F.element_at("embedding", 4) >= 0, 1).otherwise(0)
+    b = e.withColumn("bucket", _sign_bucket("embedding", bits)).select(
+        "vec_id", "bucket", "embedding"
     )
-    b = e.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
     a2, b2 = b.alias("a"), b.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))

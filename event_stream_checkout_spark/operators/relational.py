@@ -352,14 +352,18 @@ def q_agg_distinct(spark, sf_dir):
     oracle=None,  # HLL sketches are engine-specific; rows-only check +
     # unit test asserts ≤2% relative error vs exact.
     doc="approx_count_distinct (A5): HyperLogLog++ sketch — the 100 TB "
-    "path for cardinality (constant memory, mergeable across partitions).",
+    "path for cardinality (constant memory, mergeable across "
+    "partitions). rsd=0.01 sizes the sketch for the ≤2% relative-error "
+    "bound the parity harness enforces against DuckDB's exact count.",
 )
 def q_agg_approx_distinct(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias(
+                "approx_customers"
+            ),
             F.count_distinct("o_custkey").alias("exact_customers"),
         )
     )

@@ -94,14 +94,11 @@ def validate_split(raw: DataFrame) -> ValidationResult:
 
 
 def derive_order_ids(valid: DataFrame) -> DataFrame:
-    """Attach the content-addressed order_id (F3/F4).
-
-    Canonical form mirrors json.dumps({"c":..., "i":...},
-    sort_keys=True): items serialized in struct order via to_json.
-    """
-    items_json = F.to_json(F.col("items"))
+    """Attach the content-addressed order_id (F3/F4), byte-compatible
+    with the reference's ``json.dumps(..., sort_keys=True)`` digest
+    (see functions/core.py:content_order_id)."""
     return valid.withColumn(
-        "order_id", content_order_id(F.col("customer_id"), items_json)
+        "order_id", content_order_id(F.col("customer_id"), F.col("items"))
     )
 
 

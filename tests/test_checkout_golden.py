@@ -83,6 +83,37 @@ def test_content_id_is_deterministic(spark):
     assert len(a) == 36 and a.count("-") == 4  # 8-4-4-4-12
 
 
+def test_content_id_matches_reference_digest(spark):
+    """BYTE-compatibility with the reference: the engine's order_id for
+    a payload equals uuid.UUID(md5(json.dumps({"c":..., "i":...},
+    sort_keys=True))) computed by Python itself — a user migrating from
+    the reference keeps their existing content-addressed ids
+    (src/ingest_order/app.py:30-32)."""
+    import hashlib
+    import json as pyjson
+    import uuid
+
+    cases = [
+        ("cust-1", [("prod-101", 1)]),
+        ("cust-2", [("prod-105", 4), ("prod-101", 2)]),  # multi-item, order kept
+        ("cust-3", [("prod-102", 123456789)]),
+    ]
+    rows = [(c, items, ts(i)) for i, (c, items) in enumerate(cases)]
+    got = {
+        r["customer_id"]: r["order_id"]
+        for r in P.derive_order_ids(raw_df(spark, rows)).collect()
+    }
+    for cust, items in cases:
+        payload = {
+            "c": cust,
+            "i": [{"product_id": p, "quantity": q} for p, q in items],
+        }
+        digest = hashlib.md5(
+            pyjson.dumps(payload, sort_keys=True).encode("utf-8")
+        ).hexdigest()
+        assert got[cust] == str(uuid.UUID(digest)), cust
+
+
 @pytest.mark.parametrize("mode", ["optimistic", "replay_items", "replay_global"])
 def test_validation_rejects_bad_payloads(spark, mode):
     """README Test 3: invalid payloads → reject channel, DB untouched."""

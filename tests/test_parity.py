@@ -79,3 +79,26 @@ def test_parity(key, spark, duck):
         return
     odf = duck.sql(q.oracle).df()
     assert_frames_equal(sdf, odf, key)
+
+
+def test_approx_distinct_error_bound(spark, duck):
+    """agg_approx_distinct has no value oracle by design — HLL sketches
+    are engine-internal and not portable — but the sketch IS
+    quantitatively checked: per group, the HLL++ estimate must be
+    within 2% relative error of DuckDB's exact distinct count."""
+    sdf = (
+        QUERIES["agg_approx_distinct"].fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    exact = duck.sql(
+        "SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n "
+        "FROM orders GROUP BY o_orderstatus"
+    ).df().set_index("o_orderstatus")
+    assert set(sdf.index) == set(exact.index)
+    for status, n in exact["n"].items():
+        approx = int(sdf.loc[status, "approx_customers"])
+        rel_err = abs(approx - int(n)) / max(int(n), 1)
+        assert rel_err <= 0.02, (status, approx, int(n), rel_err)
+        # The Spark-side exact column must agree with DuckDB exactly.
+        assert int(sdf.loc[status, "exact_customers"]) == int(n)

@@ -165,3 +165,37 @@ def test_salted_aggregation_matches_direct(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_chunked_greedy_replay_matches_single_pass(spark):
+    """The incremental (chunked) per-key greedy fold produces exactly
+    the single-pass result — chunking changes memory shape, not
+    semantics — even with chunks small enough that every key spans
+    several of them."""
+    from event_stream_checkout_spark.operators.checkout import (
+        _chunked_greedy_replay,
+    )
+
+    rows = []
+    eid = 0
+    for pid, n in [("p1", 17), ("p2", 5), ("p3", 1)]:
+        for i in range(n):
+            eid += 1
+            # quantities that force a mix of ok and failed items
+            rows.append((pid, eid, eid * 10, (eid * 7) % 9))
+    items = spark.createDataFrame(
+        rows, "product_id string, event_id long, item_ts long, quantity long"
+    )
+    inv = spark.createDataFrame(
+        [("p1", 30), ("p2", 10)], "product_id string, stock long"
+    )
+
+    single = _chunked_greedy_replay(items, inv, chunk_rows=1 << 20).collect()
+    chunked = _chunked_greedy_replay(items, inv, chunk_rows=4).collect()
+    key = lambda r: (r["product_id"], r["rn"])
+    assert sorted(map(tuple, chunked), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, single), key=lambda t: (t[0], t[1])
+    )
+    # p3 has no inventory row: every item fails with remaining == -1.
+    p3 = [r for r in chunked if r["product_id"] == "p3"]
+    assert all(not r["item_ok"] and r["remaining_after"] == -1 for r in p3)
