@@ -13,14 +13,14 @@ Scale notes:
   uniformly distributed.
 - LSH banding turns O(n²) pair search into groupBy(band) — candidate
   pairs only form inside buckets.  Band keys are md5s: no skew.
-- Simhash bit-voting explodes tokens×16 rows; at 100 TB you'd fuse
-  the bit loop into one aggregate pass (bit_count tricks); kept
-  explicit here for clarity and oracle parity.
+- Simhash bit-voting is FUSED: all 16 bit votes ride one token row as
+  columns, so the only shuffle is one groupBy(doc_id) with 16 partial
+  sums — no tokens×16 explode.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -659,3 +659,100 @@ def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("src", "doc_id")
         )
     return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+# --------------------------------------------------------------------------
+# X2f/X4: corpus-curation wave — canonical-survivor dedup, deterministic
+# stratified sampling, benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS}, "
+    "g AS (SELECT doc_id, label AS group_id FROM l2), "
+    "m AS (SELECT g.group_id, g.doc_id, d.n_chars, "
+    "  row_number() OVER (PARTITION BY g.group_id "
+    "    ORDER BY d.n_chars DESC, g.doc_id) AS rnk, "
+    "  CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS n_members "
+    "  FROM g JOIN documents d ON g.doc_id = d.doc_id) "
+    "SELECT group_id, doc_id AS keep_doc_id, n_chars, n_members "
+    "FROM m WHERE rnk = 1",
+    doc="Near-dup resolution → canonical survivor (X2): for every "
+    "LSH-connected duplicate group, keep exactly one document — "
+    "longest first, doc_id tiebreak — the policy step that turns "
+    "near-dup DETECTION into an actual training-set dedup. The window "
+    "partitions by group_id (groups are near-cliques, so bounded); "
+    "everything upstream is the bucketed LSH pipeline.",
+)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = q_llm_near_dedup_groups(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = groups.join(d, "doc_id")
+    w = Window.partitionBy("group_id")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        m.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_chars",
+            "n_members",
+        )
+    )
+
+
+@register(
+    "llm_sample_hash",
+    oracle="SELECT doc_id, lang FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    "  (CASE WHEN lang = 'en' THEN '199a' ELSE '4000' END)",
+    doc="Deterministic stratified sampling (X4 curation): Bernoulli "
+    "sample keyed on md5(doc_id) — ~10% of 'en' (hash prefix < 0x199a/"
+    "0x10000), ~25% of every other language — re-balancing a skewed "
+    "corpus. Hash-keyed sampling is reproducible across runs, "
+    "engines, and partitionings (rand() is none of those); pure "
+    "scan-local predicate, zero shuffles, and the hex comparison "
+    "pushes down to the scan.",
+)
+def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = F.when(F.col("lang") == "en", F.lit("199a")).otherwise(
+        F.lit("4000")
+    )
+    return d.filter(prefix < threshold).select("doc_id", "lang")
+
+
+@register(
+    "llm_contamination",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM grams), "
+    "bench AS (SELECT * FROM dg WHERE doc_id % 50 = 0), "
+    "corpus AS (SELECT * FROM dg WHERE doc_id % 50 <> 0) "
+    "SELECT c.doc_id, b.doc_id AS bench_id, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM corpus c JOIN bench b ON c.gram = b.gram "
+    "GROUP BY 1, 2 HAVING count(*) >= 3",
+    doc="Benchmark decontamination (X4 curation): flag training "
+    "documents sharing ≥3 distinct word 3-grams with any held-out "
+    "'benchmark' doc (modeled as doc_id % 50 = 0). The gram equi-join "
+    "computes overlaps distributively — shuffle is by gram (uniform "
+    "text keys), candidate pairs only materialize on actual matches; "
+    "the same shape as the industry-standard n-gram decontamination "
+    "pass over pretraining corpora.",
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    bench = dg.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    corpus = dg.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(bench, "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_quant, quant
+from ..functions.numeric import SCALE, dsum, quant, sql_dsum, sql_quant
 from ..registry import register
 from ..tables import load_table
 
@@ -167,3 +167,110 @@ def q_agg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM _li_corr l2 WHERE l2.l_partkey = l.l_partkey) "
         "GROUP BY l.l_partkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: skew-safe aggregation, conditional ratios, argmax-of-count,
+# EXCEPT ALL — scale patterns promoted to first-class registered queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_skew",
+    oracle="SELECT l_returnflag, "
+    + sql_dsum("l_extendedprice")
+    + " AS revenue, CAST(count(*) AS BIGINT) AS n_lines "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Two-phase SALTED aggregation (the skew-mitigation pattern as a "
+    "first-class operator): phase 1 aggregates by (key, salt) — 16-way "
+    "deterministic salt spreads a hot key over 16 reducers — phase 2 "
+    "merges the partials by key. Result provably identical to the "
+    "direct group-by (the oracle IS the direct form). Use when one key "
+    "owns a large share of a 100 TB shuffle; AQE skew-join handles "
+    "joins, salting handles aggregations.",
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Deterministic salt (no rand(): replays and retries must agree).
+    salted = li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        # Partial: exact decimal sums (mergeable); the one division to
+        # double happens after the final merge.
+        F.sum(quant("l_extendedprice")).alias("_rev_scaled"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("_rev_scaled").cast("double") / F.lit(SCALE)).alias("revenue"),
+        F.sum("_n").alias("n_lines"),
+    )
+
+
+@register(
+    "agg_promo_ratio",
+    oracle="SELECT 100.0 * ("
+    + sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")
+    + ") / (" + sql_dsum("l.l_extendedprice * (1 - l.l_discount)") + ") "
+    "AS promo_revenue_pct "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey",
+    doc="Conditional-aggregate ratio (TPC-H Q14 shape): promo revenue "
+    "share. One fact⋈dim join (AQE picks the strategy; part scales "
+    "with data so no forced broadcast) + two conditional sums in a "
+    "single aggregate pass — not two scans.",
+)
+def q_agg_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="WITH c AS (SELECT o_orderstatus, o_orderpriority, "
+    "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus "
+    "ORDER BY n DESC, o_orderpriority) AS rnk FROM c) "
+    "SELECT o_orderstatus, o_orderpriority AS mode_priority, n "
+    "FROM r WHERE rnk = 1",
+    doc="Mode (argmax-of-count) per group: count sub-aggregate + "
+    "windowed argmax with a deterministic tiebreak. Two shuffles, both "
+    "by low-cardinality keys; the window partitions never exceed the "
+    "distinct priority count, so no skewed window state.",
+)
+def q_agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+    "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    doc="EXCEPT ALL (O4, multiset semantics): each occurrence on the "
+    "right cancels ONE occurrence on the left — completes the set-op "
+    "family (union/union all/intersect/except). Spark plans a "
+    "single-shuffle hash-based left-anti-with-counts.",
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return left.exceptAll(right)
