@@ -628,16 +628,60 @@ _SQL_PAIRS = (
 )
 
 
+def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Min-label propagation to FIXPOINT (round 2 hardening): iterate
+    until no label changes, capped at ``max_rounds``.  ``edges`` is an
+    undirected edge list (src, dst) including self-loops.
+
+    Each round is one shuffle (join + groupBy on node id); the loop
+    terminates in O(component diameter) rounds — LSH duplicate
+    clusters are near-cliques (diameter ≤ 2-3), so the early-exit
+    normally fires after round 2-3, but CHAINED duplicate components
+    of any diameter now resolve correctly too.  The convergence probe
+    joins the two label tables (one row per node in the dup graph —
+    tiny relative to the corpus) and short-circuits via limit(1).
+    Labels are localCheckpoint-pinned per round so lineage stays flat.
+    """
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "doc_id")
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        new = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.least(F.min("label"), F.min("src")).alias("label"))
+            .withColumnRenamed("src", "doc_id")
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 @register(
     "llm_near_dedup_groups",
     oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS} "
     "SELECT doc_id, label AS group_id FROM l2",
     doc="Near-duplicate resolution (X2): LSH candidate pairs → "
-    "connected components via 2 rounds of min-label propagation "
-    "(iterated joins — each round is one shuffle; rounds bound the "
-    "component diameter, 2 suffices for LSH clusters which are "
-    "near-cliques). group_id = smallest doc_id in the component — the "
-    "canonical survivor.",
+    "connected components via min-label propagation iterated to "
+    "FIXPOINT (early exit when labels stop changing, each round one "
+    "shuffle — O(component diameter) rounds; LSH clusters are "
+    "near-cliques so this is normally 2, but chained components of "
+    "any diameter now resolve too). group_id = smallest doc_id in the "
+    "component — the canonical survivor. The SQL oracle unrolls 2 "
+    "rounds, sufficient for the test corpora; the Spark side is the "
+    "general form.",
 )
 def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_llm_near_dedup(spark, sf_dir)
@@ -648,16 +692,7 @@ def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b"), F.col("doc_b")))
         .distinct()
     )
-    labels = edges.groupBy("src").agg(F.min("dst").alias("label")).withColumnRenamed(
-        "src", "doc_id"
-    )
-    for _ in range(2):
-        labels = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.least(F.min("label"), F.min("src")).alias("label"))
-            .withColumnRenamed("src", "doc_id")
-        )
+    labels = _connected_components(edges)
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 

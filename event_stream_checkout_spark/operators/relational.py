@@ -456,27 +456,39 @@ def q_agg_stats(spark, sf_dir):
     "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS pos FROM orders",
     doc="Total sort (O1), made hash-visible via a global rank column — "
     "computed as a TWO-PASS rank with no single-partition data stage: "
-    "range-partition on the sort key (sampled boundaries), per-partition "
-    "row_number in parallel, then add broadcast prefix-count offsets. "
-    "The only unpartitioned window runs over the per-partition counts "
-    "(O(#partitions) rows, not O(data)). The sort key is unique "
-    "(totalprice, orderkey), so ranks are exact regardless of where "
-    "range boundaries fall; the shared range Exchange is computed once "
-    "(ReuseExchange) so both branches see identical partition ids.",
+    "rows are assigned a DETERMINISTIC range-bucket id derived from "
+    "the row VALUE (equi-width on totalprice between broadcast "
+    "min/max — not spark_partition_id after repartitionByRange, whose "
+    "sampled boundaries are recomputed per plan branch and would "
+    "desynchronize the diamond); per-bucket row_number runs in "
+    "parallel, then broadcast prefix-count offsets complete the global "
+    "rank. Equal sort-key values always share a bucket, so ranks are "
+    "exact by construction. The only unpartitioned window runs over "
+    "the per-bucket counts (O(#buckets) rows, not O(data)). Skewed "
+    "value distributions only unbalance bucket sizes, never "
+    "correctness; a production variant seeds boundaries from table "
+    "statistics instead of min/max.",
 )
 def q_sort_orders(spark, sf_dir):
     from pyspark.sql import Window
 
-    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
-    ranged = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(32, *keys)
-        .withColumn("_pid", F.spark_partition_id())
+    nb = 32
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rng = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
     )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
+    pid = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(nb - 1),
+            F.floor((F.col("_hi") - F.col("o_totalprice")) / width),
+        )
+    )
+    bucketed = o.crossJoin(F.broadcast(rng)).withColumn("_pid", pid)
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     wp = Window.partitionBy("_pid").orderBy(*keys)
-    local = ranged.withColumn("_rn", F.row_number().over(wp))
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    local = bucketed.withColumn("_rn", F.row_number().over(wp))
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")

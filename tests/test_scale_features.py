@@ -199,3 +199,26 @@ def test_chunked_greedy_replay_matches_single_pass(spark):
     # p3 has no inventory row: every item fails with remaining == -1.
     p3 = [r for r in chunked if r["product_id"] == "p3"]
     assert all(not r["item_ok"] and r["remaining_after"] == -1 for r in p3)
+
+
+def test_connected_components_fixpoint_resolves_chains(spark):
+    """Min-label propagation must iterate to fixpoint: a chained
+    duplicate component (path graph, diameter 5) collapses to ONE
+    group — a fixed 2-round unroll would leave it fragmented."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(1, 6)]  # 1-2-3-4-5-6
+    undirected = (
+        path
+        + [(b, a) for a, b in path]
+        + [(i, i) for i in range(1, 7)]
+        + [(10, 10), (11, 11), (10, 11), (11, 10)]  # separate 2-clique
+    )
+    edges = spark.createDataFrame(undirected, "src long, dst long")
+    labels = {
+        r["doc_id"]: r["label"] for r in _connected_components(edges).collect()
+    }
+    assert all(labels[i] == 1 for i in range(1, 7))
+    assert labels[10] == labels[11] == 10
