@@ -31,7 +31,8 @@ HEADLINE = [
     "llm_exact_dedup",       # content-hash dedup
     "llm_similarity_topk",   # brute-force cosine top-k
     "llm_near_dedup",        # minhash LSH banding
-    "state_inventory_replay" # applyInPandas stateful fold
+    "state_inventory_replay",# applyInPandas stateful fold (chunked)
+    "llm_curation_pipeline", # end-to-end curation: quality→dedup→sample
 ]
 
 

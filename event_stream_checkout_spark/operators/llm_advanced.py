@@ -640,8 +640,13 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     of any diameter now resolve correctly too.  The convergence probe
     joins the two label tables (one row per node in the dup graph —
     tiny relative to the corpus) and short-circuits via limit(1).
-    Labels are localCheckpoint-pinned per round so lineage stays flat.
+    Labels are localCheckpoint-pinned per round so lineage stays flat,
+    and the edge list is pinned ONCE up front — without that, every
+    round's join would re-evaluate the entire upstream LSH pipeline
+    (grams → minhash → band join) instead of scanning a materialized
+    edge table.
     """
+    edges = edges.localCheckpoint()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("label"))
@@ -749,8 +754,8 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "0x10000), ~25% of every other language — re-balancing a skewed "
     "corpus. Hash-keyed sampling is reproducible across runs, "
     "engines, and partitionings (rand() is none of those); pure "
-    "scan-local predicate, zero shuffles, and the hex comparison "
-    "pushes down to the scan.",
+    "scan-local predicate, zero shuffles (the md5 expression itself "
+    "evaluates post-scan — only the implicit NOT NULLs push down).",
 )
 def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -790,4 +795,85 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# X9: the end-to-end curation pipeline — one composed DataFrame plan
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS}, "
+    "g AS (SELECT doc_id, label AS group_id FROM l2), "
+    "gm AS (SELECT g.group_id, g.doc_id, "
+    "  row_number() OVER (PARTITION BY g.group_id "
+    "    ORDER BY d.n_chars DESC, g.doc_id) AS rnk "
+    "  FROM g JOIN documents d ON g.doc_id = d.doc_id), "
+    "drops AS (SELECT doc_id FROM gm WHERE rnk > 1), "
+    "t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "  len(list_filter(string_split(text, ' '), "
+    f"    w -> list_contains({_STOPWORDS!r}, w))) AS n_stop FROM documents), "
+    "q AS (SELECT doc_id FROM t WHERE "
+    "  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END + "
+    "   CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 1 ELSE 0 END) "
+    "  >= 1), "
+    "e AS (SELECT doc_id FROM ("
+    "  SELECT d.doc_id, row_number() OVER (PARTITION BY md5(d.text) "
+    "    ORDER BY d.doc_id) AS rn FROM documents d JOIN q ON d.doc_id = q.doc_id"
+    "  ) WHERE rn = 1), "
+    "s AS (SELECT doc_id FROM e WHERE doc_id NOT IN "
+    "  (SELECT doc_id FROM drops)) "
+    "SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars "
+    "FROM documents d JOIN s ON d.doc_id = s.doc_id "
+    "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < "
+    "  (CASE WHEN d.lang = 'en' THEN '199a' ELSE '4000' END)",
+    doc="The END-TO-END curation pass as ONE composed DataFrame plan "
+    "(X9 flagship): quality gate (score ≥ 1) → exact dedup (first "
+    "doc_id per md5(text)) → near-dup removal (LSH groups, keep the "
+    "longest member) → deterministic md5-stratified sample. This is "
+    "what a training-data team actually runs nightly; every stage is "
+    "the already-verified operator, fused by Catalyst into one DAG — "
+    "the LSH sub-pipeline evaluates once (the drop-list), and all "
+    "other stages are scan-local predicates or single keyed shuffles.",
+)
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    # Stage 1 — quality gate (same scoring as llm_quality_score).
+    quality_ok = (
+        q_llm_quality_score(spark, sf_dir)
+        .filter(F.col("quality") >= 1)
+        .select("doc_id")
+    )
+    base = d.join(quality_ok, "doc_id")
+
+    # Stage 2 — exact dedup: first doc_id per content hash.
+    we = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        base.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # Stage 3 — near-dup removal: drop every group member except the
+    # longest (doc_id tiebreak); groups from the fixpoint LSH pipeline.
+    groups = q_llm_near_dedup_groups(spark, sf_dir)
+    gi = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    wr = Window.partitionBy("group_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    drops = (
+        gi.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") > 1)
+        .select("doc_id")
+    )
+    survived = exact.join(drops, "doc_id", "left_anti")
+
+    # Stage 4 — deterministic stratified sample (llm_sample_hash rule).
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit("199a")).otherwise(F.lit("4000"))
+    return survived.filter(prefix < thr).select(
+        "doc_id", "lang", "source", "n_chars"
     )

@@ -74,12 +74,22 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Keys added AFTER the current round's 50-key driver window was already
+# fully allocated: they order after the window this round (local parity
+# coverage only) and should be promoted into DRIVER_VERIFIED-priority
+# next round.
+DRIVER_DEFERRED: frozenset[str] = frozenset({
+    "llm_curation_pipeline",
+})
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module so registrations run, then return.
 
     The returned dict is ordered driver-window-first: queries that have
     never received a driver CORRECTNESS row precede those already
-    verified in a prior round (see ``DRIVER_VERIFIED``).
+    verified in a prior round (see ``DRIVER_VERIFIED``); keys in
+    ``DRIVER_DEFERRED`` order right after the window.
     """
     from .operators import (  # noqa: F401
         checkout,
@@ -96,7 +106,10 @@ def load_all() -> dict[str, Query]:
 
     ordered: dict[str, Query] = {}
     for key, q in QUERIES.items():
-        if key not in DRIVER_VERIFIED:
+        if key not in DRIVER_VERIFIED and key not in DRIVER_DEFERRED:
+            ordered[key] = q
+    for key, q in QUERIES.items():
+        if key in DRIVER_DEFERRED:
             ordered[key] = q
     for key, q in QUERIES.items():
         ordered.setdefault(key, q)
