@@ -374,12 +374,12 @@ class CheckoutStream:
     # -- wiring ----------------------------------------------------------
 
     def source(self, input_dir: str) -> DataFrame:
-        return (
-            self.spark.readStream.schema(WIRE_SCHEMA)
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .option("maxFilesPerTrigger", 1)  # micro-batch per file
-            .json(input_dir)
-        )
+        from .sources import order_stream_source
+
+        # One micro-batch per file mirrors discrete SQS receive batches;
+        # swap kind="kafka"/"rate" via order_stream_source for other
+        # edges — process_batch is source-agnostic (WIRE_SCHEMA contract).
+        return order_stream_source(self.spark, "file", path=input_dir)
 
     def run_available(self, input_dir: str) -> None:
         """Process everything currently in input_dir, then stop
