@@ -151,3 +151,45 @@ def test_inventory_invariants_all_modes(sess, orders, mode):
                     )
         for pid in SEED_STOCK:
             assert SEED_STOCK[pid] - stock[pid] == consumed.get(pid, 0)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.sampled_from(["p1", "p2", "p3"]),   # p3 has no stock row
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    chunk=st.sampled_from([1, 3, 7]),
+)
+def test_chunked_replay_is_chunk_size_invariant(sess, items, chunk):
+    """The incremental greedy replay produces identical output for ANY
+    chunk size — chunking is a memory-bounding transform, never a
+    semantic one (the carry state is the full per-key state)."""
+    from event_stream_checkout_spark.operators.checkout import (
+        _chunked_greedy_replay,
+    )
+
+    rows = [
+        (pid, eid, eid, qty) for eid, (pid, qty) in enumerate(items, start=1)
+    ]
+    df = sess.createDataFrame(
+        rows, "product_id string, event_id long, item_ts long, quantity long"
+    )
+    inv = sess.createDataFrame(
+        [("p1", 9), ("p2", 4)], "product_id string, stock long"
+    )
+    big = sorted(
+        map(tuple, _chunked_greedy_replay(df, inv, chunk_rows=1 << 20).collect())
+    )
+    small = sorted(
+        map(tuple, _chunked_greedy_replay(df, inv, chunk_rows=chunk).collect())
+    )
+    assert big == small
