@@ -68,7 +68,10 @@ def order_stream_source(
             (F.col("value") % 3 + 1).alias("quantity"),
         )
         return rate.select(
-            F.concat(F.lit("cust-"), (F.col("value") % 100).cast("string")).alias(
+            # Unique customer per value → every order has a distinct
+            # content id (measures real settlement throughput, not
+            # dedup short-circuiting).
+            F.concat(F.lit("cust-"), F.col("value").cast("string")).alias(
                 "customer_id"
             ),
             F.array(item).cast(ITEM_TYPE).alias("items"),
