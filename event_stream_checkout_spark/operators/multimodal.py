@@ -92,6 +92,55 @@ def decode_audio(content: bytes, fake: bool = False) -> float:
     )
 
 
+def resize_image(
+    content: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Stub resize: returns the re-encoded image bytes at (width,
+    height).  The deterministic fake emulates the size/aspect contract
+    (output length scales with the requested pixel count) so pipeline
+    plumbing — batch shapes, byte-column round-trips, size accounting —
+    is testable without an image library."""
+    if fake:
+        target = max(1, (width * height) // 8)
+        reps = target // max(len(content), 1) + 1
+        return (content * reps)[:target]
+    raise NotImplementedError(
+        "image resizing requires an image library (PIL/opencv) — "
+        "pass fake=True for the deterministic test double"
+    )
+
+
+FRAME_CHARS = 64     # fake frame = 64 decoded characters
+FRAME_STRIDE = 2     # sample every 2nd frame
+
+
+def sample_frames(
+    content: bytes,
+    frame_chars: int = FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+    fake: bool = False,
+) -> list[tuple[int, str]]:
+    """Stub video frame sampler: returns [(frame_idx, frame_payload)].
+
+    A real implementation seeks keyframes via a video library; the
+    deterministic fake treats the UTF-8 decoded payload as a frame
+    reel (``frame_chars`` characters per frame) and samples every
+    ``stride``-th frame — CHARACTER slicing, so the DuckDB oracle can
+    reproduce frames exactly with substring() regardless of multibyte
+    content."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a video library — pass fake=True "
+            "for the deterministic test double"
+        )
+    text = content.decode("utf-8")
+    out = []
+    for idx in range(0, max((len(text) + frame_chars - 1) // frame_chars, 0)):
+        if idx % stride == 0:
+            out.append((idx, text[idx * frame_chars : (idx + 1) * frame_chars]))
+    return out
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), True),
@@ -193,3 +242,62 @@ def q_llm_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens")
     )
     return d.groupBy("lang").agg(median_udaf("n_tokens").alias("median_tokens"))
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+        T.StructField("frame_chars", T.LongType(), True),
+    ]
+)
+
+
+def _sample_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            for idx, frame in sample_frames(content, fake=True):
+                rows.append(
+                    (
+                        int(media_id),
+                        int(idx),
+                        hashlib.md5(frame.encode("utf-8")).hexdigest(),
+                        len(frame),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["media_id", "frame_idx", "frame_md5", "frame_chars"]
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"WITH m AS (SELECT doc_id AS media_id, text FROM documents "
+    "WHERE doc_id % 3 = 2), "
+    "f AS (SELECT media_id, i AS frame_idx, "
+    f"  substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS}) AS frame "
+    "  FROM m, UNNEST(generate_series(0, "
+    f"    CAST(ceil(len(text) / {FRAME_CHARS}.0) AS BIGINT) - 1)) AS t(i) "
+    f"  WHERE i % {FRAME_STRIDE} = 0) "
+    "SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+    "md5(frame) AS frame_md5, CAST(len(frame) AS BIGINT) AS frame_chars "
+    "FROM f",
+    doc="Video frame sampling over mapInPandas (X5/U1): every "
+    f"{FRAME_STRIDE}nd frame of each 'video' item (kind derivation "
+    "doc_id%3=2), emitted as (frame_idx, md5, size) — the fan-out "
+    "shape (1 media row → N frame rows) with Arrow-batched decode. "
+    "The fake decoder slices decoded characters, so the oracle "
+    "reproduces frames exactly with substring(); a real build swaps "
+    "sample_frames(fake=False) in without touching the plan. Frames "
+    "stay partition-local (no shuffle) until a downstream op keys "
+    "them.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_df(spark, sf_dir).filter(F.col("meta.kind") == "video").select(
+        "media_id", "content"
+    )
+    return m.mapInPandas(_sample_frame_batches, _FRAME_SCHEMA)

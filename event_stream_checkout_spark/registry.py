@@ -80,6 +80,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # next round.
 DRIVER_DEFERRED: frozenset[str] = frozenset({
     "llm_curation_pipeline",
+    "multimodal_frame_sample",
 })
 
 

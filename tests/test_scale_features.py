@@ -222,3 +222,23 @@ def test_connected_components_fixpoint_resolves_chains(spark):
     }
     assert all(labels[i] == 1 for i in range(1, 7))
     assert labels[10] == labels[11] == 10
+
+
+def test_resize_and_frame_sample_stubs():
+    """Media stubs honor the build contract: NotImplementedError on the
+    real path, deterministic doubles behind fake=True."""
+    from event_stream_checkout_spark.operators.multimodal import (
+        resize_image,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"img", 8, 8)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"vid")
+    out = resize_image(b"imgdata", 16, 16, fake=True)
+    assert isinstance(out, bytes) and len(out) == (16 * 16) // 8
+    frames = sample_frames(("x" * 200).encode(), fake=True)
+    # 200 chars → 4 frames of 64, sampled every 2nd → idx 0 and 2.
+    assert [i for i, _ in frames] == [0, 2]
+    assert len(frames[0][1]) == 64 and len(frames[1][1]) == 64
