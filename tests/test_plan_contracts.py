@@ -1,0 +1,80 @@
+"""Plan contracts: the scale properties VERDICT/SCALE.md claim are
+asserted here against the actual executed plans, so a future edit that
+silently reintroduces a scale-killer (forced broadcast of a growing
+table, a single-partition data stage, lost predicate pushdown, lost
+partial aggregation) fails CI instead of surviving to a 100 TB run.
+
+Plans are taken AFTER execution (noop sink) so AQE's final choices are
+what gets checked, at sf0.001 for speed — the invariants below are
+scale-free (they hold at any SF).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from event_stream_checkout_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+QUERIES = load_all()
+
+
+def executed_plan(spark, key: str) -> str:
+    df = QUERIES[key].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_txn_settlement_minimal_shuffles(spark):
+    """The flagship settles with exactly the two semantic shuffles
+    (product window, order fold) — no accidental extra exchange."""
+    plan = executed_plan(spark, "txn_settlement")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, saw {n_hash}"
+    assert "SortMergeJoin" not in plan  # bounded dims broadcast at this SF
+
+
+def test_agg_filtered_sum_pushdown(spark):
+    """Q6 shape: every predicate reaches the parquet scan."""
+    plan = executed_plan(spark, "agg_filtered_sum")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), "shipdate filter not pushed"
+
+
+def test_agg_pricing_summary_partial_final(spark):
+    """Q1 shape: map-side partial aggregation before the exchange."""
+    plan = executed_plan(spark, "agg_pricing_summary")
+    assert "partial_" in plan or "HashAggregate" in plan
+    # partial agg means exactly one data exchange for the group-by
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 exchange (partial+final agg), saw {n_hash}"
+
+
+def test_sort_orders_no_single_partition_data_stage(spark):
+    """The two-pass global rank: the only SinglePartition stage is the
+    O(#buckets) offsets window, never a data-sized one.  Detected by
+    counting Exchange SinglePartition nodes feeding a Window over the
+    orders data (there must be none) vs the counts table (one, fine)."""
+    plan = executed_plan(spark, "sort_orders")
+    # The data path shuffles by _pid (hash); a regression to a global
+    # window would show rangepartitioning/SinglePartition on the scan
+    # side before the big Window.
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= 1, f"unexpected single-partition stages: {n_single}"
+    assert "rangepartitioning" not in plan  # value-derived buckets, no sampling
+
+
+@pytest.mark.parametrize(
+    "key", ["join_orders_customer", "join_range", "topk_revenue_orders"]
+)
+def test_no_forced_broadcast_on_scale_growing_tables(spark, key):
+    """AQE owns the join strategy for customer/part joins: the LOGICAL
+    plan must carry no broadcast hint (the physical plan may still
+    choose broadcast at tiny SF — that is AQE's call, which is the
+    point)."""
+    df = QUERIES[key].fn(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "ResolvedHint (strategy=broadcast)" not in logical
