@@ -467,7 +467,12 @@ def q_agg_stats(spark, sf_dir):
     "the per-bucket counts (O(#buckets) rows, not O(data)). Skewed "
     "value distributions only unbalance bucket sizes, never "
     "correctness; a production variant seeds boundaries from table "
-    "statistics instead of min/max.",
+    "statistics instead of min/max. The bucketed frame feeds BOTH the "
+    "per-bucket window and the counts agg (a plan diamond): it is "
+    "pinned with an eager localCheckpoint so the orders scan and the "
+    "min/max range agg execute exactly once — unpinned, Spark "
+    "re-evaluates the whole subtree per branch (2x the sort's own "
+    "I/O at scale).",
 )
 def q_sort_orders(spark, sf_dir):
     from pyspark.sql import Window
@@ -484,7 +489,11 @@ def q_sort_orders(spark, sf_dir):
             F.floor((F.col("_hi") - F.col("o_totalprice")) / width),
         )
     )
-    bucketed = o.crossJoin(F.broadcast(rng)).withColumn("_pid", pid)
+    # Pin the diamond: both the window branch and the counts branch read
+    # the materialized blocks instead of re-running scan + range agg.
+    bucketed = (
+        o.crossJoin(F.broadcast(rng)).withColumn("_pid", pid).localCheckpoint()
+    )
     keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     wp = Window.partitionBy("_pid").orderBy(*keys)
     local = bucketed.withColumn("_rn", F.row_number().over(wp))

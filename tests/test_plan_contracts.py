@@ -22,9 +22,24 @@ QUERIES = load_all()
 
 
 def executed_plan(spark, key: str) -> str:
+    # Wide scans (lineitem has 16 columns) get their field lists elided
+    # by toString at the default maxToStringFields=25, and FileScan
+    # metadata entries (PushedFilters among them) get cut at
+    # maxMetadataStringLength=100 chars — which swallows the closing
+    # ']' of PushedFilters.  Raise both so assertions see full node text.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     df = QUERIES[key].fn(spark, SF_DIR)
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Execute THIS Dataset's own QueryExecution (a noop write would spawn
+    # a separate one, leaving df's AdaptiveSparkPlan at isFinalPlan=false
+    # — we'd be asserting on the pre-AQE initial plan).  sf0.001 results
+    # are tiny, so collect() is safe here.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan's toString prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — keep only the final (post-AQE) section so
+    # node counts aren't doubled by the pre-AQE copy.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_txn_settlement_minimal_shuffles(spark):
@@ -54,9 +69,10 @@ def test_agg_pricing_summary_partial_final(spark):
 
 def test_sort_orders_no_single_partition_data_stage(spark):
     """The two-pass global rank: the only SinglePartition stage is the
-    O(#buckets) offsets window, never a data-sized one.  Detected by
-    counting Exchange SinglePartition nodes feeding a Window over the
-    orders data (there must be none) vs the counts table (one, fine)."""
+    O(#buckets) prefix-count offsets window (post-aggregation, <=32
+    rows), never a data-sized one.  The bucketed frame is pinned with a
+    localCheckpoint, so the final plan must contain NO parquet scan:
+    orders is read exactly once, inside the checkpoint."""
     plan = executed_plan(spark, "sort_orders")
     # The data path shuffles by _pid (hash); a regression to a global
     # window would show rangepartitioning/SinglePartition on the scan
@@ -64,6 +80,8 @@ def test_sort_orders_no_single_partition_data_stage(spark):
     n_single = plan.count("Exchange SinglePartition")
     assert n_single <= 1, f"unexpected single-partition stages: {n_single}"
     assert "rangepartitioning" not in plan  # value-derived buckets, no sampling
+    # Diamond pinned: both branches read the checkpointed blocks.
+    assert plan.count("Scan parquet") == 0, "orders scanned in-plan (diamond unpinned)"
 
 
 @pytest.mark.parametrize(
