@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, with_min_scan_parallelism
 
 # --------------------------------------------------------------------------
 # Shared shingling (word 3-grams) — Spark + DuckDB forms
@@ -47,7 +47,7 @@ grams AS (
 
 
 def grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ", -1)
     d = d.withColumn("_words", words).filter(F.size("_words") >= 3)
     gram = F.transform(
@@ -72,17 +72,50 @@ _N_HASHES = 8  # 4 bands × 2 rows
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signature: min(md5(seed||gram)) per seed.
-
-    The string-min of a uniform hash is a valid minwise sketch; md5
-    keeps it engine-portable. One shuffle (groupBy doc_id), K aggs."""
-    g = grams_df(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")))).alias(f"h{s}")
+def _sig_columns() -> list:
+    """Minhash signature columns, computed SCAN-LOCALLY from a `_grams`
+    array column: min(md5(seed||gram)) is a per-doc reduction, so it
+    needs no explode and no shuffle — ``array_min(transform(...))``
+    evaluates inside the scan stage.  (Round 3: replaces the exploded
+    grams → groupBy(doc_id) form, whose shuffle moved ~n_words rows
+    per doc — the largest shuffle in the LSH pipeline, for a value
+    that never needed to leave its row.)  The string-min of a uniform
+    hash is a valid minwise sketch; md5 keeps it engine-portable.
+    """
+    return [
+        F.array_min(
+            F.transform(
+                F.col("_grams"),
+                lambda g: F.md5(F.concat(F.lit(f"{s}:"), g)),
+            )
+        ).alias(f"h{s}")
         for s in range(_N_HASHES)
     ]
-    return g.groupBy("doc_id").agg(*aggs)
+
+
+def _with_grams_array(d: DataFrame) -> DataFrame:
+    """Attach the word-3-gram shingle ARRAY as a `_grams` column (docs
+    with <3 words excluded, mirroring grams_df)."""
+    d = d.withColumn("_words", F.split("text", " ", -1)).filter(
+        F.size("_words") >= 3
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_words") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_words"), i),
+            F.element_at(F.col("_words"), i + 1),
+            F.element_at(F.col("_words"), i + 2),
+        ),
+    )
+    return d.withColumn("_grams", gram)
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_grams_array(
+        with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
+    return d.select("doc_id", *_sig_columns())
 
 
 _SQL_SIGS = (
@@ -108,28 +141,29 @@ _SQL_BANDS = (
     "llm_minhash_signatures",
     oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS} SELECT * FROM sigs",
     doc="Minwise sketch per document (X2): 8 md5-seeded minhashes "
-    "over word 3-gram shingles. The sketch is mergeable — at 100 TB "
-    "it computes as a partial aggregate, no doc ever materializes its "
-    "full shingle set.",
+    "over word 3-gram shingles, computed SCAN-LOCALLY via "
+    "array_min(transform(...)) on the in-row shingle array — zero "
+    "shuffles; at 100 TB no shingle ever leaves its row. (The sketch "
+    "is also mergeable, so a chunked-text variant would still compute "
+    "as a partial aggregate.)",
 )
 def q_llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs(spark, sf_dir)
 
 
-@register(
-    "llm_near_dedup",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS} "
-    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM bands a JOIN bands b "
-    "ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
-    "AND a.doc_id < b.doc_id",
-    doc="Near-duplicate candidate pairs via LSH banding (X2): docs "
-    "sharing any of 4 bands (2 minhashes each) are candidates. "
-    "Bucket-join replaces the O(n²) scan; the groupBy key is an md5 — "
-    "uniform, unskewed.",
-)
-def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs(spark, sf_dir)
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over a signature frame → candidate pairs.
+
+    Pair generation is BUCKET-LOCAL, not a self-join: group the 4
+    (band_idx, band_key) rows per doc by bucket, collect the member
+    doc_ids, and expand ordered pairs (doc_a < doc_b) with array
+    higher-order functions inside each bucket.  One corpus scan, one
+    shuffle of 4 slim rows/doc — the self-join form scanned and
+    re-computed the signatures on BOTH join sides (two full corpus
+    reads at 100 TB).  Bucket membership is a minhash collision, so
+    buckets are near-clique-sized; the O(|bucket|²) expansion is
+    bounded by actual duplicate mass, identical to the join's output.
+    """
     band_arr = F.array(
         *[
             F.struct(
@@ -142,18 +176,42 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_arr).alias("b")
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.filter(F.col("ids"), lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "llm_near_dedup",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS} "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id",
+    doc="Near-duplicate candidate pairs via LSH banding (X2): docs "
+    "sharing any of 4 bands (2 minhashes each) are candidates. "
+    "Bucket-join replaces the O(n²) scan; the join key is an md5 — "
+    "uniform, unskewed. Signatures are scan-local (see _sig_columns): "
+    "the only shuffled rows are the 4 band keys per doc.",
+)
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -620,11 +678,15 @@ _SQL_PAIRS = (
     "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
     "UNION SELECT doc_b, doc_a FROM pairs "
     "UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs), "
-    "l0 AS (SELECT src AS doc_id, min(dst) AS label FROM edges GROUP BY src), "
-    "l1 AS (SELECT e.src AS doc_id, least(min(l.label), min(e.src)) AS label "
-    "  FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src), "
-    "l2 AS (SELECT e.src AS doc_id, least(min(l.label), min(e.src)) AS label "
-    "  FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src)"
+    # TRUE fixpoint (round 3, advisor finding): recursive transitive
+    # closure instead of a 2-round label-propagation unroll, so the
+    # oracle agrees with the engine on chained components of ANY
+    # diameter.  Components are tiny near-cliques, so the closure
+    # stays small at oracle scale.  Requires a WITH RECURSIVE head.
+    "closure AS (SELECT src, dst FROM edges "
+    "UNION SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src), "
+    "labels AS (SELECT src AS doc_id, min(dst) AS label FROM closure "
+    "GROUP BY src)"
 )
 
 
@@ -638,13 +700,13 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     clusters are near-cliques (diameter ≤ 2-3), so the early-exit
     normally fires after round 2-3, but CHAINED duplicate components
     of any diameter now resolve correctly too.  The convergence probe
-    joins the two label tables (one row per node in the dup graph —
-    tiny relative to the corpus) and short-circuits via limit(1).
-    Labels are localCheckpoint-pinned per round so lineage stays flat,
-    and the edge list is pinned ONCE up front — without that, every
-    round's join would re-evaluate the entire upstream LSH pipeline
-    (grams → minhash → band join) instead of scanning a materialized
-    edge table.
+    is FUSED into the round (round 3): the propagated label joins back
+    to the previous label in the same plan, so each round materializes
+    ONE localCheckpoint job and the probe is a sub-second filter over
+    the already-pinned result — not a second join job.  The edge list
+    is pinned ONCE up front — without that, every round's join would
+    re-evaluate the entire upstream LSH pipeline (grams → minhash →
+    band join) instead of scanning a materialized edge table.
     """
     edges = edges.localCheckpoint()
     labels = (
@@ -654,21 +716,24 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        new = (
+        propagated = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.least(F.min("label"), F.min("src")).alias("label"))
-            .withColumnRenamed("src", "doc_id")
+        )
+        stepped = (
+            propagated.withColumnRenamed("src", "doc_id")
+            .withColumnRenamed("label", "_new")
+            .join(labels, "doc_id")
+            .select(
+                "doc_id",
+                F.col("_new").alias("label"),
+                (F.col("_new") != F.col("label")).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = stepped.filter(F.col("_chg")).limit(1).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     return labels
@@ -676,20 +741,25 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
 
 @register(
     "llm_near_dedup_groups",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS} "
-    "SELECT doc_id, label AS group_id FROM l2",
+    oracle=f"WITH RECURSIVE {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_PAIRS} "
+    "SELECT doc_id, label AS group_id FROM labels",
     doc="Near-duplicate resolution (X2): LSH candidate pairs → "
     "connected components via min-label propagation iterated to "
     "FIXPOINT (early exit when labels stop changing, each round one "
     "shuffle — O(component diameter) rounds; LSH clusters are "
     "near-cliques so this is normally 2, but chained components of "
-    "any diameter now resolve too). group_id = smallest doc_id in the "
-    "component — the canonical survivor. The SQL oracle unrolls 2 "
-    "rounds, sufficient for the test corpora; the Spark side is the "
-    "general form.",
+    "any diameter resolve too). group_id = smallest doc_id in the "
+    "component — the canonical survivor. The SQL oracle is a "
+    "recursive transitive closure — the same fixpoint semantics as "
+    "the engine loop, at any component diameter.",
 )
 def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_llm_near_dedup(spark, sf_dir)
+    return _groups_from_pairs(q_llm_near_dedup(spark, sf_dir))
+
+
+def _groups_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Candidate pairs → (doc_id, group_id) via fixpoint components."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -709,8 +779,9 @@ def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dedup_keep_best",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS}, "
-    "g AS (SELECT doc_id, label AS group_id FROM l2), "
+    oracle=f"WITH RECURSIVE {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_PAIRS}, "
+    "g AS (SELECT doc_id, label AS group_id FROM labels), "
     "m AS (SELECT g.group_id, g.doc_id, d.n_chars, "
     "  row_number() OVER (PARTITION BY g.group_id "
     "    ORDER BY d.n_chars DESC, g.doc_id) AS rnk, "
@@ -805,8 +876,9 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_curation_pipeline",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_PAIRS}, "
-    "g AS (SELECT doc_id, label AS group_id FROM l2), "
+    oracle=f"WITH RECURSIVE {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_PAIRS}, "
+    "g AS (SELECT doc_id, label AS group_id FROM labels), "
     "gm AS (SELECT g.group_id, g.doc_id, "
     "  row_number() OVER (PARTITION BY g.group_id "
     "    ORDER BY d.n_chars DESC, g.doc_id) AS rnk "
@@ -832,25 +904,71 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The END-TO-END curation pass as ONE composed DataFrame plan "
     "(X9 flagship): quality gate (score ≥ 1) → exact dedup (first "
     "doc_id per md5(text)) → near-dup removal (LSH groups, keep the "
-    "longest member) → deterministic md5-stratified sample. This is "
-    "what a training-data team actually runs nightly; every stage is "
-    "the already-verified operator, fused by Catalyst into one DAG — "
-    "the LSH sub-pipeline evaluates once (the drop-list), and all "
-    "other stages are scan-local predicates or single keyed shuffles.",
+    "longest member) → deterministic md5-stratified sample. "
+    "ONE-SCAN design (round 3): every per-doc quantity — quality "
+    "score, content hash, sample predicate, and the 8 minhash "
+    "signatures — is a scan-local expression, computed in a single "
+    "pass over documents and pinned as a SLIM per-doc frame (no "
+    "text: ~300 bytes/doc, ~0.1% of corpus size at 100 TB). All four "
+    "stages and the LSH drop-list read that frame; the raw corpus is "
+    "scanned exactly once.",
 )
 def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
+
+    # ONE scan: attach every per-doc scan-local quantity, then drop
+    # text/words/grams and pin the slim frame — all stages below read
+    # the materialized blocks, never the corpus.
+    words = F.split("text", " ", -1)
+    n_tokens = F.size("_words")
+    n_stop = F.size(
+        F.filter(
+            F.col("_words"),
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS]), w
+            ),
+        )
+    )
+    quality = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), 1).otherwise(0)
+        + F.when(
+            (n_stop.cast("double") / n_tokens.cast("double")) >= 0.05, 1
+        ).otherwise(0)
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_words") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_words"), i),
+            F.element_at(F.col("_words"), i + 1),
+            F.element_at(F.col("_words"), i + 2),
+        ),
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit("199a")).otherwise(F.lit("4000"))
+    enriched = (
+        d.withColumn("_words", words)
+        .withColumn(
+            "_grams", F.when(F.size("_words") >= 3, gram)
+        )  # null sigs for <3-word docs — they can't join the LSH graph
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            quality.alias("_quality"),
+            F.md5("text").alias("_content_hash"),
+            (prefix < thr).alias("_sample_ok"),
+            *_sig_columns(),
+        )
+        .localCheckpoint()
+    )
 
     # Stage 1 — quality gate (same scoring as llm_quality_score).
-    quality_ok = (
-        q_llm_quality_score(spark, sf_dir)
-        .filter(F.col("quality") >= 1)
-        .select("doc_id")
-    )
-    base = d.join(quality_ok, "doc_id")
+    base = enriched.filter(F.col("_quality") >= 1)
 
     # Stage 2 — exact dedup: first doc_id per content hash.
-    we = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    we = Window.partitionBy("_content_hash").orderBy("doc_id")
     exact = (
         base.withColumn("_rn", F.row_number().over(we))
         .filter(F.col("_rn") == 1)
@@ -858,9 +976,13 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Stage 3 — near-dup removal: drop every group member except the
-    # longest (doc_id tiebreak); groups from the fixpoint LSH pipeline.
-    groups = q_llm_near_dedup_groups(spark, sf_dir)
-    gi = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    # longest (doc_id tiebreak); groups from the fixpoint LSH pipeline,
+    # whose signatures come from the SAME pinned frame.
+    sigs = enriched.filter(F.col("h0").isNotNull()).select(
+        "doc_id", *[f"h{s}" for s in range(_N_HASHES)]
+    )
+    groups = _groups_from_pairs(_pairs_from_sigs(sigs))
+    gi = groups.join(enriched.select("doc_id", "n_chars"), "doc_id")
     wr = Window.partitionBy("group_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
@@ -872,8 +994,6 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survived = exact.join(drops, "doc_id", "left_anti")
 
     # Stage 4 — deterministic stratified sample (llm_sample_hash rule).
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    thr = F.when(F.col("lang") == "en", F.lit("199a")).otherwise(F.lit("4000"))
-    return survived.filter(prefix < thr).select(
+    return survived.filter(F.col("_sample_ok")).select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -95,7 +95,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
-    "sort_orders",           # diamond pinned with localCheckpoint (r3)
+    "sort_orders",             # diamond pinned with localCheckpoint (r3)
+    "llm_minhash_signatures",  # scan-local array_min sigs (r3)
+    "llm_near_dedup",          # sigs source rewritten (r3)
+    "llm_near_dedup_groups",   # oracle → recursive-CTE fixpoint (r3)
+    "llm_dedup_keep_best",     # oracle → recursive-CTE fixpoint (r3)
 })
 
 

@@ -34,6 +34,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     # local[32] guidance: match shuffle width to cores; on a real
     # cluster AQE coalesces this down/up as needed.
     "spark.sql.shuffle.partitions": "32",
+    # Split small files finer so compute-heavy SCAN-LOCAL expressions
+    # (minhash signatures, quality scoring) parallelize even when a
+    # table is one parquet split.  At 100 TB the scan already has
+    # thousands of splits, so a minimum of 32 is a no-op there — this
+    # only guards the small-input case.
+    "spark.sql.files.minPartitionNum": "32",
     # 10 MB default is conservative; our dims (region/nation/part
     # slices, inventory) are tiny — keep default but AQE will also
     # convert to broadcast at runtime when sizes allow.

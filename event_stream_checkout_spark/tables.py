@@ -58,3 +58,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views (SQL-facing API)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def with_min_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a scan whose split count is below the session's
+    parallelism, so compute-heavy scan-local expressions (minhash
+    signatures, quality scoring) use every core.
+
+    This is the standard remedy for low-split inputs (single-row-group
+    parquet, unsplittable gzip): the shuffle only fires when the input
+    has fewer splits than cores — i.e. when it is small or pathological
+    — and is a runtime-checked NO-OP on a real 100 TB scan, where split
+    count far exceeds cluster parallelism.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
