@@ -837,30 +837,51 @@ def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(prefix < threshold).select("doc_id", "lang")
 
 
+_CONTAM_DF_CAP = 10  # grams in more than this many docs are stop-phrases
+
+
 @register(
     "llm_contamination",
     oracle=f"WITH {SQL_GRAMS.strip()}, "
     "dg AS (SELECT DISTINCT doc_id, gram FROM grams), "
-    "bench AS (SELECT * FROM dg WHERE doc_id % 50 = 0), "
-    "corpus AS (SELECT * FROM dg WHERE doc_id % 50 <> 0) "
+    f"hot AS (SELECT gram FROM dg GROUP BY gram "
+    f"HAVING count(*) > {_CONTAM_DF_CAP}), "
+    "dgc AS (SELECT * FROM dg WHERE gram NOT IN (SELECT gram FROM hot)), "
+    "bench AS (SELECT * FROM dgc WHERE doc_id % 50 = 0), "
+    "corpus AS (SELECT * FROM dgc WHERE doc_id % 50 <> 0) "
     "SELECT c.doc_id, b.doc_id AS bench_id, "
     "CAST(count(*) AS BIGINT) AS n_shared "
     "FROM corpus c JOIN bench b ON c.gram = b.gram "
     "GROUP BY 1, 2 HAVING count(*) >= 3",
     doc="Benchmark decontamination (X4 curation): flag training "
     "documents sharing ≥3 distinct word 3-grams with any held-out "
-    "'benchmark' doc (modeled as doc_id % 50 = 0). The gram equi-join "
-    "computes overlaps distributively — shuffle is by gram (uniform "
-    "text keys), candidate pairs only materialize on actual matches; "
-    "the same shape as the industry-standard n-gram decontamination "
-    "pass over pretraining corpora.",
+    "'benchmark' doc (modeled as doc_id % 50 = 0). Grams whose "
+    "document frequency exceeds a cap are dropped BEFORE the join "
+    "(round 3 skew guard): natural-language gram frequencies are "
+    "zipfian, so an uncapped join funnels every 'one of the' row into "
+    "one reducer at 100 TB — and stop-phrases are contamination noise "
+    "anyway, which is why production decontamination passes apply the "
+    "same cap. The df-count agg is skew-safe (map-side partial "
+    "collapse); the rare-gram set joins back with ≤1 build row per "
+    "key, so every key that SURVIVES into the contamination join "
+    "carries ≤ cap rows — bounded fan-out, no hot reducer. (The "
+    "rare/hot filter join itself is covered by AQE skew-split; the "
+    "hot list is a zipf head but still corpus-vocabulary-sized at "
+    "100 TB, so it is joined, not broadcast.)",
 )
 def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
-    bench = dg.filter(F.col("doc_id") % 50 == 0).select(
+    rare = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAM_DF_CAP)
+        .select("gram")
+    )
+    capped = dg.join(rare, "gram")
+    bench = capped.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "gram"
     )
-    corpus = dg.filter(F.col("doc_id") % 50 != 0)
+    corpus = capped.filter(F.col("doc_id") % 50 != 0)
     return (
         corpus.join(bench, "gram")
         .groupBy("doc_id", "bench_id")

@@ -100,6 +100,7 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "llm_near_dedup",          # sigs source rewritten (r3)
     "llm_near_dedup_groups",   # oracle → recursive-CTE fixpoint (r3)
     "llm_dedup_keep_best",     # oracle → recursive-CTE fixpoint (r3)
+    "llm_contamination",       # document-frequency skew cap (r3)
 })
 
 

@@ -62,6 +62,7 @@ for a transactional table format; the foreachBatch body is unchanged.
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -198,6 +199,22 @@ class CheckoutStream:
     # -- the micro-batch body (pure M2 logic + idempotent writes) --------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Stale-restart guard: micro-batch ids only move forward.  If
+        # the streaming _checkpoint dir is lost while state_dir
+        # survives, batch ids restart at 0 and the pre-batch readers
+        # (before_batch=0) would silently hand back the SEED state and
+        # overwrite committed versions.  A legitimate replay re-runs
+        # the LAST attempted batch (batch_id == max committed version);
+        # anything older means the checkpoint and the state have
+        # diverged — refuse instead of regressing.
+        committed = self._versions(self.inv_root)
+        if committed and max(committed) > batch_id:
+            raise RuntimeError(
+                f"batch_id {batch_id} is older than committed state "
+                f"v{max(committed)}: the streaming checkpoint was lost or "
+                "reset while state_dir survived; refusing to regress "
+                "committed inventory (delete state_dir to restart clean)"
+            )
         # Cache before touching _corrupt_record: Spark disallows
         # queries over raw JSON that reference only the corrupt-record
         # column, and we also want one stable snapshot per batch.
@@ -292,39 +309,16 @@ class CheckoutStream:
         processed = res.processed_events.localCheckpoint()
         to_retry = to_retry.localCheckpoint()
 
-        # ---- idempotent writes (each safe to repeat, any crash point) --
-        # 1. Versioned state first (inventory, retry): overwrite of
-        #    v{batch_id} + _SUCCESS marker = atomic publish; written
-        #    unconditionally so a replayed batch always reconverges.
-        new_inventory.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.inv_root, f"v{batch_id}")
-        )
-        to_retry.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.retry_root, f"v{batch_id}")
-        )
-        if self._crash_after == "state":
-            raise RuntimeError("injected crash after state writes")
-        # 2. Orders: INSERT IGNORE — anti-join against the FULL table so
-        #    a replay after a completed append appends nothing.
+        # ---- one driver action gates every conditional write ----------
+        # Orders INSERT IGNORE view (anti-join against the FULL table so
+        # a replay after a completed append appends nothing) and the
+        # side-channel frames, all derived from pinned snapshots:
         existing = self.existing_orders()
         orders_out = new_orders.withColumn("batch_id", F.lit(batch_id))
         if existing is not None:
             orders_out = orders_out.join(
                 existing.select("order_id"), "order_id", "left_anti"
             ).localCheckpoint()
-        if orders_out.count() > 0:
-            orders_out.write.mode("append").parquet(self.orders_dir)
-        if self._crash_after == "orders":
-            raise RuntimeError("injected crash after orders append")
-        # 3. Per-batch partitions, overwritten: events / quarantine /
-        #    responses replay as exact rewrites.  Empty partitions are
-        #    skipped — decisions are deterministic, so a replay could
-        #    only ever rewrite identical content, and an all-empty
-        #    parquet root breaks schema inference for readers.
-        if processed.count() > 0:
-            processed.write.mode("overwrite").parquet(
-                os.path.join(self.events_dir, f"batch_id={batch_id}")
-            )
         bad = (
             split.rejected.select(
                 F.lit("VALIDATION").alias("reason"),
@@ -350,22 +344,65 @@ class CheckoutStream:
                 )
             )
         )
-        if bad.count() > 0:
+        notify = processed.filter(F.col("status") == "PROCESSED").select(
+            "order_id", "customer_id", "status"
+        )
+        # The empty-check counts previously ran as ~5 separate driver
+        # actions per micro-batch; a union of single-row aggregates is
+        # ONE job (each leg reads a pinned cache/checkpoint, no
+        # recompute), cutting per-batch scheduling latency.
+        gates = {"orders": orders_out, "processed": processed, "bad": bad,
+                 "responses": responses, "notify": notify}
+        summary = functools.reduce(
+            DataFrame.unionByName,
+            [
+                df.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit(name).alias("k"), "n"
+                )
+                for name, df in gates.items()
+            ],
+        )
+        n = {row["k"]: row["n"] for row in summary.collect()}
+
+        # ---- idempotent writes (each safe to repeat, any crash point) --
+        # 1. Versioned state first (inventory, retry): overwrite of
+        #    v{batch_id} + _SUCCESS marker = atomic publish; written
+        #    unconditionally so a replayed batch always reconverges.
+        new_inventory.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.inv_root, f"v{batch_id}")
+        )
+        to_retry.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.retry_root, f"v{batch_id}")
+        )
+        if self._crash_after == "state":
+            raise RuntimeError("injected crash after state writes")
+        # 2. Orders append (INSERT IGNORE semantics via the anti-join).
+        if n["orders"] > 0:
+            orders_out.write.mode("append").parquet(self.orders_dir)
+        if self._crash_after == "orders":
+            raise RuntimeError("injected crash after orders append")
+        # 3. Per-batch partitions, overwritten: events / quarantine /
+        #    responses replay as exact rewrites.  Empty partitions are
+        #    skipped — decisions are deterministic, so a replay could
+        #    only ever rewrite identical content, and an all-empty
+        #    parquet root breaks schema inference for readers.
+        if n["processed"] > 0:
+            processed.write.mode("overwrite").parquet(
+                os.path.join(self.events_dir, f"batch_id={batch_id}")
+            )
+        if n["bad"] > 0:
             bad.write.mode("overwrite").parquet(
                 os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
             )
-        if responses.count() > 0:
+        if n["responses"] > 0:
             responses.write.mode("overwrite").parquet(
                 os.path.join(self.responses_dir, f"batch_id={batch_id}")
             )
         # 4. Notifications (P4/P5): the reference notifier is
         #    fire-and-forget — at-least-once, errors swallowed
         #    (notification_sender/app.py:24-26).
-        notify = processed.filter(F.col("status") == "PROCESSED").select(
-            "order_id", "customer_id", "status"
-        )
         try:
-            if notify.count() > 0:
+            if n["notify"] > 0:
                 notify.write.mode("append").parquet(self.notify_dir)
         except Exception:
             pass  # notifier swallows (notification_sender/app.py:24-26)

@@ -558,3 +558,85 @@ def test_kafka_source_raises_without_connector(spark):
         )
         df.writeStream.format("noop").start()
     assert "kafka" in str(exc.value).lower()
+
+
+def test_stale_checkpoint_restart_refused(stream_env):
+    """If the streaming _checkpoint dir is lost while state_dir
+    survives, batch ids restart at 0; the pre-batch readers would then
+    hand back older (or seed) state and overwrite committed versions.
+    process_batch must refuse rather than regress.  (With only ONE
+    committed batch the restart is indistinguishable from a legitimate
+    replay of that batch — the guard protects every multi-batch
+    history, which is where the silent-regression blast radius is.)"""
+    import shutil
+
+    spark, input_dir, state_dir = stream_env
+    stream = CheckoutStream(spark, state_dir)
+    write_file(input_dir, "b0.json", [order("cust-1", [("prod-101", 1)], 0)])
+    stream.run_available(input_dir)
+    write_file(input_dir, "b1.json", [order("cust-2", [("prod-101", 1)], 1)])
+    stream.run_available(input_dir)
+    assert sorted(os.listdir(os.path.join(state_dir, "inventory"))) == ["v0", "v1"]
+
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    write_file(input_dir, "b2.json", [order("cust-3", [("prod-101", 1)], 2)])
+    fresh = CheckoutStream(spark, state_dir)
+    with pytest.raises(Exception) as exc:
+        fresh.run_available(input_dir)
+    assert "older than committed state" in str(exc.value)
+    # Committed inventory is untouched by the refused run.
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in fresh.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 48
+
+
+def test_streaming_replay_global_matches_reference_loop(stream_env):
+    """ADVICE r2: the streaming shell in ``mode='replay_global'`` must
+    reproduce the REFERENCE transactional loop exactly — a FAILED
+    order's demand is released (its rollback takes nothing), so a later
+    order can still settle.  The default ``optimistic`` prefix-demand
+    rule intentionally diverges here (it charges failed orders' demand
+    against stock — documented in SURVEY.md §1.4); this test pins the
+    fidelity mode so that divergence stays an explicit choice, not a
+    silent drift."""
+    spark, input_dir, state_dir = stream_env
+    # Seed stock: prod-104 = 10, prod-105 = 5.
+    # A wants (prod-104 x5, prod-105 x9) → FAILS on prod-105, whole
+    # order rolls back.  B wants (prod-104 x8) → reference PROCESSES it
+    # (A took nothing); optimistic would charge A's 5 and fail B.
+    lines = [
+        order("cust-A", [("prod-104", 5), ("prod-105", 9)], 0),
+        order("cust-B", [("prod-104", 8)], 1),
+    ]
+    write_file(input_dir, "b0.json", lines)
+    stream = CheckoutStream(spark, state_dir, mode="replay_global")
+    stream.run_available(input_dir)
+
+    statuses = {
+        r["customer_id"]: r["status"] for r in stream.orders_table().collect()
+    }
+    assert statuses == {"cust-A": "FAILED", "cust-B": "PROCESSED"}
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in stream.current_inventory().collect()
+    }
+    assert inv["prod-104"] == 2 and inv["prod-105"] == 5
+
+    # Same events through the batch reference loop → identical result.
+    raw = parsed_batch(spark, lines).drop("_corrupt_record").withColumn(
+        "timestamp",
+        F.to_timestamp_ntz(
+            F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        ),
+    )
+    _, res = P.run_checkout_batch(spark, raw, mode="replay_global")
+    batch_statuses = {
+        r["customer_id"]: r["status"] for r in res.orders.collect()
+    }
+    assert batch_statuses == statuses
+    batch_inv = {
+        r["product_id"]: r["quantity_available"] for r in res.inventory.collect()
+    }
+    assert batch_inv["prod-104"] == 2 and batch_inv["prod-105"] == 5
