@@ -274,3 +274,53 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     right = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return left.exceptAll(right)
+
+
+@register(
+    "snk_bucketed",
+    oracle="SELECT o_orderstatus, "
+    f"{sql_dsum('l_quantity')} AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderstatus",
+    doc="Bucketed sink + co-located join (S10/J4 scale path): both "
+    "fact tables are written bucketBy(8, orderkey) + sortBy, then "
+    "joined bucket-to-bucket — the join stage plans with ZERO Exchange "
+    "on the join keys (asserted by "
+    "tests/test_scale_features.py::test_bucketed_join_eliminates_shuffle). "
+    "This is THE strategy for a join that recurs on one key at 100 TB: "
+    "pay the shuffle once at write time, never again at read time. "
+    "The oracle is the same join on the raw parquet — bucketing must "
+    "not change results, only the plan.",
+)
+def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ecs_bucketed_{tag}")
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    for name, table, key in (
+        (li_name, "lineitem", "l_orderkey"),
+        (ord_name, "orders", "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, table)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    li = spark.table(li_name)
+    orders = spark.table(ord_name)
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -242,3 +242,104 @@ def test_resize_and_frame_sample_stubs():
     # 200 chars → 4 frames of 64, sampled every 2nd → idx 0 and 2.
     assert [i for i, _ in frames] == [0, 2]
     assert len(frames[0][1]) == 64 and len(frames[1][1]) == 64
+
+
+def test_ledger_stream_matches_batch_replay(spark, tmp_path):
+    """T1 equivalence (r2 verdict ask): the TRUE-streaming inventory
+    ledger (applyInPandasWithState — the operational stateful path in
+    this environment) over the SAME derived item stream produces
+    byte-identical per-item decisions to the batch
+    ``state_inventory_replay`` operator (chunked greedy fold), across a
+    micro-batch boundary.
+
+    When to prefer which (also in streaming/stateful.py): the ledger is
+    the right primitive for a LIVE per-key stream — state is
+    partitioned with the stream, O(1) per key, checkpointed
+    incrementally, no history retained.  The chunked replay is the
+    right primitive for a bounded HISTORICAL fold — one ranked shuffle,
+    no state store, and the whole history re-derives from inputs.
+    Semantics are identical; this test pins that."""
+    import pandas as pd  # noqa: F401
+
+    from event_stream_checkout_spark.operators.checkout import (
+        inventory,
+        order_items,
+        q_state_inventory_replay,
+    )
+    from event_stream_checkout_spark.streaming.stateful import (
+        inventory_ledger_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    items = order_items(spark, SF_DIR).select(
+        "product_id",
+        F.col("event_id").alias("event_seq"),
+        "quantity",
+        F.col("item_ts").alias("ts"),
+    )
+    rows = items.collect()
+    # Two files split on median ts → two micro-batches, state carried.
+    rows.sort(key=lambda r: (r["ts"], r["event_seq"]))
+    mid = rows[len(rows) // 2]["ts"]
+    items_dir = tmp_path / "items"
+    items_dir.mkdir()
+    for name, part in (
+        ("b1.json", [r for r in rows if r["ts"] <= mid]),
+        ("b2.json", [r for r in rows if r["ts"] > mid]),
+    ):
+        with open(items_dir / name, "w") as f:
+            for r in part:
+                f.write(
+                    json.dumps(
+                        {
+                            "product_id": r["product_id"],
+                            "event_seq": r["event_seq"],
+                            "quantity": r["quantity"],
+                            "ts": r["ts"].isoformat(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    seed = {
+        r["product_id"]: r["stock"]
+        for r in inventory(spark, SF_DIR).collect()
+    }
+    q = (
+        inventory_ledger_stream(spark, str(items_dir), seed=seed)
+        .writeStream.format("memory")
+        .queryName("ledger_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ledger = {
+        r["event_seq"]: (bool(r["item_ok"]), int(r["remaining"]))
+        for r in spark.sql("SELECT * FROM ledger_eq").collect()
+    }
+
+    replay = {
+        r["event_id"]: (bool(r["item_ok"]), int(r["remaining_after"]))
+        for r in q_state_inventory_replay(spark, SF_DIR).collect()
+    }
+    assert len(ledger) == len(replay) > 0
+    assert ledger == replay
+
+
+def test_snk_bucketed_plan_has_no_join_exchange(spark):
+    """The REGISTERED bucketed-join query must plan its join without
+    shuffling either side (bucket-to-bucket SortMergeJoin); only the
+    tiny 3-row status aggregate afterwards may exchange."""
+    from event_stream_checkout_spark.operators.relational3 import (
+        q_snk_bucketed,
+    )
+    from tests.conftest import SF_DIR
+
+    df = q_snk_bucketed(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
