@@ -343,3 +343,23 @@ def test_snk_bucketed_plan_has_no_join_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_min_scan_parallelism_is_conditional(spark):
+    """The low-split repartition helper must fire only when the scan
+    has fewer splits than the session parallelism — it is a local
+    remedy for unsplittable inputs, and a no-op on an already-parallel
+    frame (at 100 TB split count >> cores, so no shuffle is added)."""
+    from event_stream_checkout_spark.tables import with_min_scan_parallelism
+    from tests.conftest import SF_DIR
+
+    target = spark.sparkContext.defaultParallelism
+    one_split = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert one_split.rdd.getNumPartitions() < target
+    widened = with_min_scan_parallelism(spark, one_split)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == one_split.count()
+
+    already_wide = one_split.repartition(target + 7)
+    untouched = with_min_scan_parallelism(spark, already_wide)
+    assert untouched.rdd.getNumPartitions() == target + 7
