@@ -324,3 +324,44 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "snk_partitioned",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    f"{sql_dsum('value')} AS sum_value "
+    "FROM events WHERE strftime(ts, '%Y-%m-%d') "
+    "BETWEEN '2024-01-10' AND '2024-01-12' GROUP BY event_type",
+    doc="Date-partitioned sink + partition-pruned read (S10 scale "
+    "path, the complement of snk_bucketed): events are written "
+    "partitionBy(event_date), and a date-range query reads back ONLY "
+    "the 3 matching directories — the scan shows PartitionFilters and "
+    "never opens the other 27 days (asserted by "
+    "tests/test_scale_features.py::test_snk_partitioned_prunes). At "
+    "100 TB this is the difference between scanning 3 days and "
+    "scanning 10 years; time-range queries (tumbling/session windows, "
+    "as-of joins) ride the same layout. The oracle computes the same "
+    "aggregate from the unpartitioned table — layout must not change "
+    "results.",
+)
+def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
+    e = _t(spark, sf_dir, "events")
+    (
+        e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    r = spark.read.parquet(root).filter(
+        F.col("event_date").cast("string").between("2024-01-10", "2024-01-12")
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+    )

@@ -363,3 +363,38 @@ def test_min_scan_parallelism_is_conditional(spark):
     already_wide = one_split.repartition(target + 7)
     untouched = with_min_scan_parallelism(spark, already_wide)
     assert untouched.rdd.getNumPartitions() == target + 7
+
+
+def test_snk_partitioned_prunes(spark):
+    """The date-partitioned read must plan with PartitionFilters on
+    event_date and touch only the 3 matching date directories — the
+    other 27 days never reach the scan."""
+    from event_stream_checkout_spark.operators.relational3 import (
+        q_snk_partitioned,
+    )
+    from tests.conftest import SF_DIR
+
+    df = q_snk_partitioned(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # Directory-level evidence: rebuild the pruned SCAN (input_file_name
+    # is only meaningful before the aggregation shuffle) and confirm
+    # only the 3 matching date directories are opened.
+    import hashlib
+    import os
+    import re
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"ecs_partitioned_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+    )
+    scan = spark.read.parquet(root).filter(
+        F.col("event_date").cast("string").between("2024-01-10", "2024-01-12")
+    )
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    dates = {re.search(r"event_date=([0-9-]+)", f).group(1) for f in files}
+    assert dates == {"2024-01-10", "2024-01-11", "2024-01-12"}
