@@ -365,3 +365,26 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest-style sketches are engine-specific;
+    # rows-only check + unit test asserts tight rank-error bounds vs
+    # DuckDB's exact interpolated quantiles.
+    doc="approx_percentile (A4 sketch path): the 100 TB quantile "
+    "strategy — constant-memory, mergeable across partitions, one "
+    "pass — where exact percentile_cont would need a full sort per "
+    "group. accuracy=10000 bounds rank error at 1/10000; the parity "
+    "harness checks each estimate lies within the exact values at "
+    "the ±0.5% neighboring ranks (tests/test_parity.py). Completes "
+    "the approx family next to agg_approx_distinct (HLL++).",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        pct[0].alias("ap50"), pct[1].alias("ap90"), pct[2].alias("ap99")
+    )

@@ -102,3 +102,29 @@ def test_approx_distinct_error_bound(spark, duck):
         assert rel_err <= 0.02, (status, approx, int(n), rel_err)
         # The Spark-side exact column must agree with DuckDB exactly.
         assert int(sdf.loc[status, "exact_customers"]) == int(n)
+
+
+def test_approx_percentile_rank_error_bound(spark, duck):
+    """agg_approx_percentile has no value oracle by design — quantile
+    sketches are engine-internal — but each estimate must fall between
+    the exact quantiles at the ±0.5% neighboring ranks (accuracy=10000
+    guarantees 1/10000 rank error; 0.005 leaves comfortable margin
+    while still failing on any real regression)."""
+    sdf = (
+        QUERIES["agg_approx_percentile"].fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    eps = 0.005
+    for q, col in ((0.5, "ap50"), (0.9, "ap90"), (0.99, "ap99")):
+        exact = duck.sql(
+            f"SELECT o_orderstatus, "
+            f"quantile_cont(o_totalprice, {max(q - eps, 0)}) AS lo, "
+            f"quantile_cont(o_totalprice, {min(q + eps, 1)}) AS hi "
+            "FROM orders GROUP BY o_orderstatus"
+        ).df().set_index("o_orderstatus")
+        assert set(sdf.index) == set(exact.index)
+        for status in exact.index:
+            v = float(sdf.loc[status, col])
+            lo, hi = float(exact.loc[status, "lo"]), float(exact.loc[status, "hi"])
+            assert lo <= v <= hi, (status, col, v, lo, hi)
