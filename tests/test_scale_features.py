@@ -398,3 +398,67 @@ def test_snk_partitioned_prunes(spark):
     files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
     dates = {re.search(r"event_date=([0-9-]+)", f).group(1) for f in files}
     assert dates == {"2024-01-10", "2024-01-11", "2024-01-12"}
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """SCALE.md claims skewed JOIN keys are handled by AQE's skew-join
+    splitting (no hand-salting needed on the join path). Demonstrate
+    it: a join where one key holds ~90% of the left side, with the
+    skew thresholds scaled down to test size, must execute with
+    AQE marking the sort-merge join as skew=true — the oversized
+    partition is split into parallel sub-partitions at runtime."""
+    left_hot = spark.range(0, 60000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    left_cold = spark.range(0, 6000).select(
+        F.concat(F.lit("c"), (F.col("id") % 600).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = (
+        left_hot.select("k").distinct()
+        .union(left_cold.select("k").distinct())
+        .withColumn("w", F.length("k"))
+    )
+    left_path, right_path = str(tmp_path / "l"), str(tmp_path / "r")
+    left_hot.union(left_cold).write.parquet(left_path)
+    right.write.parquet(right_path)
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        # Force a shuffle join: broadcast would hide the skew path.
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Global aggregate after the join: a keyed groupBy(k) would
+        # REUSE the join's hash distribution, and AQE (correctly)
+        # refuses to split a skewed partition when that would force an
+        # extra downstream shuffle (forceOptimizeSkewedJoin=false).
+        joined = (
+            spark.read.parquet(left_path)
+            .join(spark.read.parquet(right_path).hint("merge"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        # Execute THIS Dataset's QueryExecution so the inspected plan is
+        # AQE's final choice (a noop write spawns a separate one).
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in plan, plan[:2000]
+        assert rows[0]["n"] == 66000  # split join still produces exact results
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
