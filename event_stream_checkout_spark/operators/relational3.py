@@ -352,13 +352,12 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
     e = _t(spark, sf_dir, "events")
-    (
-        e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-        .write.partitionBy("event_date")
-        .mode("overwrite")
-        .parquet(root)
-    )
-    r = spark.read.parquet(root).filter(
+    dated = e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    dated.write.partitionBy("event_date").mode("overwrite").parquet(root)
+    # Explicit schema: an all-empty input writes a partition root with
+    # no data files, where inference has nothing to read — and at scale
+    # declared schemas beat inference anyway (one less metadata pass).
+    r = spark.read.schema(dated.schema).parquet(root).filter(
         F.col("event_date").cast("string").between("2024-01-10", "2024-01-12")
     )
     return r.groupBy("event_type").agg(

@@ -462,3 +462,35 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path):
+    """Robustness sweep: every registered query must EXECUTE against a
+    dataset where all 10 tables are empty (0 rows, correct schemas) —
+    the local proxy for what a 100 TB run hits constantly: empty
+    partitions, filters that eliminate everything, broadcast of empty
+    dims, min/max aggregates over no rows. A query may legitimately
+    return 0 rows; it may not throw."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from event_stream_checkout_spark.registry import QUERIES, load_all
+    from event_stream_checkout_spark.tables import TABLE_NAMES
+
+    load_all()
+    empty_dir = str(tmp_path / "empty")
+    os.makedirs(empty_dir)
+    for t in TABLE_NAMES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            schema.empty_table(), os.path.join(empty_dir, f"{t}.parquet")
+        )
+
+    failures = {}
+    for key, q in QUERIES.items():
+        try:
+            q.fn(spark, empty_dir).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = str(e).splitlines()[0][:200]
+    assert not failures, failures
