@@ -71,6 +71,17 @@ def grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8  # 4 bands × 2 rows
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 
+# Degenerate-bucket guard: a band bucket of B members expands to
+# O(B²) candidate pairs INSIDE one task, so a mega-bucket (a family of
+# near-identical boilerplate docs that survived exact dedup) would
+# materialize a quadratic blowup at 100 TB.  Buckets above the cap are
+# dropped — standard practice in corpus-dedup LSH passes; the cap is
+# far above any bucket the test corpora produce (max ~30), and members
+# of a dropped mega-bucket still pair through their OTHER 3 bands
+# unless those are equally degenerate.  Applied identically in the
+# oracle (capped CTE).
+_LSH_BUCKET_CAP = 1000
+
 
 def _sig_columns() -> list:
     """Minhash signature columns, computed SCAN-LOCALLY from a `_grams`
@@ -126,6 +137,14 @@ _SQL_SIGS = (
     + f" FROM grams GROUP BY doc_id)"
 )
 
+_SQL_CAPPED = (
+    "bcnt AS (SELECT band_idx, band_key, count(*) AS c FROM bands "
+    "GROUP BY 1, 2), "
+    "capped AS (SELECT b.* FROM bands b JOIN bcnt "
+    "USING (band_idx, band_key) "
+    f"WHERE c BETWEEN 2 AND {_LSH_BUCKET_CAP})"
+)
+
 _SQL_BANDS = (
     "bands AS (SELECT doc_id, band_idx, band_key FROM sigs, "
     "UNNEST([" + ", ".join(str(i) for i in range(len(_BANDS))) + "]) AS t(band_idx), "
@@ -179,7 +198,9 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP)
+        )
     )
     pair_arr = F.flatten(
         F.transform(
@@ -199,9 +220,9 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
 
 @register(
     "llm_near_dedup",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS} "
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, {_SQL_CAPPED} "
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM bands a JOIN bands b "
+    "FROM capped a JOIN capped b "
     "ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
     "AND a.doc_id < b.doc_id",
     doc="Near-duplicate candidate pairs via LSH banding (X2): docs "
@@ -670,8 +691,9 @@ def q_llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SQL_PAIRS = (
+    f"{_SQL_CAPPED}, "
     "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+    "FROM capped a JOIN capped b ON a.band_idx = b.band_idx "
     "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
     # Undirected edge list incl. self-loops so isolated members keep
     # their own label.

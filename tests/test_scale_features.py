@@ -494,3 +494,52 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures[key] = str(e).splitlines()[0][:200]
     assert not failures, failures
+
+
+def test_contamination_cap_drops_stop_phrases(spark, tmp_path):
+    """Semantic check of the decontamination df-cap (not just oracle
+    parity): grams shared by MORE than _CONTAM_DF_CAP documents are
+    stop-phrases and must not produce contamination flags; rare-gram
+    overlap must still be flagged."""
+    import os
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _CONTAM_DF_CAP,
+        q_llm_contamination,
+    )
+
+    # 5 words → 3 hot grams shared by ALL docs: without the cap every
+    # corpus doc would clear the >=3 shared-grams threshold against
+    # bench doc 0 purely on boilerplate.
+    hot = "alpha beta gamma delta epsilon"
+    rows = []
+    # doc_id 0 is a bench doc (doc_id % 50 == 0); 1..n are corpus docs.
+    for i in range(_CONTAM_DF_CAP + 4):
+        rows.append((i, f"{hot} filler{i} junk{i} pad{i} tail{i}"))
+    # One corpus doc shares 3 RARE grams with bench doc 0 on top of hot.
+    rows.append(
+        (7777, f"{hot} filler0 junk0 pad0 tail0")
+    )
+    pdf = pd.DataFrame(
+        [
+            (i, t, "en", "syn", len(t))
+            for i, t in rows
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path / "sfx")
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    flagged = {
+        (r["doc_id"], r["bench_id"])
+        for r in q_llm_contamination(spark, sf_dir).collect()
+    }
+    # Doc 7777 shares "gamma delta filler0", "delta filler0 junk0",
+    # "filler0 junk0 pad0", ... with bench doc 0 — rare grams, flagged.
+    assert (7777, 0) in flagged
+    # Every other corpus doc shares ONLY the hot grams with doc 0
+    # (df = 16 > cap) — the cap must suppress them all.
+    assert flagged == {(7777, 0)}
