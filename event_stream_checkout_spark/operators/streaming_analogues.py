@@ -131,3 +131,107 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@register(
+    "state_ledger_stream",
+    # Same recursive-CTE oracle as state_inventory_replay, projected to
+    # the ledger's output columns — the TRUE-streaming stateful path
+    # gets a full value oracle, not just a rows-only check.
+    oracle=None,  # assigned below: shares checkout's CTE text
+    doc="Keyed mutable state, TRUE streaming form (T1/U5): the same "
+    "derived item stream is written to a staging dir, read back with "
+    "readStream, and folded through the applyInPandasWithState "
+    "inventory ledger in availableNow mode — per-key ValueState, "
+    "sequential within key, parallel across keys, incremental "
+    "checkpoints. Output is byte-identical to the batch chunked "
+    "replay (state_inventory_replay), which the oracle encodes as a "
+    "recursive CTE. The only driver-side value is the bounded "
+    "inventory dim seed (~100 rows — the reference's own seed is 5 "
+    "rows, db/init_schema.sql:9-14).",
+)
+def q_state_ledger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .checkout import inventory, order_items
+    from ..streaming.stateful import inventory_ledger_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    items_dir = os.path.join(root, "items")
+    out_dir = os.path.join(root, "out")
+
+    items = order_items(spark, sf_dir).select(
+        "product_id",
+        F.col("event_id").alias("event_seq"),
+        "quantity",
+        F.col("item_ts").alias("ts"),
+    )
+    # ONE ts-sorted staging file → one micro-batch → the fold order is
+    # the global (ts, event_seq) order regardless of how the upstream
+    # scan was partitioned.  (The ledger also re-sorts within each
+    # micro-batch; a multi-file staging would additionally need file
+    # listing order to follow ts — a real deployment gets this from a
+    # per-key-ordered log like Kafka instead of a staging dir.)
+    (
+        items.repartition(1)
+        .sortWithinPartitions("ts", "event_seq")
+        .write.mode("overwrite")
+        .json(items_dir)
+    )
+    seed = {
+        r["product_id"]: r["stock"]
+        for r in inventory(spark, sf_dir).select("product_id", "stock").collect()
+    }
+    q = (
+        inventory_ledger_stream(spark, items_dir, seed=seed)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "product_id", "event_seq", "quantity", "item_ok", "remaining"
+    )
+
+
+# Attach the ledger oracle from checkout's replay CTE (same fixpoint,
+# projected/renamed to the ledger's column names).
+from ..registry import QUERIES as _Q  # noqa: E402
+from .checkout import SQL_INVENTORY as _SQL_INV  # noqa: E402
+from .checkout import SQL_ITEMS as _SQL_IT  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_LEDGER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SQL_IT.strip()
+    + ", "
+    + _SQL_INV.strip()
+    + ", ranked AS ("
+    "  SELECT i.*, CAST(row_number() OVER (PARTITION BY i.product_id "
+    "    ORDER BY i.item_ts, i.event_id) AS BIGINT) AS rn FROM items i), "
+    "st AS ("
+    "  SELECT v.product_id, CAST(0 AS BIGINT) AS rn, v.stock AS remaining, "
+    "    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS quantity, "
+    "    CAST(NULL AS BOOLEAN) AS item_ok "
+    "  FROM inv v "
+    "  UNION ALL "
+    "  SELECT r.product_id, r.rn, "
+    "    CASE WHEN r.quantity <= s.remaining THEN s.remaining - r.quantity "
+    "         ELSE s.remaining END, "
+    "    r.event_id, r.quantity, r.quantity <= s.remaining "
+    "  FROM st s JOIN ranked r ON r.product_id = s.product_id "
+    "    AND r.rn = s.rn + 1) "
+    "SELECT product_id, event_id AS event_seq, quantity, item_ok, "
+    "remaining FROM st WHERE rn >= 1"
+)
+_Q["state_ledger_stream"] = _dc_replace(
+    _Q["state_ledger_stream"], oracle=_LEDGER_ORACLE
+)
