@@ -290,11 +290,21 @@ class CheckoutStream:
         # Decisions are a deterministic function of (input, state before
         # this batch_id), so replays after any partial write re-derive
         # identical results.
+        # One orders-dir read serves both views: the pre-batch filter
+        # (settlement input) and the full table (INSERT IGNORE
+        # anti-join below) — a second read.parquet would re-list and
+        # re-read footers for the same directory every micro-batch.
+        existing = self.existing_orders()
+        pre_batch_orders = (
+            existing.filter(F.col("batch_id") < batch_id)
+            if existing is not None
+            else None
+        )
         _, res = run_checkout_batch(
             self.spark,
             processable,
             inventory=self.current_inventory(before_batch=batch_id),
-            existing_orders=self.existing_orders(before_batch=batch_id),
+            existing_orders=pre_batch_orders,
             mode=self.mode,
         )
         # Materialize ALL decisions before any write (T3: decide, then
@@ -313,7 +323,6 @@ class CheckoutStream:
         # Orders INSERT IGNORE view (anti-join against the FULL table so
         # a replay after a completed append appends nothing) and the
         # side-channel frames, all derived from pinned snapshots:
-        existing = self.existing_orders()
         orders_out = new_orders.withColumn("batch_id", F.lit(batch_id))
         if existing is not None:
             orders_out = orders_out.join(
