@@ -349,23 +349,40 @@ def q_agg_distinct(spark, sf_dir):
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check +
-    # unit test asserts ≤2% relative error vs exact.
+    # The HLL++ estimate itself is engine-internal and can never
+    # cross-engine hash-match — so the query emits the error-bound
+    # VERDICT instead: per group, the exact distinct count (hashable
+    # real content) plus a boolean asserting the sketch landed within
+    # its documented 2% relative-error bound.  DuckDB computes the
+    # identical exact side and asserts TRUE; a sketch regression flips
+    # the boolean and the driver row goes red.  Integer-safe bound
+    # check (100*|approx-exact| <= 2*exact) — no float rounding risk.
+    oracle="SELECT o_orderstatus, "
+    "CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers, "
+    "TRUE AS within_2pct "
+    "FROM orders GROUP BY o_orderstatus",
     doc="approx_count_distinct (A5): HyperLogLog++ sketch — the 100 TB "
     "path for cardinality (constant memory, mergeable across "
     "partitions). rsd=0.01 sizes the sketch for the ≤2% relative-error "
-    "bound the parity harness enforces against DuckDB's exact count.",
+    "bound; the query emits the bound verdict so the driver "
+    "hash-checks it against DuckDB's exact count.",
 )
 def q_agg_approx_distinct(spark, sf_dir):
-    return (
+    agg = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias(
-                "approx_customers"
-            ),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
             F.count_distinct("o_custkey").alias("exact_customers"),
         )
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers")) * 100
+            <= F.col("exact_customers") * 2
+        ).alias("within_2pct"),
     )
 
 

@@ -366,24 +366,91 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rank-bound table for the approx-percentile verdict: per target
+# percentile p, the sketch estimate must lie between the exact order
+# statistics at ranks (p-0.5%)·n and (p+0.5%)·n.  Rank arithmetic is
+# pure integer math ((P·n) div 1000) so both engines compute identical
+# ranks; the bound values are raw data selections — bit-exact across
+# engines, unlike interpolated quantiles.
+_AP_BOUNDS = (("p50", 495, 505), ("p90", 895, 905), ("p99", 985, 995))
+
+
 @register(
     "agg_approx_percentile",
-    oracle=None,  # t-digest-style sketches are engine-specific;
-    # rows-only check + unit test asserts tight rank-error bounds vs
-    # DuckDB's exact interpolated quantiles.
+    # The sketch value is engine-internal, so (as with
+    # agg_approx_distinct) the query emits the rank-error VERDICT:
+    # exact order-statistic bounds at the ±0.5% neighboring ranks plus
+    # a within-bound boolean per percentile.  accuracy=10000 bounds
+    # rank error at 1/10000, far inside the ±0.5% band, so the boolean
+    # is robustly TRUE unless the sketch regresses.  DuckDB computes
+    # the identical integer ranks and bound values and asserts TRUE.
+    oracle="WITH ranked AS (SELECT o_orderstatus, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rk, "
+    "count(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders) "
+    "SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"max(CASE WHEN rk = greatest(1, ({plo}*n)//1000) "
+        f"THEN o_totalprice END) AS {name}_lo, "
+        f"max(CASE WHEN rk = least(n, ({phi}*n+999)//1000) "
+        f"THEN o_totalprice END) AS {name}_hi, "
+        f"TRUE AS {name}_ok"
+        for name, plo, phi in _AP_BOUNDS
+    )
+    + " FROM ranked GROUP BY o_orderstatus",
     doc="approx_percentile (A4 sketch path): the 100 TB quantile "
     "strategy — constant-memory, mergeable across partitions, one "
-    "pass — where exact percentile_cont would need a full sort per "
-    "group. accuracy=10000 bounds rank error at 1/10000; the parity "
-    "harness checks each estimate lies within the exact values at "
-    "the ±0.5% neighboring ranks (tests/test_parity.py). Completes "
-    "the approx family next to agg_approx_distinct (HLL++).",
+    "pass — where exact quantiles need a full sort per group. The "
+    "query also computes that full-sort exact side (order statistics "
+    "at the ±0.5% neighboring ranks, integer rank math) and emits "
+    "per-group within-bound verdicts, making the sketch "
+    "driver-hash-checkable. Completes the approx family next to "
+    "agg_approx_distinct (HLL++).",
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    by_status = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number()
+        .over(by_status.orderBy("o_totalprice"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(by_status).alias("n"),
+    )
+
+    def at_rank(rank_sql: str, alias: str):
+        # Ties share a value, so "the value at rank k" is deterministic
+        # even though row_number breaks ties arbitrarily.
+        return F.max(
+            F.when(F.col("rk") == F.expr(rank_sql), F.col("o_totalprice"))
+        ).alias(alias)
+
+    bounds = ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n_rows"),
+        *[
+            agg
+            for name, plo, phi in _AP_BOUNDS
+            for agg in (
+                at_rank(f"greatest(1L, ({plo}L * n) div 1000)", f"{name}_lo"),
+                at_rank(f"least(n, ({phi}L * n + 999) div 1000)", f"{name}_hi"),
+            )
+        ],
+    )
     pct = F.expr(
         "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
     )
-    return o.groupBy("o_orderstatus").agg(
-        pct[0].alias("ap50"), pct[1].alias("ap90"), pct[2].alias("ap99")
+    sketch = o.groupBy("o_orderstatus").agg(
+        pct[0].alias("_ap50"), pct[1].alias("_ap90"), pct[2].alias("_ap99")
+    )
+    joined = bounds.join(F.broadcast(sketch), "o_orderstatus")
+    return joined.select(
+        "o_orderstatus",
+        "n_rows",
+        *[c for name, _, _ in _AP_BOUNDS for c in (f"{name}_lo", f"{name}_hi")],
+        *[
+            F.col(f"_ap{name[1:]}")
+            .between(F.col(f"{name}_lo"), F.col(f"{name}_hi"))
+            .alias(f"{name}_ok")
+            for name, _, _ in _AP_BOUNDS
+        ],
     )

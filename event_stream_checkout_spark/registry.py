@@ -87,6 +87,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup", "win_rank", "win_lag_lead",
     "win_running_sum", "win_topk_per_group",
+    # round 3 (CORRECTNESS_r03.json) — first-time greens; the r3
+    # ROUND_MODIFIED re-grades were already members.
+    "llm_curation_pipeline", "multimodal_frame_sample", "snk_bucketed",
+    "snk_partitioned", "state_ledger_stream",
 })
 
 
@@ -95,21 +99,18 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
-    "sort_orders",             # diamond pinned with localCheckpoint (r3)
-    "llm_minhash_signatures",  # scan-local array_min sigs (r3)
-    "llm_near_dedup",          # sigs source rewritten (r3)
-    "llm_near_dedup_groups",   # oracle → recursive-CTE fixpoint (r3)
-    "llm_dedup_keep_best",     # oracle → recursive-CTE fixpoint (r3)
-    "llm_contamination",       # document-frequency skew cap (r3)
+    # r4: both approx sketches now emit in-query error-bound verdicts
+    # with full value oracles (previously rows-only `no_oracle`).
+    "agg_approx_distinct",
+    "agg_approx_percentile",
 })
 
 
 # Never-graded keys that must take the FIRST slots of this round's
 # window (flagships deferred out of a previous round's full window).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    "llm_curation_pipeline",
-    "multimodal_frame_sample",
-)
+# r4: none — every registered key has a driver row; the window leads
+# with the ROUND_MODIFIED rewrites instead.
+DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, Query]:

@@ -269,12 +269,13 @@ def test_existing_orders_anti_join(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """Companion check for agg_approx_distinct (no oracle): HLL++
-    estimate within 2% of exact."""
+    """Companion check for agg_approx_distinct: the in-query HLL++
+    error-bound verdict must hold on every group (the value oracle
+    hash-checks the same booleans against DuckDB's exact side)."""
     from event_stream_checkout_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    df = load_all()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
-    for r in df:
-        exact, approx = r["exact_customers"], r["approx_customers"]
-        assert abs(approx - exact) / max(exact, 1) < 0.05, (exact, approx)
+    rows = load_all()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["within_2pct"], (r["o_orderstatus"], r["exact_customers"])

@@ -82,49 +82,25 @@ def test_parity(key, spark, duck):
 
 
 def test_approx_distinct_error_bound(spark, duck):
-    """agg_approx_distinct has no value oracle by design — HLL sketches
-    are engine-internal and not portable — but the sketch IS
-    quantitatively checked: per group, the HLL++ estimate must be
-    within 2% relative error of DuckDB's exact distinct count."""
-    sdf = (
-        QUERIES["agg_approx_distinct"].fn(spark, SF_DIR)
-        .toPandas()
-        .set_index("o_orderstatus")
-    )
-    exact = duck.sql(
-        "SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n "
-        "FROM orders GROUP BY o_orderstatus"
-    ).df().set_index("o_orderstatus")
-    assert set(sdf.index) == set(exact.index)
-    for status, n in exact["n"].items():
-        approx = int(sdf.loc[status, "approx_customers"])
-        rel_err = abs(approx - int(n)) / max(int(n), 1)
-        assert rel_err <= 0.02, (status, approx, int(n), rel_err)
-        # The Spark-side exact column must agree with DuckDB exactly.
-        assert int(sdf.loc[status, "exact_customers"]) == int(n)
+    """The HLL++ estimate can't cross-engine match, so the query emits
+    the 2% error-bound VERDICT; every group must come back TRUE (the
+    generic parity test then hash-matches the same booleans + exact
+    counts against DuckDB)."""
+    sdf = QUERIES["agg_approx_distinct"].fn(spark, SF_DIR).toPandas()
+    assert len(sdf) > 0
+    assert sdf["within_2pct"].all(), sdf.to_dict("records")
 
 
 def test_approx_percentile_rank_error_bound(spark, duck):
-    """agg_approx_percentile has no value oracle by design — quantile
-    sketches are engine-internal — but each estimate must fall between
-    the exact quantiles at the ±0.5% neighboring ranks (accuracy=10000
-    guarantees 1/10000 rank error; 0.005 leaves comfortable margin
-    while still failing on any real regression)."""
-    sdf = (
-        QUERIES["agg_approx_percentile"].fn(spark, SF_DIR)
-        .toPandas()
-        .set_index("o_orderstatus")
-    )
-    eps = 0.005
-    for q, col in ((0.5, "ap50"), (0.9, "ap90"), (0.99, "ap99")):
-        exact = duck.sql(
-            f"SELECT o_orderstatus, "
-            f"quantile_cont(o_totalprice, {max(q - eps, 0)}) AS lo, "
-            f"quantile_cont(o_totalprice, {min(q + eps, 1)}) AS hi "
-            "FROM orders GROUP BY o_orderstatus"
-        ).df().set_index("o_orderstatus")
-        assert set(sdf.index) == set(exact.index)
-        for status in exact.index:
-            v = float(sdf.loc[status, col])
-            lo, hi = float(exact.loc[status, "lo"]), float(exact.loc[status, "hi"])
-            assert lo <= v <= hi, (status, col, v, lo, hi)
+    """The quantile sketch can't cross-engine match, so the query emits
+    per-percentile rank-error verdicts (estimate between the exact
+    order statistics at the ±0.5% neighboring ranks; accuracy=10000
+    guarantees 1/10000 rank error so TRUE is robust).  All groups and
+    all three percentiles must verdict TRUE, and the bounds themselves
+    must be ordered (lo <= hi) — the generic parity test hash-matches
+    the full frame against DuckDB's identical integer-rank math."""
+    sdf = QUERIES["agg_approx_percentile"].fn(spark, SF_DIR).toPandas()
+    assert len(sdf) > 0
+    for name in ("p50", "p90", "p99"):
+        assert sdf[f"{name}_ok"].all(), sdf.to_dict("records")
+        assert (sdf[f"{name}_lo"] <= sdf[f"{name}_hi"]).all()
