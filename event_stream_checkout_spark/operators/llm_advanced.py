@@ -262,7 +262,9 @@ _SIMHASH_BITS = 16
     "16 partial sums — 1/16th the shuffle volume of the naive plan.",
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Token-explode + md5-per-token is compute-heavy scan-local work;
+    # single-row-group inputs need the repartition (no-op at scale).
+    d = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
     h = F.md5("tok")
 
@@ -634,14 +636,21 @@ _SQL_NRM = (
 def q_llm_embedding_near_dup(
     spark: SparkSession, sf_dir: str, bits: int = 4
 ) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    # Norms are per-VECTOR, so compute them once per row before the
+    # self-join — the higher-order-function fold is interpreted (not
+    # codegen), and evaluating it per PAIR costs O(pairs·dim) twice
+    # over; per-row it is O(rows·dim).  Same doubles, same cosine —
+    # multiplication of identical per-vector values.
     b = e.withColumn("bucket", _sign_bucket("embedding", bits)).select(
-        "vec_id", "bucket", "embedding"
+        "vec_id",
+        "bucket",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a2, b2 = b.alias("a"), b.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a2.join(

@@ -103,6 +103,9 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     # with full value oracles (previously rows-only `no_oracle`).
     "agg_approx_distinct",
     "agg_approx_percentile",
+    # r4 perf rewrites (same oracles, engine plan changed):
+    "llm_simhash",             # wide scan via with_min_scan_parallelism
+    "llm_embedding_near_dup",  # per-vector norm precompute (10x)
 })
 
 

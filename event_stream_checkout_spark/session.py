@@ -34,15 +34,17 @@ _RUNTIME_CONFS: dict[str, str] = {
     # local[32] guidance: match shuffle width to cores; on a real
     # cluster AQE coalesces this down/up as needed.
     "spark.sql.shuffle.partitions": "32",
-    # Split small files finer so compute-heavy SCAN-LOCAL expressions
-    # (minhash signatures, quality scoring) parallelize even when a
-    # table is one parquet split.  At 100 TB the scan already has
-    # thousands of splits, so a minimum of 32 is a no-op there — this
-    # only guards the small-input case.
-    "spark.sql.files.minPartitionNum": "32",
-    # 10 MB default is conservative; our dims (region/nation/part
-    # slices, inventory) are tiny — keep default but AQE will also
-    # convert to broadcast at runtime when sizes allow.
+    # NOTE: no global spark.sql.files.minPartitionNum.  Round 4 A/B
+    # (scripts/bisect_minpart.py, n=7 paired, sf0.1) showed the global
+    # 32-way scan minimum taxed every sub-second query 10-17%
+    # (32-task scheduling overhead on 0.3 s scans) while the queries
+    # that NEED wide scans for compute-heavy scan-local expressions
+    # already get them via tables.with_min_scan_parallelism at their
+    # call sites — which is also the shape that survives 100 TB (a
+    # runtime-checked no-op once split count exceeds parallelism).
+    # 10 MB broadcast default is conservative; our dims (region/nation/
+    # part slices, inventory) are tiny — AQE also converts to broadcast
+    # at runtime when sizes allow.
 }
 
 
