@@ -33,6 +33,13 @@ HEADLINE = [
     "llm_near_dedup",        # minhash LSH banding
     "state_inventory_replay",# applyInPandas stateful fold (chunked)
     "llm_curation_pipeline", # end-to-end curation: quality→dedup→sample
+    # r4 additions (verdict ask): heavy non-headline keys, so
+    # regressions here are visible round-over-round.  The three r1-r3
+    # comparable subtotals exclude these.
+    "llm_contamination",     # df-capped gram join
+    "snk_bucketed",          # bucketed write + zero-exchange join
+    "state_ledger_stream",   # applyInPandasWithState ledger (warm: two
+                             # runs, min — first run absorbs sink setup)
 ]
 
 

@@ -466,11 +466,19 @@ def q_scan_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", ranked AS ("
     "  SELECT i.*, CAST(row_number() OVER (PARTITION BY i.product_id "
     "    ORDER BY i.item_ts, i.event_id) AS BIGINT) AS rn FROM items i), "
+    # Seed from the PRODUCTS THE ITEMS REFERENCE, not from inv: a
+    # product missing from inventory folds with the engine's -1
+    # sentinel (always insufficient), so the oracle must emit those
+    # rows too (advisor finding r3 — test partkeys happened to cover
+    # every product, which would have masked a silent break on
+    # standard 1-based partkeys).
     "st AS ("
-    "  SELECT v.product_id, CAST(0 AS BIGINT) AS rn, v.stock AS remaining, "
+    "  SELECT p.product_id, CAST(0 AS BIGINT) AS rn, "
+    "    COALESCE(v.stock, CAST(-1 AS BIGINT)) AS remaining, "
     "    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS quantity, "
     "    CAST(NULL AS BOOLEAN) AS item_ok "
-    "  FROM inv v "
+    "  FROM (SELECT DISTINCT product_id FROM items) p "
+    "  LEFT JOIN inv v USING (product_id) "
     "  UNION ALL "
     "  SELECT r.product_id, r.rn, "
     "    CASE WHEN r.quantity <= s.remaining THEN s.remaining - r.quantity "

@@ -170,18 +170,15 @@ def q_llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs(spark, sf_dir)
 
 
-def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
-    """LSH banding over a signature frame → candidate pairs.
+def _buckets_from_sigs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over a signature frame → capped candidate buckets.
 
-    Pair generation is BUCKET-LOCAL, not a self-join: group the 4
-    (band_idx, band_key) rows per doc by bucket, collect the member
-    doc_ids, and expand ordered pairs (doc_a < doc_b) with array
-    higher-order functions inside each bucket.  One corpus scan, one
-    shuffle of 4 slim rows/doc — the self-join form scanned and
-    re-computed the signatures on BOTH join sides (two full corpus
-    reads at 100 TB).  Bucket membership is a minhash collision, so
-    buckets are near-clique-sized; the O(|bucket|²) expansion is
-    bounded by actual duplicate mass, identical to the join's output.
+    One shuffle of 4 slim (band_idx, band_key) rows per doc, grouped
+    into per-bucket member lists.  Everything downstream — candidate
+    pairs AND connected components — derives narrowly from this one
+    frame, so callers pin it once.  Bucket membership is a minhash
+    collision, so buckets are near-clique-sized; the degenerate-bucket
+    cap bounds the O(|bucket|²) expansions.
     """
     band_arr = F.array(
         *[
@@ -195,13 +192,24 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_arr).alias("b")
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    buckets = (
+    return (
         bands.groupBy("band_idx", "band_key")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(
             (F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP)
         )
     )
+
+
+def _expand_pairs(buckets: DataFrame) -> DataFrame:
+    """Bucket member lists → ordered candidate pairs (doc_a < doc_b),
+    expanded with array higher-order functions inside each bucket —
+    bucket-local, no self-join: the join form would scan and recompute
+    the signatures on BOTH sides (two full corpus reads at 100 TB).
+    Not deduplicated: docs sharing several bands repeat; callers that
+    expose pairs apply distinct(), min-aggregation consumers don't
+    need it.
+    """
     pair_arr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -214,8 +222,12 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """LSH banding → DISTINCT candidate pairs (the exposed contract)."""
+    return _expand_pairs(_buckets_from_sigs(sigs)).distinct()
 
 
 @register(
@@ -721,10 +733,23 @@ _SQL_PAIRS = (
 )
 
 
-def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+def _connected_components(
+    edges: DataFrame,
+    init_labels: DataFrame | None = None,
+    max_rounds: int = 10,
+    pin_edges: bool = True,
+) -> DataFrame:
     """Min-label propagation to FIXPOINT (round 2 hardening): iterate
     until no label changes, capped at ``max_rounds``.  ``edges`` is an
-    undirected edge list (src, dst) including self-loops.
+    undirected edge list (src, dst); self-loops are implied (a node's
+    own id always competes via least(min(label), src)).
+
+    ``init_labels`` (doc_id, label), when given, seeds the fixpoint —
+    the bucket-min init (round 4): each LSH bucket's min member id is
+    already the one-hop neighbor minimum, so propagation starts
+    near-converged and the loop usually only needs one merge round
+    plus the no-change confirmation.  When absent, the same one-hop
+    minimum is derived from the edge list itself.
 
     Each round is a neighbor-min propagation (join + groupBy on node
     id) PLUS a path-halving step (label ← min(label, label-of-label)),
@@ -744,13 +769,15 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     minhash → band join) instead of scanning a materialized edge
     table.
     """
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("label"))
-        .withColumnRenamed("src", "doc_id")
-        .localCheckpoint()
-    )
+    if pin_edges:
+        edges = edges.localCheckpoint()
+    if init_labels is None:
+        init_labels = (
+            edges.groupBy("src")
+            .agg(F.least(F.min("dst"), F.min("src")).alias("label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+    labels = init_labels.localCheckpoint()
     for _ in range(max_rounds):
         propagated = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -797,19 +824,47 @@ def _connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     "the engine loop, at any component diameter.",
 )
 def q_llm_near_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _groups_from_pairs(q_llm_near_dedup(spark, sf_dir))
+    return _groups_from_buckets(_buckets_from_sigs(_minhash_sigs(spark, sf_dir)))
 
 
-def _groups_from_pairs(pairs: DataFrame) -> DataFrame:
-    """Candidate pairs → (doc_id, group_id) via fixpoint components."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .union(pairs.select(F.col("doc_a"), F.col("doc_a")))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_b")))
-        .distinct()
+def _groups_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Capped LSH buckets → (doc_id, group_id) via fixpoint components.
+
+    The bucket frame is pinned ONCE (it holds the pipeline's only
+    shuffle); the edge list and the bucket-min label init both derive
+    NARROWLY from it — round 4 rewrite replacing the old pair-list
+    path, which paid a distinct() shuffle plus a 4-branch
+    union-with-self-loops scan before the loop could start.  Directed
+    edges both ways come straight out of one array expansion; duplicate
+    edges are harmless under min-aggregation, so no dedup shuffle.
+    Connectivity through shared buckets is exactly pair connectivity —
+    the oracle's recursive closure over DISTINCT pairs agrees.
+    """
+    buckets = buckets.select("ids").localCheckpoint()
+    both_ways = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.filter(F.col("ids"), lambda b: b != a),
+                lambda b: F.struct(a.alias("src"), b.alias("dst")),
+            ),
+        )
     )
-    labels = _connected_components(edges)
+    edges = buckets.select(F.explode(both_ways).alias("e")).select(
+        F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
+    )
+    init = (
+        buckets.select(
+            F.explode("ids").alias("doc_id"),
+            F.array_min("ids").alias("label"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    # pin_edges=False: the expansion is a narrow read of the pinned
+    # bucket blocks — re-deriving it per round is cheaper than another
+    # checkpoint job.
+    labels = _connected_components(edges, init, pin_edges=False)
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
@@ -1044,7 +1099,7 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = enriched.filter(F.col("h0").isNotNull()).select(
         "doc_id", *[f"h{s}" for s in range(_N_HASHES)]
     )
-    groups = _groups_from_pairs(_pairs_from_sigs(sigs))
+    groups = _groups_from_buckets(_buckets_from_sigs(sigs))
     gi = groups.join(enriched.select("doc_id", "n_chars"), "doc_id")
     wr = Window.partitionBy("group_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

@@ -298,7 +298,10 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Per-process tag component: two concurrent runs against the same
+    # sf_dir must not race on one overwrite-mode directory / metastore
+    # table (r3 advisor finding).
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"ecs_bucketed_{tag}")
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     for name, table, key in (
@@ -349,7 +352,7 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
     e = _t(spark, sf_dir, "events")
     dated = e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))

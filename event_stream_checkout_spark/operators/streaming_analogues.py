@@ -159,7 +159,9 @@ def q_state_ledger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .checkout import inventory, order_items
     from ..streaming.stateful import inventory_ledger_stream
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Per-process tag: concurrent runs must not race on the staging /
+    # checkpoint dirs (r3 advisor finding).
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     items_dir = os.path.join(root, "items")
@@ -171,14 +173,17 @@ def q_state_ledger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantity",
         F.col("item_ts").alias("ts"),
     )
-    # ONE ts-sorted staging file → one micro-batch → the fold order is
-    # the global (ts, event_seq) order regardless of how the upstream
-    # scan was partitioned.  (The ledger also re-sorts within each
-    # micro-batch; a multi-file staging would additionally need file
-    # listing order to follow ts — a real deployment gets this from a
-    # per-key-ordered log like Kafka instead of a staging dir.)
+    # PER-KEY staging (round 4, replacing a repartition(1) single
+    # file): hash-partition by product_id so each key's rows live in
+    # exactly ONE file, sorted by (ts, event_seq).  One availableNow
+    # batch drains the directory and the ledger's in-batch per-key
+    # sort fixes the fold order — no global sort, no single-partition
+    # stage, keys parallel end-to-end.  This is the shape a real
+    # deployment gets from a per-key-ordered log (Kafka partitions by
+    # key); file-listing order is irrelevant because no key spans
+    # files.
     (
-        items.repartition(1)
+        items.repartition(F.col("product_id"))
         .sortWithinPartitions("ts", "event_seq")
         .write.mode("overwrite")
         .json(items_dir)
@@ -188,7 +193,9 @@ def q_state_ledger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in inventory(spark, sf_dir).select("product_id", "stock").collect()
     }
     q = (
-        inventory_ledger_stream(spark, items_dir, seed=seed)
+        inventory_ledger_stream(
+            spark, items_dir, seed=seed, max_files_per_trigger=None
+        )
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", os.path.join(root, "ckpt"))
@@ -217,11 +224,17 @@ _LEDGER_ORACLE = (
     + ", ranked AS ("
     "  SELECT i.*, CAST(row_number() OVER (PARTITION BY i.product_id "
     "    ORDER BY i.item_ts, i.event_id) AS BIGINT) AS rn FROM items i), "
+    # Seed from the products the items reference (LEFT JOIN inv,
+    # -1 sentinel for unknown products) — matches the engine's
+    # seed.get(product_id, -1) path; see the same fix in checkout's
+    # replay oracle (advisor finding r3).
     "st AS ("
-    "  SELECT v.product_id, CAST(0 AS BIGINT) AS rn, v.stock AS remaining, "
+    "  SELECT p.product_id, CAST(0 AS BIGINT) AS rn, "
+    "    COALESCE(v.stock, CAST(-1 AS BIGINT)) AS remaining, "
     "    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS quantity, "
     "    CAST(NULL AS BOOLEAN) AS item_ok "
-    "  FROM inv v "
+    "  FROM (SELECT DISTINCT product_id FROM items) p "
+    "  LEFT JOIN inv v USING (product_id) "
     "  UNION ALL "
     "  SELECT r.product_id, r.rn, "
     "    CASE WHEN r.quantity <= s.remaining THEN s.remaining - r.quantity "

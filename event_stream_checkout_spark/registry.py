@@ -106,6 +106,15 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     # r4 perf rewrites (same oracles, engine plan changed):
     "llm_simhash",             # wide scan via with_min_scan_parallelism
     "llm_embedding_near_dup",  # per-vector norm precompute (10x)
+    # r4 CC rewrite: bucket-pinned edges + bucket-min label init
+    "llm_near_dedup",          # pair path factored through buckets
+    "llm_near_dedup_groups",
+    "llm_dedup_keep_best",
+    "llm_curation_pipeline",
+    # r4 oracle seed fix (-1 sentinel for items-only products) +
+    # per-key parallel staging for the ledger
+    "state_inventory_replay",
+    "state_ledger_stream",
 })
 
 

@@ -63,6 +63,7 @@ for a transactional table format; the foreachBatch body is unchanged.
 from __future__ import annotations
 
 import functools
+import json
 import os
 from collections.abc import Callable
 
@@ -102,6 +103,14 @@ _RETRY_SCHEMA = (
 # model the reference's two failure surfaces: the ingest Lambda's queue
 # publish (HTTP 500, src/ingest_order/app.py:48-53) and the processor
 # Lambda raising mid-record (SQS redelivery, app.py:45-48).
+#
+# CONTRACT: the returned Column must be DETERMINISTIC (a pure function
+# of the row, e.g. a hash/modulo of stable fields — as every test
+# predicate is).  The batch body counts gate legs and re-evaluates the
+# same plans at write time (the one-job gate design), so a predicate
+# sampling randomness could disagree between the gate count and the
+# written rows, and a replayed batch must re-derive identical
+# decisions for idempotence anyway (r3 advisor finding).
 FailPredicate = Callable[[DataFrame], Column]
 
 
@@ -206,7 +215,9 @@ class CheckoutStream:
         # overwrite committed versions.  A legitimate replay re-runs
         # the LAST attempted batch (batch_id == max committed version);
         # anything older means the checkpoint and the state have
-        # diverged — refuse instead of regressing.
+        # diverged — refuse instead of regressing.  The equal-id case
+        # (including single-batch histories) is covered by the input-
+        # fingerprint guard after the gate job below.
         committed = self._versions(self.inv_root)
         if committed and max(committed) > batch_id:
             raise RuntimeError(
@@ -359,19 +370,59 @@ class CheckoutStream:
         # The empty-check counts previously ran as ~5 separate driver
         # actions per micro-batch; a union of single-row aggregates is
         # ONE job (each leg reads a pinned cache/checkpoint, no
-        # recompute), cutting per-batch scheduling latency.
+        # recompute), cutting per-batch scheduling latency.  Two extra
+        # legs fingerprint the batch INPUT (row count + order-free
+        # crc32 checksum over the raw rows) for the stale-checkpoint
+        # guard below — same job, no extra action.
         gates = {"orders": orders_out, "processed": processed, "bad": bad,
                  "responses": responses, "notify": notify}
-        summary = functools.reduce(
-            DataFrame.unionByName,
-            [
-                df.agg(F.count(F.lit(1)).alias("n")).select(
-                    F.lit(name).alias("k"), "n"
-                )
-                for name, df in gates.items()
-            ],
+        legs = [
+            df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("k"), "n"
+            )
+            for name, df in gates.items()
+        ]
+        legs.append(
+            batch_df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("_in_rows").alias("k"), "n"
+            )
         )
+        legs.append(
+            batch_df.agg(
+                F.coalesce(
+                    F.sum(F.crc32(F.to_json(F.struct("*")))), F.lit(0)
+                ).alias("n")
+            ).select(F.lit("_in_crc").alias("k"), "n")
+        )
+        summary = functools.reduce(DataFrame.unionByName, legs)
         n = {row["k"]: row["n"] for row in summary.collect()}
+
+        # Stale-restart guard, part 2 (r3 advisor finding): ids alone
+        # cannot catch a lost checkpoint over a SINGLE-batch history
+        # (max committed v0, restart at batch 0) — a legitimate replay
+        # re-runs the same id too.  The input fingerprint separates the
+        # two: a replay re-delivers the same rows (idempotent rewrite,
+        # allowed); a fresh run with NEW input over committed state is
+        # a reset checkpoint (refused).  Missing metadata (pre-upgrade
+        # state, crash before meta write) degrades to the id-only
+        # check.
+        fp = {"rows": int(n["_in_rows"]), "crc": int(n["_in_crc"])}
+        # Leading underscore: Spark's file index treats _-prefixed
+        # files as metadata and skips them when reading the parquet dir.
+        meta_path = os.path.join(
+            self.inv_root, f"v{batch_id}", "_batch_meta.json"
+        )
+        if batch_id in committed and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                prior = json.load(fh)
+            if prior != fp:
+                raise RuntimeError(
+                    f"batch_id {batch_id} is already committed with a "
+                    f"DIFFERENT input (committed {prior}, offered {fp}): "
+                    "the streaming checkpoint was lost or reset while "
+                    "state_dir survived; refusing to overwrite committed "
+                    "state (delete state_dir to restart clean)"
+                )
 
         # ---- idempotent writes (each safe to repeat, any crash point) --
         # 1. Versioned state first (inventory, retry): overwrite of
@@ -380,6 +431,12 @@ class CheckoutStream:
         new_inventory.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.inv_root, f"v{batch_id}")
         )
+        # Input fingerprint rides in the committed version dir (the
+        # overwrite above cleared any prior copy; the guard read it
+        # before processing started).  Crash before this write →
+        # missing meta → the guard degrades to the id-only check.
+        with open(meta_path, "w") as fh:
+            json.dump(fp, fh)
         to_retry.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.retry_root, f"v{batch_id}")
         )

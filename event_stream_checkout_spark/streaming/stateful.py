@@ -144,9 +144,20 @@ STATE_SCHEMA = T.StructType([T.StructField("remaining", T.LongType())])
 
 
 def inventory_ledger_stream(
-    spark: SparkSession, items_dir: str, seed: dict[str, int] | None = None
+    spark: SparkSession,
+    items_dir: str,
+    seed: dict[str, int] | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Per-product ValueState fold via applyInPandasWithState (U5)."""
+    """Per-product ValueState fold via applyInPandasWithState (U5).
+
+    ``max_files_per_trigger=1`` (default) makes each staging file its
+    own micro-batch — the multi-batch shape used by the crash-replay
+    tests.  Pass ``None`` to let one availableNow batch drain the
+    whole directory (per-key staging: a key's rows all live in one
+    file, so the in-batch per-key sort fixes the fold order with no
+    cross-batch coupling).
+    """
     configure(spark)
     seed_map = seed if seed is not None else {
         pid: qty for pid, _, qty in INVENTORY_SEED
@@ -173,11 +184,10 @@ def inventory_ledger_stream(
             columns=["product_id", "event_seq", "quantity", "item_ok", "remaining"],
         )
 
-    stream = (
-        spark.readStream.schema(ITEM_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(items_dir)
-    )
+    reader = spark.readStream.schema(ITEM_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(items_dir)
     return stream.groupBy("product_id").applyInPandasWithState(
         ledger,
         outputStructType=OUTPUT_SCHEMA,

@@ -26,16 +26,30 @@ def executed_plan(spark, key: str) -> str:
     # by toString at the default maxToStringFields=25, and FileScan
     # metadata entries (PushedFilters among them) get cut at
     # maxMetadataStringLength=100 chars — which swallows the closing
-    # ']' of PushedFilters.  Raise both so assertions see full node text.
-    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    df = QUERIES[key].fn(spark, SF_DIR)
-    # Execute THIS Dataset's own QueryExecution (a noop write would spawn
-    # a separate one, leaving df's AdaptiveSparkPlan at isFinalPlan=false
-    # — we'd be asserting on the pre-AQE initial plan).  sf0.001 results
-    # are tiny, so collect() is safe here.
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ']' of PushedFilters.  Raise both so assertions see full node
+    # text — and RESTORE them after (shared session fixture; leaking
+    # debug confs into later tests was an r3 advisor finding).
+    _DEBUG_CONFS = {
+        "spark.sql.debug.maxToStringFields": "1000",
+        "spark.sql.maxMetadataStringLength": "10000",
+    }
+    saved = {k: spark.conf.get(k, None) for k in _DEBUG_CONFS}
+    for k, v in _DEBUG_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = QUERIES[key].fn(spark, SF_DIR)
+        # Execute THIS Dataset's own QueryExecution (a noop write would
+        # spawn a separate one, leaving df's AdaptiveSparkPlan at
+        # isFinalPlan=false — we'd be asserting on the pre-AQE initial
+        # plan).  sf0.001 results are tiny, so collect() is safe here.
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, prior in saved.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
     # AdaptiveSparkPlan's toString prints "== Final Plan ==" followed by
     # "== Initial Plan ==" — keep only the final (post-AQE) section so
     # node counts aren't doubled by the pre-AQE copy.

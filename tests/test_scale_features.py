@@ -328,6 +328,82 @@ def test_ledger_stream_matches_batch_replay(spark, tmp_path):
     assert ledger == replay
 
 
+def _tws_usable() -> bool:
+    from event_stream_checkout_spark.streaming.stateful import tws_available
+
+    return tws_available()
+
+
+@pytest.mark.skipif(
+    not _tws_usable(),
+    reason="transformWithStateInPandas needs a working google.protobuf "
+    "(broken in this container); applyInPandasWithState is the "
+    "operational path and is tested above",
+)
+def test_tws_ledger_matches_batch_replay(spark, tmp_path):
+    """U5 via transformWithStateInPandas (r3 verdict ask #8): on an
+    environment with working protobuf, the TWS form of the inventory
+    ledger must produce the same per-item decisions as the batch
+    replay — lights up automatically where supported, skips (visibly)
+    where the state-server protocol can't run."""
+    from event_stream_checkout_spark.operators.checkout import (
+        inventory,
+        order_items,
+        q_state_inventory_replay,
+    )
+    from event_stream_checkout_spark.streaming.stateful import (
+        inventory_ledger_stream_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    items = order_items(spark, SF_DIR).select(
+        "product_id",
+        F.col("event_id").alias("event_seq"),
+        "quantity",
+        F.col("item_ts").alias("ts"),
+    )
+    items_dir = tmp_path / "items"
+    items_dir.mkdir()
+    rows = sorted(items.collect(), key=lambda r: (r["ts"], r["event_seq"]))
+    with open(items_dir / "b1.json", "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "product_id": r["product_id"],
+                        "event_seq": r["event_seq"],
+                        "quantity": r["quantity"],
+                        "ts": r["ts"].isoformat(),
+                    }
+                )
+                + "\n"
+            )
+    seed = {
+        r["product_id"]: r["stock"]
+        for r in inventory(spark, SF_DIR).collect()
+    }
+    q = (
+        inventory_ledger_stream_tws(spark, str(items_dir), seed=seed)
+        .writeStream.format("memory")
+        .queryName("tws_ledger_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ledger = {
+        r["event_seq"]: (bool(r["item_ok"]), int(r["remaining"]))
+        for r in spark.sql("SELECT * FROM tws_ledger_eq").collect()
+    }
+    replay = {
+        r["event_id"]: (bool(r["item_ok"]), int(r["remaining_after"]))
+        for r in q_state_inventory_replay(spark, SF_DIR).collect()
+    }
+    assert len(ledger) == len(replay) > 0
+    assert ledger == replay
+
+
 def test_snk_bucketed_plan_has_no_join_exchange(spark):
     """The REGISTERED bucketed-join query must plan its join without
     shuffling either side (bucket-to-bucket SortMergeJoin); only the

@@ -564,10 +564,9 @@ def test_stale_checkpoint_restart_refused(stream_env):
     """If the streaming _checkpoint dir is lost while state_dir
     survives, batch ids restart at 0; the pre-batch readers would then
     hand back older (or seed) state and overwrite committed versions.
-    process_batch must refuse rather than regress.  (With only ONE
-    committed batch the restart is indistinguishable from a legitimate
-    replay of that batch — the guard protects every multi-batch
-    history, which is where the silent-regression blast radius is.)"""
+    process_batch must refuse rather than regress.  (The equal-id
+    case — including single-batch histories — is covered by the input
+    fingerprint; see test_stale_checkpoint_single_batch_refused.)"""
     import shutil
 
     spark, input_dir, state_dir = stream_env
@@ -590,6 +589,49 @@ def test_stale_checkpoint_restart_refused(stream_env):
         for r in fresh.current_inventory().collect()
     }
     assert inv["prod-101"] == 48
+
+
+def test_stale_checkpoint_single_batch_refused(stream_env):
+    """r3 advisor finding: over a SINGLE-committed-batch history, a
+    lost checkpoint restarts at the same batch_id 0, so the id-only
+    guard cannot fire.  The input fingerprint (row count + order-free
+    checksum, committed alongside the inventory version) separates the
+    two cases: same input → legitimate idempotent replay, allowed;
+    different input → reset checkpoint over committed state, refused."""
+    import shutil
+
+    spark, input_dir, state_dir = stream_env
+    stream = CheckoutStream(spark, state_dir)
+    write_file(input_dir, "b0.json", [order("cust-1", [("prod-101", 1)], 0)])
+    stream.run_available(input_dir)
+    assert sorted(os.listdir(os.path.join(state_dir, "inventory"))) == ["v0"]
+
+    # Same input, lost checkpoint → replay of batch 0 with identical
+    # rows: allowed, converges to the same state.
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    replay = CheckoutStream(spark, state_dir)
+    replay.run_available(input_dir)
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in replay.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 49
+
+    # Input rotated (b0 gone, new b1) + lost checkpoint → batch 0 now
+    # carries DIFFERENT rows than the committed v0 → refused, state
+    # intact.
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    os.remove(os.path.join(input_dir, "b0.json"))
+    write_file(input_dir, "b1.json", [order("cust-2", [("prod-101", 5)], 1)])
+    fresh = CheckoutStream(spark, state_dir)
+    with pytest.raises(Exception) as exc:
+        fresh.run_available(input_dir)
+    assert "DIFFERENT input" in str(exc.value)
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in fresh.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 49
 
 
 def test_streaming_replay_global_matches_reference_loop(stream_env):

@@ -4,7 +4,8 @@
 Drives the synthetic rate source (well-formed orders at a target
 rate) through the FULL micro-batch body — validation, identity,
 first-writer-wins dedup, optimistic settlement, idempotent state
-writes — and reports settled orders/sec.
+writes — and reports settled orders/sec, micro-batch count, and
+driver jobs per batch.
 
 Context: the reference processes orders one SQS message at a time
 (batch_size=1, iac/main.tf:30-36) through Lambda + MySQL row locks —
@@ -13,11 +14,18 @@ an implied ceiling of ~tens of orders/sec per concurrent consumer
 local[*]; on a cluster it scales with executors because every stage
 is keyed-parallel.
 
-Usage: python tools/stream_throughput.py [rows_per_second] [seconds]
+Usage:
+  python tools/stream_throughput.py [rows_per_second] [seconds]
+  python tools/stream_throughput.py --sweep 5000,10000,20000,40000 [seconds]
+
+The sweep prints one JSON line per rate; the knee is where settled/s
+stops tracking the offered rate.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import tempfile
 import time
@@ -26,20 +34,30 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> None:
-    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+def _last_job_id(spark, tag: str) -> int:
+    """Current driver job-id high-water mark, via a sentinel job in a
+    uniquely named group (job groups are thread-local, so the streaming
+    thread's jobs can't be grouped directly — but job ids are globally
+    monotonic, so a before/after sentinel brackets them)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, "sentinel")
+    try:
+        spark.range(1).count()
+        (jid,) = sc.statusTracker().getJobIdsForGroup(tag)
+    finally:
+        sc.setJobGroup(None, None)
+    return jid
 
-    from event_stream_checkout_spark.session import get_session
+
+def run_once(spark, rate: int, seconds: int) -> dict:
     from event_stream_checkout_spark.streaming.pipeline import CheckoutStream
     from event_stream_checkout_spark.streaming.sources import order_stream_source
 
-    spark = get_session("stream-throughput")
-    spark.sparkContext.setLogLevel("ERROR")
     state = tempfile.mkdtemp(prefix="ecs-throughput-")
     stream = CheckoutStream(spark, state)
     src = order_stream_source(spark, "rate", rows_per_second=rate)
 
+    j0 = _last_job_id(spark, f"tp-pre-{rate}")
     t0 = time.time()
     q = (
         src.writeStream.foreachBatch(stream.process_batch)
@@ -51,22 +69,41 @@ def main() -> None:
     q.stop()
     q.awaitTermination()
     elapsed = time.time() - t0
+    j1 = _last_job_id(spark, f"tp-post-{rate}")
 
     settled = stream.orders_table().count()
-    import json
+    batches = len(
+        [v for v in os.listdir(stream.inv_root) if v.startswith("v")]
+    ) if os.path.isdir(stream.inv_root) else 0
+    jobs = j1 - j0 - 1  # exclude the closing sentinel itself
+    return {
+        "metric": "settled_orders_per_sec",
+        "value": round(settled / elapsed, 1),
+        "unit": "orders/sec",
+        "settled_orders": settled,
+        "elapsed_sec": round(elapsed, 1),
+        "offered_rate": rate,
+        "micro_batches": batches,
+        "driver_jobs_per_batch": round(jobs / max(batches, 1), 1),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "settled_orders_per_sec",
-                "value": round(settled / elapsed, 1),
-                "unit": "orders/sec",
-                "settled_orders": settled,
-                "elapsed_sec": round(elapsed, 1),
-                "offered_rate": rate,
-            }
-        )
-    )
+
+def main() -> None:
+    args = sys.argv[1:]
+    from event_stream_checkout_spark.session import get_session
+
+    spark = get_session("stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args and args[0] == "--sweep":
+        rates = [int(r) for r in args[1].split(",")]
+        seconds = int(args[2]) if len(args) > 2 else 15
+        for rate in rates:
+            print(json.dumps(run_once(spark, rate, seconds)), flush=True)
+    else:
+        rate = int(args[0]) if args else 2000
+        seconds = int(args[1]) if len(args) > 1 else 15
+        print(json.dumps(run_once(spark, rate, seconds)))
 
 
 if __name__ == "__main__":
