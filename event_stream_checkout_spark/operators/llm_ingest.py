@@ -1,0 +1,295 @@
+"""LLM-data-pipeline operators, wave 3 (round 4): corpus shaping for
+incremental ingestion.
+
+Three operations a production training-data pipeline runs on every
+ingest batch, absent from wave 1/2 which treated the corpus as a
+closed set:
+
+- ``llm_repetition_filter`` — Gopher-style within-document repetition
+  signals (the published heuristic family from Rae et al. 2021,
+  "Scaling Language Models: ... Gopher", App. A1.1): documents whose
+  most-frequent word 2-gram or duplicate-2-gram mass exceeds
+  thresholds are low-quality boilerplate/spam. Occurrence-fraction
+  variant; all outputs are exact integers + a boolean verdict
+  (threshold comparisons are integer cross-multiplications, so there
+  is no float to disagree across engines).
+- ``llm_incremental_dedup`` — dedup a NEW ingest batch against the
+  EXISTING corpus (exact content hash, then minhash-LSH band
+  collision), without re-deduping the existing side against itself.
+  This is the day-2 shape of corpus dedup: the full-corpus pass
+  (llm_near_dedup) runs once; every later ingest only needs
+  new-vs-existing.
+- ``llm_domain_mix`` — deterministic down-sampling to a target
+  per-source mix (equal share here): compute per-source keep
+  thresholds from the source counts, then hash-sample each document
+  scan-locally. Hash-keyed sampling is reproducible across runs,
+  engines, and partitionings.
+
+Reference parity: the reference pipeline has no corpus operators at
+all (it is an order-checkout system); these extend the engine's
+training-data surface per the build brief, with the same md5-portable
+hashing discipline as wave 2 (llm_advanced.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table, with_min_scan_parallelism
+from .llm_advanced import _BANDS, _N_HASHES, _SQL_BANDS, _SQL_SIGS, SQL_GRAMS
+
+# --------------------------------------------------------------------------
+# X11: Gopher-style repetition filter
+# --------------------------------------------------------------------------
+
+# Occurrence-fraction thresholds (Gopher's are character-fraction; the
+# occurrence variant keeps all arithmetic integral):
+#   reject if top_2gram_count / total_2grams  > 1/5   (0.20)
+#   reject if (total - distinct) / total      > 1/2   (0.50)
+_TOP_2GRAM_NUM, _TOP_2GRAM_DEN = 1, 5
+_DUP_2GRAM_NUM, _DUP_2GRAM_DEN = 1, 2
+
+
+@register(
+    "llm_repetition_filter",
+    oracle="WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    "  generate_series(1, len(ws) - 1), "
+    "  i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM w), "
+    "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) "
+    "SELECT doc_id, "
+    "CAST(sum(c) AS BIGINT) AS total_2grams, "
+    "CAST(count(*) AS BIGINT) AS distinct_2grams, "
+    "CAST(max(c) AS BIGINT) AS top_2gram_count, "
+    f"(CAST(max(c) AS BIGINT) * {_TOP_2GRAM_DEN} <= "
+    f" CAST(sum(c) AS BIGINT) * {_TOP_2GRAM_NUM}) AND "
+    f"((CAST(sum(c) AS BIGINT) - CAST(count(*) AS BIGINT)) "
+    f" * {_DUP_2GRAM_DEN} <= CAST(sum(c) AS BIGINT) * {_DUP_2GRAM_NUM}) "
+    "AS keep FROM gc GROUP BY doc_id",
+    doc="Within-document repetition filter (X11, Gopher App. A1.1 "
+    "occurrence-fraction variant): a doc is rejected when its most "
+    "frequent word 2-gram exceeds 20% of 2-gram occurrences, or when "
+    "duplicate 2-gram occurrences (beyond each gram's first) exceed "
+    "50%. Plan: explode 2-grams → count per (doc_id, gram) → per-doc "
+    "max/sum/distinct — two shuffles, both on uniform high-cardinality "
+    "keys; the (doc_id, gram) key cannot skew because one document's "
+    "grams spread over its own id. Scales to arbitrarily long "
+    "documents (the array-HOF alternative is O(words²) per row). All "
+    "outputs integral; the verdict uses integer cross-multiplication, "
+    "so cross-engine parity is exact by construction.",
+)
+def q_llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    d = d.withColumn("_w", F.split("text", " ", -1)).filter(
+        F.size("_w") >= 2
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_w"), i),
+            F.element_at(F.col("_w"), i + 1),
+        ),
+    )
+    g = d.select("doc_id", F.explode(gram).alias("gram"))
+    gc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("long")
+    distinct = F.count(F.lit(1)).cast("long")
+    top = F.max("c").cast("long")
+    return gc.groupBy("doc_id").agg(
+        total.alias("total_2grams"),
+        distinct.alias("distinct_2grams"),
+        top.alias("top_2gram_count"),
+        (
+            (top * _TOP_2GRAM_DEN <= total * _TOP_2GRAM_NUM)
+            & ((total - distinct) * _DUP_2GRAM_DEN <= total * _DUP_2GRAM_NUM)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X12: incremental new-vs-existing dedup
+# --------------------------------------------------------------------------
+
+# The ingest split: docs with id % 10 in {8, 9} model the NEW batch
+# (~20%), the rest the EXISTING corpus.
+_NEW_PRED_SQL = "doc_id % 10 >= 8"
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"newdocs AS (SELECT doc_id, md5(text) AS h FROM documents "
+    f"WHERE {_NEW_PRED_SQL}), "
+    f"exhash AS (SELECT DISTINCT md5(text) AS h FROM documents "
+    f"WHERE NOT ({_NEW_PRED_SQL})), "
+    f"exact AS (SELECT DISTINCT n.doc_id FROM newdocs n "
+    "JOIN exhash e ON n.h = e.h), "
+    f"nb AS (SELECT * FROM bands WHERE {_NEW_PRED_SQL}), "
+    "eb AS (SELECT DISTINCT band_idx, band_key FROM bands "
+    f"WHERE NOT ({_NEW_PRED_SQL})), "
+    "near AS (SELECT DISTINCT nb.doc_id FROM nb "
+    "JOIN eb USING (band_idx, band_key)) "
+    "SELECT n.doc_id, CASE WHEN ex.doc_id IS NOT NULL THEN 'exact' "
+    "WHEN nr.doc_id IS NOT NULL THEN 'near' ELSE 'unique' END "
+    "AS verdict FROM newdocs n "
+    "LEFT JOIN exact ex ON n.doc_id = ex.doc_id "
+    "LEFT JOIN near nr ON n.doc_id = nr.doc_id",
+    doc="Incremental ingest dedup (X12): classify each NEW document "
+    "(doc_id % 10 ∈ {8,9} models the ingest batch) against the "
+    "EXISTING corpus — 'exact' on md5(text) match, else 'near' on any "
+    "shared minhash-LSH band bucket, else 'unique'. Both probes are "
+    "LEFT-SEMI shaped (output ≤ new-side rows, so a hot band bucket "
+    "cannot blow up quadratically the way a full self-join pair "
+    "expansion would — no bucket cap needed here). Signatures are the "
+    "same scan-local array_min minhashes as llm_near_dedup; at 100 TB "
+    "the existing side's distinct band keys and content hashes are "
+    "slim precomputed indexes (4 band rows + 1 hash/doc), not a "
+    "corpus re-scan — exactly how a day-2 ingest pipeline holds its "
+    "dedup index.",
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    is_new = (F.col("doc_id") % 10) >= 8
+    hashed = d.select("doc_id", "text", F.md5("text").alias("h"), is_new.alias("_new"))
+
+    new_docs = hashed.filter(F.col("_new"))
+    ex_hashes = hashed.filter(~F.col("_new")).select("h").distinct()
+    exact = (
+        new_docs.join(ex_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("_exact", F.lit(True))
+    )
+
+    # Scan-local signatures → 4 (band_idx, band_key) rows per doc.
+    from .llm_advanced import _with_grams_array, _sig_columns
+
+    sigs = _with_grams_array(d).select(
+        "doc_id", ((F.col("doc_id") % 10) >= 8).alias("_new"), *_sig_columns()
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias(
+                    "band_key"
+                ),
+            )
+            for i, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "_new", F.explode(band_arr).alias("b")
+    ).select(
+        "doc_id",
+        "_new",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    eb = bands.filter(~F.col("_new")).select("band_idx", "band_key").distinct()
+    near = (
+        bands.filter(F.col("_new"))
+        .join(eb, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact"), "exact")
+            .when(F.col("_near"), "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X13: deterministic domain mixing
+# --------------------------------------------------------------------------
+
+# Hash space: the first 4 hex chars of md5(doc_id) = 65536 buckets.
+# The per-source keep threshold floor(65536·min_count/count) is capped
+# at 0xffff, so the minimum-count source keeps everything except docs
+# whose hash prefix is exactly 'ffff' — the target mix is honored to
+# 1/65536 granularity, which is the price of keeping the comparison a
+# single scan-local string predicate.
+_MIX_BUCKETS = 65536
+
+
+@register(
+    "llm_domain_mix",
+    oracle="WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY source), "
+    "mm AS (SELECT min(n_docs) AS m FROM c), "
+    "t AS (SELECT source, n_docs, CAST(least("
+    f"({_MIX_BUCKETS} * m) // n_docs, {_MIX_BUCKETS - 1}) AS BIGINT) "
+    "AS threshold FROM c, mm), "
+    "k AS (SELECT d.source, count(*) AS n_kept FROM documents d "
+    "JOIN t USING (source) "
+    "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < "
+    "lpad(lower(to_hex(threshold)), 4, '0') GROUP BY d.source) "
+    "SELECT t.source, t.n_docs, t.threshold, "
+    "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
+    "FROM t LEFT JOIN k USING (source)",
+    doc="Deterministic domain mixing (X13): down-sample every source "
+    "to the size of the smallest one (equal-share target mix — the "
+    "degenerate uniform case of the weighted mixes used for training "
+    "corpora). Per-source keep thresholds are derived from the source "
+    "counts (floor(65536·min/count), integer-exact both engines), and "
+    "each document is kept by a scan-local md5-prefix comparison — "
+    "reproducible across runs, engines, and partitionings. Plan: one "
+    "tiny per-source count aggregate (low-cardinality key, map-side "
+    "partial collapse), a broadcast of the ~#sources-row threshold "
+    "table, then a single filtered scan + final tiny aggregate; the "
+    "corpus itself is never shuffled.",
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    m = counts.agg(F.min("n_docs").alias("m"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.floor(F.lit(_MIX_BUCKETS) * F.col("m") / F.col("n_docs")),
+                F.lit(_MIX_BUCKETS - 1),
+            )
+            .cast("long")
+            .alias("threshold"),
+        )
+    )
+    hexthr = F.lpad(F.lower(F.hex(F.col("threshold"))), 4, "0")
+    kept = (
+        d.join(F.broadcast(thresholds), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < hexthr
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        thresholds.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "threshold",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

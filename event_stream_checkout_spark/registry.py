@@ -139,6 +139,7 @@ def load_all() -> dict[str, Query]:
         checkout,
         llm,
         llm_advanced,
+        llm_ingest,
         multimodal,
         relational,
         relational2,

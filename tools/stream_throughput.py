@@ -34,19 +34,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _last_job_id(spark, tag: str) -> int:
-    """Current driver job-id high-water mark, via a sentinel job in a
-    uniquely named group (job groups are thread-local, so the streaming
-    thread's jobs can't be grouped directly — but job ids are globally
-    monotonic, so a before/after sentinel brackets them)."""
+def _sentinel_job_ids(spark, tag: str) -> tuple[int, int]:
+    """(min, max) job id of a sentinel action in a uniquely named
+    group (job groups are thread-local, so the streaming thread's jobs
+    can't be grouped directly — but job ids are globally monotonic, so
+    before/after sentinels bracket them).  One action can spawn
+    several jobs (AQE stages), hence the range."""
     sc = spark.sparkContext
     sc.setJobGroup(tag, "sentinel")
     try:
         spark.range(1).count()
-        (jid,) = sc.statusTracker().getJobIdsForGroup(tag)
+        jids = sc.statusTracker().getJobIdsForGroup(tag)
     finally:
         sc.setJobGroup(None, None)
-    return jid
+    return min(jids), max(jids)
 
 
 def run_once(spark, rate: int, seconds: int) -> dict:
@@ -57,7 +58,7 @@ def run_once(spark, rate: int, seconds: int) -> dict:
     stream = CheckoutStream(spark, state)
     src = order_stream_source(spark, "rate", rows_per_second=rate)
 
-    j0 = _last_job_id(spark, f"tp-pre-{rate}")
+    _, j0 = _sentinel_job_ids(spark, f"tp-pre-{rate}")
     t0 = time.time()
     q = (
         src.writeStream.foreachBatch(stream.process_batch)
@@ -69,13 +70,13 @@ def run_once(spark, rate: int, seconds: int) -> dict:
     q.stop()
     q.awaitTermination()
     elapsed = time.time() - t0
-    j1 = _last_job_id(spark, f"tp-post-{rate}")
+    j1, _ = _sentinel_job_ids(spark, f"tp-post-{rate}")
 
     settled = stream.orders_table().count()
     batches = len(
         [v for v in os.listdir(stream.inv_root) if v.startswith("v")]
     ) if os.path.isdir(stream.inv_root) else 0
-    jobs = j1 - j0 - 1  # exclude the closing sentinel itself
+    jobs = j1 - j0 - 1  # ids strictly between the two sentinels
     return {
         "metric": "settled_orders_per_sec",
         "value": round(settled / elapsed, 1),
