@@ -274,6 +274,13 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("threshold"),
         )
+        # Pin the ~#sources-row threshold table: it feeds BOTH the
+        # output projection and the keep-filter broadcast, and without
+        # the pin each consumer branch re-runs the corpus count
+        # aggregate — one full scan per branch at 100 TB.  Pinned, the
+        # corpus is scanned exactly twice (counts, then keep-filter) —
+        # the minimum for count-derived thresholds.
+        .localCheckpoint()
     )
     hexthr = F.lpad(F.lower(F.hex(F.col("threshold"))), 4, "0")
     kept = (
@@ -285,7 +292,7 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
     )
     return (
-        thresholds.join(kept, "source", "left")
+        thresholds.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "n_docs",

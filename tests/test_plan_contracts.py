@@ -21,7 +21,7 @@ from tests.conftest import SF_DIR
 QUERIES = load_all()
 
 
-def executed_plan(spark, key: str) -> str:
+def executed_plan(spark, key: str, full: bool = False) -> str:
     # Wide scans (lineitem has 16 columns) get their field lists elided
     # by toString at the default maxToStringFields=25, and FileScan
     # metadata entries (PushedFilters among them) get cut at
@@ -52,7 +52,13 @@ def executed_plan(spark, key: str) -> str:
                 spark.conf.set(k, prior)
     # AdaptiveSparkPlan's toString prints "== Final Plan ==" followed by
     # "== Initial Plan ==" — keep only the final (post-AQE) section so
-    # node counts aren't doubled by the pre-AQE copy.
+    # node counts aren't doubled by the pre-AQE copy.  full=True keeps
+    # both sections: the final section elides the subtrees of query
+    # stages that materialized before the last re-plan, so contracts
+    # about join TYPES (which AQE never changes) must look at the whole
+    # string or they miss joins hidden inside materialized stages.
+    if full:
+        return plan
     return plan.split("== Initial Plan ==")[0]
 
 
@@ -110,3 +116,46 @@ def test_no_forced_broadcast_on_scale_growing_tables(spark, key):
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical
     assert "ResolvedHint (strategy=broadcast)" not in logical
+
+
+def test_repetition_filter_two_uniform_shuffles(spark):
+    """X11: the repetition signals shuffle exactly twice — once on
+    (doc_id, gram) for per-gram counts, once on doc_id for the per-doc
+    rollup — both uniform high-cardinality keys.  (A third round-robin
+    exchange from with_min_scan_parallelism is allowed; what must NOT
+    appear is any join or single-partition stage.)"""
+    plan = executed_plan(spark, "llm_repetition_filter")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 2, f"expected 2 hash exchanges, saw {n_hash}"
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_dedup_semi_join_probes(spark):
+    """X12: both dedup probes are LEFT-SEMI shaped (output bounded by
+    the new side), so a hot band bucket cannot expand quadratically.
+    The physical operator may be BroadcastHashJoin or SortMergeJoin
+    (AQE's call by size) but the join TYPE must stay LeftSemi.  Full
+    plan string: the exact-hash probe materializes as a broadcast
+    stage before AQE's last re-plan, so the final-plan section prints
+    it by reference only."""
+    plan = executed_plan(spark, "llm_incremental_dedup", full=True)
+    assert len(re.findall(r"LeftSemi", plan)) >= 2, "semi-join probes missing"
+    # No full inner pair-join anywhere: Inner joins would indicate a
+    # pair-expansion regression.  (The two LeftOuter verdict joins are
+    # expected.)
+    assert "Inner" not in plan.replace("BuildRight", ""), plan[:400]
+
+
+def test_domain_mix_broadcasts_thresholds_no_corpus_shuffle(spark):
+    """X13: the corpus-side keep-filter joins the ~#sources-row
+    threshold table by BROADCAST — the documents table itself must
+    never be hash-shuffled on a join key (its only exchanges are the
+    two tiny per-source aggregates).  The pinned threshold frame also
+    means the corpus count aggregate runs once, not per consumer
+    branch: the final plan reads the checkpoint, so at most two
+    parquet scans of documents appear."""
+    plan = executed_plan(spark, "llm_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"documents scanned {n_scans}x (thresholds unpinned?)"

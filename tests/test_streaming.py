@@ -527,7 +527,10 @@ def test_rate_source_wire_schema_and_settlement(spark, tmp_path):
     )
     import time
 
-    deadline = time.time() + 30
+    # Generous deadline: under a full-suite run all 32 local cores are
+    # contended and the first micro-batch can take well over 30 s to
+    # commit; the loop exits as soon as one lands.
+    deadline = time.time() + 150
     while time.time() < deadline:
         if (
             stream.existing_orders() is not None
