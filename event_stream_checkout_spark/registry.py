@@ -140,6 +140,7 @@ def load_all() -> dict[str, Query]:
         llm,
         llm_advanced,
         llm_ingest,
+        llm_prep,
         multimodal,
         relational,
         relational2,

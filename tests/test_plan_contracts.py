@@ -147,6 +147,31 @@ def test_incremental_dedup_semi_join_probes(spark):
     assert "Inner" not in plan.replace("BuildRight", ""), plan[:400]
 
 
+def test_context_chunks_no_key_exchange(spark):
+    """X14: chunking is a pure scan-local flatMap — no hash or
+    single-partition exchange, no join, no aggregate anywhere in the
+    plan (the only allowed exchange is with_min_scan_parallelism's
+    round-robin, a no-op on splittable input at scale)."""
+    plan = executed_plan(spark, "llm_context_chunks")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_vocabulary_two_shuffles_then_topk(spark):
+    """X15: vocabulary shuffles exactly twice — (token, doc_id) then
+    token — and takes the top-100 via TakeOrderedAndProject (partition
+    heaps + driver merge), never a global sort or single-partition
+    exchange of the full vocabulary."""
+    plan = executed_plan(spark, "llm_vocabulary")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 2, f"expected 2 hash exchanges, saw {n_hash}"
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_domain_mix_broadcasts_thresholds_no_corpus_shuffle(spark):
     """X13: the corpus-side keep-filter joins the ~#sources-row
     threshold table by BROADCAST — the documents table itself must
