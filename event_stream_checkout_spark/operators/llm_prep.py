@@ -97,6 +97,101 @@ def q_llm_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X17: greedy sequence packing
+# --------------------------------------------------------------------------
+
+# Training sequences hold _SEQ_CAP words; chunks are packed greedily in
+# (doc_id, chunk_id) order without splitting: a chunk belongs to the
+# sequence where its running-word offset starts, so a straddling chunk
+# overflows its sequence by < chunk length (greedy no-split packing).
+# Packing is per (source, shard): production packs within output
+# shards, never globally — a global pack order would serialize the
+# corpus through one sort.
+_SEQ_CAP = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "llm_sequence_pack",
+    oracle="WITH w AS (SELECT doc_id, source, string_split(text, ' ') "
+    "AS ws FROM documents), "
+    f"s AS (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws), "
+    f"{_STRIDE})) AS st FROM w), "
+    "c AS (SELECT doc_id, source, "
+    f"CAST((st - 1) // {_STRIDE} AS BIGINT) AS chunk_id, "
+    f"CAST(least({_CHUNK}, len(ws) - st + 1) AS BIGINT) AS n_words FROM s), "
+    f"k AS (SELECT * FROM c WHERE chunk_id = 0 OR n_words > "
+    f"{_CHUNK - _STRIDE}), "
+    f"p AS (SELECT source, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard, "
+    "doc_id, chunk_id, n_words, "
+    f"sum(n_words) OVER (PARTITION BY source, doc_id % {_PACK_SHARDS} "
+    "ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) - n_words "
+    "AS off FROM k) "
+    f"SELECT source, shard, CAST(off // {_SEQ_CAP} AS BIGINT) AS seq_id, "
+    "CAST(count(*) AS BIGINT) AS n_chunks, "
+    "CAST(sum(n_words) AS BIGINT) AS n_words_packed, "
+    f"CAST((sum(n_words) * 100) // {_SEQ_CAP} AS BIGINT) AS fill_pct "
+    "FROM p GROUP BY 1, 2, 3",
+    doc="Greedy no-split sequence packing (X17): X14's chunks are "
+    f"packed into {_SEQ_CAP}-word training sequences in (doc_id, "
+    "chunk_id) order — each chunk joins the sequence where its "
+    "running-word offset starts, so sequences overflow by < one chunk "
+    "and are never fragmented. Packing is per (source, doc_id%"
+    f"{_PACK_SHARDS}) shard, the production shape: a window keyed "
+    "(source, shard) bounds every sort to one shard, and the final "
+    "per-sequence rollup groups on a superset of the window key so "
+    "Catalyst reuses the window's partitioning — ONE shuffle in the "
+    "whole plan (asserted by contract). At 100 TB, shard count scales "
+    "with the corpus while each in-shard sort stays executor-sized.",
+)
+def q_llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    d = d.select("doc_id", "source", F.split("text", " ", -1).alias("_w"))
+    starts = F.sequence(F.lit(1), F.size("_w"), F.lit(_STRIDE))
+    c = d.select(
+        "doc_id",
+        "source",
+        F.size("_w").alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "st"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(_CHUNK), F.col("_n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_words"),
+    )
+    k = c.filter(
+        (F.col("chunk_id") == 0) | (F.col("n_words") > _CHUNK - _STRIDE)
+    ).withColumn(
+        "shard", (F.col("doc_id") % _PACK_SHARDS).cast("long")
+    )
+    win = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = k.withColumn(
+        "off", F.sum("n_words").over(win) - F.col("n_words")
+    )
+    return p.groupBy(
+        "source",
+        "shard",
+        F.floor(F.col("off") / _SEQ_CAP).cast("long").alias("seq_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_words").cast("long").alias("n_words_packed"),
+        F.floor(F.sum("n_words") * 100 / _SEQ_CAP)
+        .cast("long")
+        .alias("fill_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X15: corpus vocabulary / document frequency
 # --------------------------------------------------------------------------
 

@@ -172,6 +172,18 @@ def test_vocabulary_two_shuffles_then_topk(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_sequence_pack_single_shuffle(spark):
+    """X17: chunk flatMap → (source, shard) window → per-sequence
+    rollup runs on ONE hash exchange — the rollup groups on a superset
+    of the window key, so Catalyst reuses the window's partitioning
+    instead of reshuffling."""
+    plan = executed_plan(spark, "llm_sequence_pack")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, saw {n_hash}"
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_domain_mix_broadcasts_thresholds_no_corpus_shuffle(spark):
     """X13: the corpus-side keep-filter joins the ~#sources-row
     threshold table by BROADCAST — the documents table itself must
