@@ -329,6 +329,20 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_root(sf_dir: str) -> str:
+    """The on-disk root q_snk_partitioned writes to. Single source of
+    truth for the {md5}_{pid} tag so the query and its pruning-evidence
+    test (tests/test_scale_features.py::test_snk_partitioned_prunes)
+    can never disagree on the path; PID-scoped so concurrent sessions
+    (driver + pytest) never clobber each other's layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    return os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
+
+
 @register(
     "snk_partitioned",
     oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
@@ -348,12 +362,7 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "results.",
 )
 def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
+    root = partitioned_root(sf_dir)
     e = _t(spark, sf_dir, "events")
     dated = e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
     dated.write.partitionBy("event_date").mode("overwrite").parquet(root)

@@ -34,6 +34,7 @@ def order_stream_source(
     *,
     path: str | None = None,
     rows_per_second: int = 100,
+    rows_per_batch: int | None = None,
     kafka_bootstrap: str | None = None,
     kafka_topic: str | None = None,
     max_files_per_trigger: int | None = 1,
@@ -55,11 +56,23 @@ def order_stream_source(
         # of the rate source's (value), so a replayed offset range
         # regenerates identical records — the same replay-determinism
         # contract the file source gives us.
-        rate = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", rows_per_second)
-            .load()
-        )
+        # rows_per_batch switches to the bounded rate-micro-batch
+        # source: exactly N rows per micro-batch, independent of
+        # wall-clock, and it honors Trigger.AvailableNow — so a test
+        # can run ONE deterministic batch to completion instead of
+        # polling a deadline on a loaded host.
+        if rows_per_batch is not None:
+            rate = (
+                spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", rows_per_batch)
+                .load()
+            )
+        else:
+            rate = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_second)
+                .load()
+            )
         from ..pipeline import ITEM_TYPE
 
         item = F.struct(

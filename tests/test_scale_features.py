@@ -458,16 +458,16 @@ def test_snk_partitioned_prunes(spark):
 
     # Directory-level evidence: rebuild the pruned SCAN (input_file_name
     # is only meaningful before the aggregation shuffle) and confirm
-    # only the 3 matching date directories are opened.
-    import hashlib
-    import os
+    # only the 3 matching date directories are opened. The root comes
+    # from the same helper the query writes through, so a tag change
+    # can never silently point this leg at a stale layout.
     import re
-    import tempfile
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"ecs_partitioned_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+    from event_stream_checkout_spark.operators.relational3 import (
+        partitioned_root,
     )
+
+    root = partitioned_root(SF_DIR)
     scan = spark.read.parquet(root).filter(
         F.col("event_date").cast("string").between("2024-01-10", "2024-01-12")
     )

@@ -518,27 +518,22 @@ def test_rate_source_wire_schema_and_settlement(spark, tmp_path):
     ]
     assert src.isStreaming
 
+    # The settlement leg runs the BOUNDED rate variant (rate-micro-batch,
+    # exactly 40 rows) under Trigger.AvailableNow: the query drains its
+    # one deterministic batch and terminates on its own, so a contended
+    # 32-core host can make this slow but never flaky — no wall-clock
+    # polling, no deadline.
+    bounded = order_stream_source(spark, "rate", rows_per_batch=40)
+    assert [(f.name, f.dataType) for f in bounded.schema] == [
+        (f.name, f.dataType) for f in WIRE_SCHEMA
+    ]
     stream = CheckoutStream(spark, str(tmp_path / "state"))
     q = (
-        src.writeStream.foreachBatch(stream.process_batch)
+        bounded.writeStream.foreachBatch(stream.process_batch)
         .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(processingTime="1 second")
+        .trigger(availableNow=True)
         .start()
     )
-    import time
-
-    # Generous deadline: under a full-suite run all 32 local cores are
-    # contended and the first micro-batch can take well over 30 s to
-    # commit; the loop exits as soon as one lands.
-    deadline = time.time() + 150
-    while time.time() < deadline:
-        if (
-            stream.existing_orders() is not None
-            and stream.orders_table().count() > 0
-        ):
-            break
-        time.sleep(0.5)
-    q.stop()
     q.awaitTermination()
     orders = stream.orders_table()
     assert orders.count() > 0
