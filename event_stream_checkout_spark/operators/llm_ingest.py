@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table, with_min_scan_parallelism
-from .llm_advanced import _BANDS, _N_HASHES, _SQL_BANDS, _SQL_SIGS, SQL_GRAMS
+from .llm_advanced import (
+    _BANDS,
+    _N_HASHES,
+    _SQL_BANDS,
+    _SQL_SIGS,
+    SQL_GRAMS,
+    _sig_columns,
+)
 
 # --------------------------------------------------------------------------
 # X11: Gopher-style repetition filter
@@ -120,10 +127,11 @@ def q_llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (~20%), the rest the EXISTING corpus.
 _NEW_PRED_SQL = "doc_id % 10 >= 8"
 
-
-@register(
-    "llm_incremental_dedup",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+# One oracle serves BOTH X12 variants (in-query and persisted-index):
+# the index is a physical layout choice and must not change results —
+# same discipline as snk_bucketed, whose oracle joins the raw parquet.
+_X12_ORACLE = (
+    f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
     f"newdocs AS (SELECT doc_id, md5(text) AS h FROM documents "
     f"WHERE {_NEW_PRED_SQL}), "
     f"exhash AS (SELECT DISTINCT md5(text) AS h FROM documents "
@@ -139,7 +147,13 @@ _NEW_PRED_SQL = "doc_id % 10 >= 8"
     "WHEN nr.doc_id IS NOT NULL THEN 'near' ELSE 'unique' END "
     "AS verdict FROM newdocs n "
     "LEFT JOIN exact ex ON n.doc_id = ex.doc_id "
-    "LEFT JOIN near nr ON n.doc_id = nr.doc_id",
+    "LEFT JOIN near nr ON n.doc_id = nr.doc_id"
+)
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=_X12_ORACLE,
     doc="Incremental ingest dedup (X12): classify each NEW document "
     "(doc_id % 10 ∈ {8,9} models the ingest batch) against the "
     "EXISTING corpus — 'exact' on md5(text) match, else 'near' on any "
@@ -204,6 +218,149 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact"), "exact")
+            .when(F.col("_near"), "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X12b: incremental dedup against a PERSISTED day-2 index
+# --------------------------------------------------------------------------
+
+
+def _with_grams_guarded(d: DataFrame) -> DataFrame:
+    """Attach the `_grams` shingle array WITHOUT dropping short docs
+    (unlike _with_grams_array): <3-word documents get an empty array,
+    so they keep their exact-hash row in the index but produce no band
+    keys — mirroring the oracle, where exhash covers ALL existing docs
+    and bands only the shingled ones."""
+    d = d.withColumn("_words", F.split("text", " ", -1))
+    gram = F.when(
+        F.size("_words") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_words"), i),
+                F.element_at(F.col("_words"), i + 1),
+                F.element_at(F.col("_words"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn("_grams", gram)
+
+
+def _x12_band_keys():
+    """The 4 LSH band keys as 'band_idx:md5(h_a||h_b)' strings (the
+    single-column physical form of the oracle's (band_idx, band_key)
+    pair), with null entries (short docs) filtered out."""
+    arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))),
+            )
+            for i, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 pay-once build of the persisted X12 dedup index: one row
+    per (existing doc, band key) carrying the doc's content hash —
+    4 slim rows + 1 md5 per document, written bucketBy(8, bkey) +
+    sortBy through the same machinery as snk_bucketed (S12). At 100 TB
+    the index is ~0.1% of corpus bytes; day-2 ingests probe it without
+    ever re-scanning the existing corpus. PID-scoped like the other
+    sink tables so concurrent sessions never race one metastore name."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    name = f"ecs_dedup_idx_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    d = load_table(spark, sf_dir, "documents").filter(~F.expr(_NEW_PRED_SQL))
+    sig = _with_grams_guarded(d).select(
+        "doc_id", F.md5("text").alias("h"), *_sig_columns()
+    )
+    idx = sig.select(
+        "doc_id", "h", F.explode_outer(_x12_band_keys()).alias("bkey")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_{tag}")
+    (
+        idx.write.bucketBy(8, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .option("path", root)
+        .saveAsTable(name)
+    )
+    return name
+
+
+@register(
+    "llm_incremental_dedup_indexed",
+    oracle=_X12_ORACLE,
+    doc="Incremental ingest dedup against the PERSISTED day-2 index "
+    "(X12b): same classification as llm_incremental_dedup — 'exact' on "
+    "content-hash match, 'near' on any shared LSH band key, else "
+    "'unique' — but the existing side is served ENTIRELY by the slim "
+    "index table incremental_index_table() persisted on day 1; the "
+    "probe plan contains ZERO scans of the documents corpus (asserted "
+    "by tests/test_plan_contracts.py::"
+    "test_incremental_dedup_indexed_probes_index_only). The ingest "
+    "batch (small by definition of an ingest) is materialized once and "
+    "BROADCAST to both probes, so the index is streamed scan-locally "
+    "and never shuffled — at 100 TB the only moved bytes are the "
+    "batch's hashes and band keys plus the matched doc ids. The oracle "
+    "is the same SQL as the in-query variant: a persisted index is a "
+    "layout choice and must not change results (snk_bucketed "
+    "discipline).",
+)
+def q_llm_incremental_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    name = incremental_index_table(spark, sf_dir)
+    idx = spark.table(name)
+    d = load_table(spark, sf_dir, "documents").filter(F.expr(_NEW_PRED_SQL))
+    # The day-2 batch: doc_id + content hash + band keys, computed in
+    # ONE scan-local projection and pinned (localCheckpoint) so the
+    # probe plan never touches documents again.
+    new_sig = _with_grams_guarded(d).select(
+        "doc_id", F.md5("text").alias("h"), *_sig_columns()
+    )
+    new = (
+        new_sig.select("doc_id", "h", _x12_band_keys().alias("bkeys"))
+        .localCheckpoint()
+    )
+    exact = (
+        idx.select(F.col("h").alias("eh"))
+        .join(F.broadcast(new.select("doc_id", "h")), F.col("eh") == F.col("h"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    nb = new.select("doc_id", F.explode("bkeys").alias("bkey"))
+    near = (
+        idx.select(F.col("bkey").alias("ib"))
+        .filter(F.col("ib").isNotNull())
+        .join(F.broadcast(nb), F.col("ib") == F.col("bkey"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(

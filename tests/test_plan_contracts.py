@@ -147,6 +147,24 @@ def test_incremental_dedup_semi_join_probes(spark):
     assert "Inner" not in plan.replace("BuildRight", ""), plan[:400]
 
 
+def test_incremental_dedup_indexed_probes_index_only(spark):
+    """X12b: the day-2 probe is served ENTIRELY by the persisted index
+    — the executed plan contains zero scans of the documents corpus
+    (the batch is pinned pre-plan; the existing side reads only the
+    ecs_dedup_idx_* table), the small batch is broadcast to both
+    probes, and the index itself is never hash-shuffled (the only
+    exchanges are the distincts over matched batch doc ids)."""
+    plan = executed_plan(spark, "llm_incremental_dedup_indexed", full=True)
+    assert "documents.parquet" not in plan, "existing corpus re-scanned"
+    assert "ecs_dedup_idx_" in plan, "persisted index not read"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # Index-side hash exchange would mean the big side is shuffled;
+    # matched-id distincts + the final verdict joins need at most a
+    # handful of small exchanges.
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 6, f"unexpected exchanges (index shuffled?): {n_hash}"
+
+
 def test_context_chunks_no_key_exchange(spark):
     """X14: chunking is a pure scan-local flatMap — no hash or
     single-partition exchange, no join, no aggregate anywhere in the
