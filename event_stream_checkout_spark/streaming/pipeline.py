@@ -250,6 +250,16 @@ class CheckoutStream:
             self.publish_fail(with_ids) if self.publish_fail else F.lit(False)
         )
         with_ids = with_ids.withColumn("_pub_fail", pub_fail_cond)
+        # Gate/write coherence (r4/r5 verdict #3): the injected failure
+        # predicate is evaluated ONCE and pinned, so the response
+        # channel, the publish filter, and the gate counts below all
+        # see the same verdict even for a NONDETERMINISTIC predicate
+        # (fault-injection harnesses use rand()).  Without the pin,
+        # each consumer branch would re-evaluate the predicate and
+        # could disagree.  Skipped when no predicate is injected —
+        # lit(False) is deterministic and the hot path stays lazy.
+        if self.publish_fail is not None:
+            with_ids = with_ids.localCheckpoint()
         responses = (
             corrupt.select(
                 F.lit(400).alias("status_code"),
@@ -284,6 +294,12 @@ class CheckoutStream:
         queued = published.unionByName(self.pending_retries(before_batch=batch_id))
         fail_cond = self.process_fail(queued) if self.process_fail else F.lit(False)
         queued = queued.withColumn("_fail", fail_cond)
+        # Same coherence pin as _pub_fail above: one evaluation feeds
+        # to_dlq / to_retry / processable AND the gate counts, so a
+        # nondeterministic process_fail cannot route one record into
+        # two legs (or none).
+        if self.process_fail is not None:
+            queued = queued.localCheckpoint()
         failing = queued.filter(F.col("_fail"))
         to_dlq = failing.filter(F.col("attempts") >= MAX_RECEIVE_COUNT)
         to_retry = (

@@ -226,6 +226,51 @@ def test_retry_then_dlq(stream_env):
     assert inv["prod-101"] == 49 and inv["prod-102"] == 20
 
 
+def test_nondeterministic_fail_predicate_coherent(stream_env):
+    """Gate/write coherence (r4/r5 verdict #3): even a NONDETERMINISTIC
+    process_fail predicate — modeled as a nondeterministic UDF that
+    coin-flips per evaluation, the worst case of a rand()-based fault
+    injector — routes every record into exactly one of {settled order,
+    pending retry}.  The predicate is evaluated once and pinned
+    (localCheckpoint) before it fans out to the retry, DLQ, and
+    settlement legs; without the pin each leg would re-flip the coin
+    and records would duplicate into two legs or vanish from all."""
+    import random
+
+    spark, input_dir, state_dir = stream_env
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    coin = SF.udf(
+        lambda: random.random() < 0.5, ST.BooleanType()
+    ).asNondeterministic()
+    stream = CheckoutStream(
+        spark, state_dir, process_fail=lambda df: coin()
+    )
+    n = 40
+    write_file(
+        input_dir,
+        "f1.json",
+        [order(f"cust-{i}", [("prod-101", 1)], i) for i in range(n)],
+    )
+    stream.run_available(input_dir)
+
+    settled = {r["customer_id"] for r in stream.orders_table().collect()}
+    pending = {
+        r["customer_id"] for r in stream.pending_retries().collect()
+    }
+    # Exactly-one routing: no record in both legs, none lost.
+    assert settled.isdisjoint(pending)
+    assert len(settled) + len(pending) == n
+    # Inventory only moved for the settled ones (coherence of the
+    # settlement leg with the same single evaluation).
+    inv = {
+        r["product_id"]: r["quantity_available"]
+        for r in stream.current_inventory().collect()
+    }
+    assert inv["prod-101"] == 50 - len(settled)
+
+
 def test_ingest_response_channel(stream_env):
     """S1 fidelity: per-record API responses — 400 for validation and
     malformed JSON, 500 for a failed queue publish (record never enters
