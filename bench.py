@@ -6,11 +6,28 @@
 Each query materializes through the noop sink (full execution, no
 driver-side row transfer), timed individually after a session warmup
 so JVM startup doesn't pollute per-query numbers.
+
+Noise discipline (SCALE.md "Bench noise analysis"; adopted round 6 per
+the r5 verdict): the suite runs as INTERLEAVED cycles — every query
+once, then the whole list again — and each query reports its minimum
+across cycles.  Back-to-back repeats of one query share any transient
+host-load window, so their min still carries the noise; interleaving
+puts ~a full suite length between a query's samples, which is exactly
+the decorrelation the repo's own noise study prescribed.  r5's +44%
+whipsaw on unchanged code is the failure mode this kills.
+
+If BENCH_SF1.json exists at the repo root (produced by running this
+script with SPARK_GRAFT_SF_DIR=/tmp/ecs_sf1 after
+scripts/make_scaled_sf.py), its timings are embedded under ``sf1``
+with per-query scaling exponents log10(t_sf1/t_sf0.1) — 1.0 = perfectly
+linear in data size, <1 = sub-linear (fixed overheads amortizing),
+>1 = super-linear (a plan that would NOT survive 100 TB).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -40,6 +57,9 @@ HEADLINE = [
 # headline ``value`` so that number stays an apples-to-apples series
 # against BENCH_r02/r03 (same 13 keys).  Their timings appear in
 # ``queries`` and their subtotal in ``extended_sec``.
+# ``snk_bucketed`` is benched as its two legs (write = pay-once
+# bucketBy shuffle, read = recurring zero-exchange join); the blended
+# key remains their sum for series continuity.
 EXTENDED = [
     "llm_contamination",     # df-capped gram join
     "snk_bucketed",          # bucketed write ×2 + zero-exchange join
@@ -47,12 +67,29 @@ EXTENDED = [
                              # runs, min — first run absorbs sink setup)
 ]
 
+SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cycles = int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    from event_stream_checkout_spark.operators.relational3 import (
+        bucketed_read,
+        bucketed_write,
+    )
     from event_stream_checkout_spark.registry import load_all
     from event_stream_checkout_spark.session import get_session
 
@@ -74,32 +111,62 @@ def main() -> None:
         .save()
     )
 
-    # Two runs per query, report the min: steady-state throughput,
-    # not first-run codegen compilation.
     timings: dict[str, float] = {}
-    for key in HEADLINE + EXTENDED:
-        q = registry[key]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
+    for _cycle in range(cycles):
+        for key in HEADLINE + EXTENDED:
+            if key == "snk_bucketed":
+                t0 = time.perf_counter()
+                names = bucketed_write(spark, sf_dir)
+                tw = time.perf_counter() - t0
+                tr = _time(lambda: _noop(bucketed_read(spark, *names)))
+                for leg, t in (("snk_bucketed_write", tw),
+                               ("snk_bucketed_read", tr)):
+                    timings[leg] = min(timings.get(leg, float("inf")),
+                                       round(t, 3))
+                continue
+            t = _time(lambda: _noop(registry[key].fn(spark, sf_dir)))
+            timings[key] = min(timings.get(key, float("inf")), round(t, 3))
+    # Blended bucketed number = sum of the per-leg minima, keeping the
+    # r2-r5 extended series comparable.
+    timings["snk_bucketed"] = round(
+        timings["snk_bucketed_write"] + timings["snk_bucketed_read"], 3
+    )
 
     total = round(sum(timings[k] for k in HEADLINE), 3)
     extended = round(sum(timings[k] for k in EXTENDED), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended_sec": extended,
-                "sf": sf,
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extended_sec": extended,
+        "sf": sf,
+        "cycles": cycles,
+    }
+
+    # Embed the sf1 block + scaling exponents when this run is the
+    # driver's sf0.1 pass and a materialized sf1 result exists.
+    if SF1_RESULTS.exists() and abs(sf - 0.1) < 1e-9:
+        try:
+            sf1 = json.loads(SF1_RESULTS.read_text())
+            ratio = sf1["sf"] / sf
+            exponents = {
+                k: round(math.log(sf1["queries"][k] / t) / math.log(ratio), 3)
+                for k, t in timings.items()
+                if k in sf1.get("queries", {})
+                and t > 0 and sf1["queries"][k] > 0
             }
-        )
-    )
+            out["sf1"] = {
+                "sf": sf1["sf"],
+                "value": sf1["value"],
+                "queries": sf1["queries"],
+                "extended_sec": sf1.get("extended_sec"),
+                "scaling_exponent": exponents,
+            }
+        except (KeyError, ValueError, ZeroDivisionError):
+            pass
+
+    print(json.dumps(out))
     spark.stop()
 
 

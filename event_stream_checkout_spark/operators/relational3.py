@@ -276,24 +276,11 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.exceptAll(right)
 
 
-@register(
-    "snk_bucketed",
-    oracle="SELECT o_orderstatus, "
-    f"{sql_dsum('l_quantity')} AS sum_qty, "
-    "CAST(count(*) AS BIGINT) AS n "
-    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-    "GROUP BY o_orderstatus",
-    doc="Bucketed sink + co-located join (S10/J4 scale path): both "
-    "fact tables are written bucketBy(8, orderkey) + sortBy, then "
-    "joined bucket-to-bucket — the join stage plans with ZERO Exchange "
-    "on the join keys (asserted by "
-    "tests/test_scale_features.py::test_bucketed_join_eliminates_shuffle). "
-    "This is THE strategy for a join that recurs on one key at 100 TB: "
-    "pay the shuffle once at write time, never again at read time. "
-    "The oracle is the same join on the raw parquet — bucketing must "
-    "not change results, only the plan.",
-)
-def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucketed_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """S12 write leg: persist lineitem and orders bucketBy(8, orderkey)
+    + sortBy; returns the two table names.  Split from the read leg so
+    the bench can price the pay-once shuffle-at-write separately from
+    the recurring zero-exchange read (r4 verdict ask #5)."""
     import hashlib
     import os
     import tempfile
@@ -317,6 +304,15 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", os.path.join(root, name))
             .saveAsTable(name)
         )
+    return li_name, ord_name
+
+
+def bucketed_read(
+    spark: SparkSession, li_name: str, ord_name: str
+) -> DataFrame:
+    """S12 read leg: the co-located bucket-to-bucket join + aggregate
+    over the tables bucketed_write persisted — plans with zero Exchange
+    on the join keys."""
     li = spark.table(li_name)
     orders = spark.table(ord_name)
     return (
@@ -327,6 +323,30 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "snk_bucketed",
+    oracle="SELECT o_orderstatus, "
+    f"{sql_dsum('l_quantity')} AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderstatus",
+    doc="Bucketed sink + co-located join (S10/J4 scale path): both "
+    "fact tables are written bucketBy(8, orderkey) + sortBy, then "
+    "joined bucket-to-bucket — the join stage plans with ZERO Exchange "
+    "on the join keys (asserted by "
+    "tests/test_scale_features.py::test_bucketed_join_eliminates_shuffle). "
+    "This is THE strategy for a join that recurs on one key at 100 TB: "
+    "pay the shuffle once at write time, never again at read time. "
+    "The oracle is the same join on the raw parquet — bucketing must "
+    "not change results, only the plan. Benched as separate write/read "
+    "legs (bucketed_write / bucketed_read) so the pay-once cost and "
+    "the recurring read are priced individually.",
+)
+def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_name, ord_name = bucketed_write(spark, sf_dir)
+    return bucketed_read(spark, li_name, ord_name)
 
 
 def partitioned_root(sf_dir: str) -> str:
