@@ -248,3 +248,69 @@ _LEDGER_ORACLE = (
 _Q["state_ledger_stream"] = _dc_replace(
     _Q["state_ledger_stream"], oracle=_LEDGER_ORACLE
 )
+
+
+@register(
+    "state_ledger_tws",
+    oracle=_LEDGER_ORACLE,
+    doc="Keyed mutable state via transformWithStateInPandas (T1/U5, "
+    "r4/r5 verdict ask: grade the TWS twin, not just "
+    "applyInPandasWithState): the same per-key ValueState inventory "
+    "ledger as state_ledger_stream, expressed through Spark's "
+    "StatefulProcessor API with the RocksDB state-store provider — "
+    "the API a 100 TB deployment would use for multi-state operators, "
+    "timers, and TTL. google.protobuf for the state-server protocol "
+    "is bootstrapped from a pure-python runtime where site-packages "
+    "lacks one (streaming/stateful.py ensure_protobuf). Same "
+    "recursive-CTE value oracle as the applyInPandasWithState form — "
+    "the two primitives must be indistinguishable by results.",
+)
+def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .checkout import inventory, order_items
+    from ..streaming.stateful import inventory_ledger_stream_tws
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_tws_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    items_dir = os.path.join(root, "items")
+    out_dir = os.path.join(root, "out")
+
+    items = order_items(spark, sf_dir).select(
+        "product_id",
+        F.col("event_id").alias("event_seq"),
+        "quantity",
+        F.col("item_ts").alias("ts"),
+    )
+    # Same per-key staging discipline as state_ledger_stream: each
+    # key's rows in ONE sorted file, one availableNow batch, keys
+    # parallel end-to-end.
+    (
+        items.repartition(F.col("product_id"))
+        .sortWithinPartitions("ts", "event_seq")
+        .write.mode("overwrite")
+        .json(items_dir)
+    )
+    seed = {
+        r["product_id"]: r["stock"]
+        for r in inventory(spark, sf_dir).select("product_id", "stock").collect()
+    }
+    q = (
+        inventory_ledger_stream_tws(
+            spark, items_dir, seed=seed, max_files_per_trigger=None
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "product_id", "event_seq", "quantity", "item_ok", "remaining"
+    )

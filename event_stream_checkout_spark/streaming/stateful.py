@@ -100,33 +100,131 @@ class InventoryLedger(StatefulProcessor):
         pass
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs protobuf for its state-server
-    protocol; some environments (including this container) ship a
-    broken google.protobuf. Detect instead of crashing the worker."""
+# A pure-python google.protobuf runtime that ships inside the Google
+# Cloud SDK present on this machine — used as a fallback import source
+# when no protobuf is installed in site-packages.  The generated
+# StateMessage_pb2 is from a newer protoc than that runtime, so the
+# official escape hatch TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK
+# (honored by protobuf's own ValidateProtobufRuntimeVersion) is set —
+# the wire format is stable across these minor versions.
+_SDK_SITE = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _pbcompat_zip() -> str | None:
+    """Package the SDK's google.protobuf as a zip addPyFile can ship to
+    python workers (built once per machine, cached in tmp)."""
+    import os
+    import tempfile
+    import zipfile
+
+    src = os.path.join(_SDK_SITE, "google", "protobuf")
+    if not os.path.isdir(src):
+        return None
+    zp = os.path.join(tempfile.gettempdir(), "ecs_pbcompat_google.zip")
+    if not os.path.exists(zp):
+        tmp = zp + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+            z.writestr("google/__init__.py", "")
+            for root, dirs, files in os.walk(src):
+                dirs[:] = [d for d in dirs if d != "blaze-out"]
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(
+                            p,
+                            os.path.join(
+                                "google",
+                                os.path.relpath(p, os.path.dirname(src)),
+                            ),
+                        )
+        os.replace(tmp, zp)
+    return zp
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """Make ``google.protobuf`` importable for the TWS state-server
+    protocol — in this process, and (when a session is given) in its
+    python workers.  Prefers an installed protobuf; falls back to the
+    SDK's pure-python copy via sys.path (driver) + addPyFile zip
+    (workers).  sc.environment carries the version-check escape hatch
+    to worker ``os.environ`` before any pb2 import runs there."""
+    import importlib
+    import os
+    import sys
+
+    os.environ.setdefault(
+        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+    )
     try:
         from google.protobuf import descriptor  # noqa: F401
 
-        return True
+        # A prior call may have bootstrapped this process already; the
+        # sys.path marker keeps worker shipping on for later sessions.
+        bootstrapped = _SDK_SITE in sys.path
     except ImportError:
-        return False
+        if not os.path.isdir(os.path.join(_SDK_SITE, "google", "protobuf")):
+            return False
+        if _SDK_SITE not in sys.path:
+            sys.path.insert(0, _SDK_SITE)
+        importlib.invalidate_caches()
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except Exception:
+            return False
+        bootstrapped = True
+    if spark is not None and bootstrapped:
+        sc = spark.sparkContext
+        sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        # Regular python workers pick the zip up via addPyFile; the TWS
+        # coordinator ("driver worker") is a separate long-running
+        # process launched with the function's envVars only, so it
+        # needs the SDK site on PYTHONPATH at interpreter start.
+        prior = sc.environment.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+        if _SDK_SITE not in prior.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                prior + os.pathsep + _SDK_SITE if prior else _SDK_SITE
+            )
+        if not getattr(sc, "_ecs_pbcompat_shipped", False):
+            zp = _pbcompat_zip()
+            if zp is None:
+                return False
+            sc.addPyFile(zp)
+            sc._ecs_pbcompat_shipped = True
+    return True
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this container has none in site-packages, but
+    ensure_protobuf can bootstrap the SDK's pure-python copy. Detect
+    instead of crashing the worker."""
+    return ensure_protobuf()
 
 
 def inventory_ledger_stream_tws(
-    spark: SparkSession, items_dir: str, seed: dict[str, int] | None = None
+    spark: SparkSession,
+    items_dir: str,
+    seed: dict[str, int] | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Wire a JSON item stream through the TWS stateful ledger
-    (requires a working protobuf install — see tws_available)."""
+    (requires a working protobuf install — bootstrapped into driver
+    and workers by ensure_protobuf where possible)."""
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "usable copy could be bootstrapped; use "
+            "inventory_ledger_stream (applyInPandasWithState) instead"
+        )
     configure(spark)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    stream = (
-        spark.readStream.schema(ITEM_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(items_dir)
-    )
+    reader = spark.readStream.schema(ITEM_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(items_dir)
     return stream.groupBy("product_id").transformWithStateInPandas(
         statefulProcessor=InventoryLedger(seed),
         outputStructType=OUTPUT_SCHEMA,
