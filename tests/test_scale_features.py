@@ -540,6 +540,151 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.set(k, v)
 
 
+def test_zipf_settlement_semantics_and_skew_path(spark, tmp_path):
+    """Zipf-skew settlement demo (r4/r5 verdict ask #9): a 90%-hot
+    product catalog through the settlement body.
+
+    1. SEMANTICS: run_checkout_batch(optimistic) under zipf equals an
+       independent sequential prefix-demand oracle computed in pandas
+       — skew changes nothing about the decisions.
+    2. PLAN, default confs: the inventory join is a BroadcastHashJoin —
+       the settlement's join leg is skew-IMMUNE by construction (the
+       dim is broadcast, the hot key never shuffles); the only
+       product-keyed exchanges are the window/consumed aggregation,
+       whose per-key work is inherently sequential prefix math.
+    3. PLAN, catalog-outgrows-broadcast fallback: the same zipf item
+       frame joined to the catalog WITHOUT broadcast (thresholds
+       scoped) must execute with AQE splitting the hot partition
+       (skew=true) and identical row counts — the documented path when
+       a real catalog no longer fits a broadcast."""
+    import datetime as dt
+
+    from event_stream_checkout_spark import pipeline as P
+
+    n, hot_share = 66_000, 10 / 11
+    n_hot = int(n * hot_share)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        pid = "prod-hot" if i < n_hot else f"prod-c{i % 200:03d}"
+        rows.append(
+            (
+                f"cust-{i}",
+                [(pid, (i % 3) + 1)],
+                base + dt.timedelta(seconds=i),
+            )
+        )
+    raw = spark.createDataFrame(
+        rows,
+        "customer_id string, items array<struct<product_id:string,"
+        "quantity:long>>, timestamp timestamp_ntz",
+    )
+    # Stock covers roughly half the hot demand so both statuses occur
+    # on the hot key; cold products settle everything.
+    inv_rows = [("prod-hot", "Hot", (n_hot * 2) // 2)] + [
+        (f"prod-c{c:03d}", "Cold", 10_000) for c in range(200)
+    ]
+    inventory = spark.createDataFrame(inv_rows, P.INVENTORY_SCHEMA)
+
+    _, res = P.run_checkout_batch(
+        spark, raw, inventory=inventory, mode="optimistic"
+    )
+    got_orders = res.orders.collect()
+    got = {r["order_id"]: r["status"] for r in got_orders}
+    plan = res.orders._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "inventory join must broadcast"
+
+    # Independent oracle: sequential prefix-demand per product over the
+    # T5 order (timestamp, order_id), computed driver-side in pandas.
+    ids = (
+        P.derive_order_ids(raw)
+        .select(
+            "order_id",
+            "timestamp",
+            F.col("items")[0]["product_id"].alias("product_id"),
+            F.col("items")[0]["quantity"].alias("quantity"),
+        )
+        .toPandas()
+        .sort_values(["timestamp", "order_id"], kind="stable")
+    )
+    stock = {p: q for p, _, q in inv_rows}
+    running: dict[str, int] = {}
+    want = {}
+    for r in ids.itertuples():
+        running[r.product_id] = running.get(r.product_id, 0) + r.quantity
+        want[r.order_id] = (
+            "PROCESSED"
+            if running[r.product_id] <= stock.get(r.product_id, -1)
+            else "FAILED"
+        )
+    assert len(got) == n and got == want
+
+    inv_got = {
+        r["product_id"]: r["quantity_available"]
+        for r in res.inventory.collect()
+    }
+    consumed: dict[str, int] = {}
+    for r in ids.itertuples():
+        if want[r.order_id] == "PROCESSED":
+            consumed[r.product_id] = consumed.get(r.product_id, 0) + r.quantity
+    assert inv_got == {
+        p: q - consumed.get(p, 0) for p, q in stock.items()
+    }
+
+    # 3. The no-longer-broadcastable catalog: the settlement's exploded
+    # item frame (zipf) against the catalog as a shuffle join — AQE
+    # must split the hot partition.
+    items_path, cat_path = str(tmp_path / "items"), str(tmp_path / "cat")
+    P.derive_order_ids(raw).select(
+        "order_id",
+        F.col("items")[0]["product_id"].alias("product_id"),
+        F.col("items")[0]["quantity"].alias("quantity"),
+    ).write.parquet(items_path)
+    inventory.write.parquet(cat_path)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.read.parquet(items_path)
+            .join(spark.read.parquet(cat_path).hint("merge"), "product_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("quantity").alias("demand"),
+                # Keep the wide order_id column alive through the join
+                # shuffle (column pruning would otherwise shrink the
+                # hot partition below realistic row width).
+                F.max("order_id").alias("max_id"),
+            )
+        )
+        out = joined.collect()
+        skew_plan = joined._jdf.queryExecution().executedPlan().toString()
+        skew_plan = skew_plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in skew_plan, skew_plan[:2000]
+        assert out[0]["n"] == n  # split join, exact results
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_every_query_survives_empty_tables(spark, tmp_path):
     """Robustness sweep: every registered query must EXECUTE against a
     dataset where all 10 tables are empty (0 rows, correct schemas) —
