@@ -91,6 +91,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     # ROUND_MODIFIED re-grades were already members.
     "llm_curation_pipeline", "multimodal_frame_sample", "snk_bucketed",
     "snk_partitioned", "state_ledger_stream",
+    # round 4/5 (CORRECTNESS_r04/r05.json) — wave-3 ingest ops and the
+    # approx-percentile verdict, each green in both rounds.
+    "llm_repetition_filter", "llm_incremental_dedup", "llm_domain_mix",
+    "llm_context_chunks", "llm_sequence_pack", "llm_vocabulary",
+    "llm_pseudonymize", "agg_approx_percentile",
 })
 
 
@@ -99,22 +104,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
-    # r4: both approx sketches now emit in-query error-bound verdicts
-    # with full value oracles (previously rows-only `no_oracle`).
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # r4 perf rewrites (same oracles, engine plan changed):
-    "llm_simhash",             # wide scan via with_min_scan_parallelism
-    "llm_embedding_near_dup",  # per-vector norm precompute (10x)
-    # r4 CC rewrite: bucket-pinned edges + bucket-min label init
-    "llm_near_dedup",          # pair path factored through buckets
-    "llm_near_dedup_groups",
-    "llm_dedup_keep_best",
-    "llm_curation_pipeline",
-    # r4 oracle seed fix (-1 sentinel for items-only products) +
-    # per-key parallel staging for the ledger
-    "state_inventory_replay",
-    "state_ledger_stream",
+    # r6: engine-side refactors on previously green keys — a stale
+    # green row must not shield them from re-grading.
+    "snk_partitioned",        # shared partitioned_root() path helper
+    "snk_bucketed",           # split into bucketed_write/bucketed_read
+    "llm_incremental_dedup",  # oracle text factored into _X12_ORACLE
 })
 
 
