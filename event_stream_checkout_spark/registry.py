@@ -109,6 +109,7 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "snk_partitioned",        # shared partitioned_root() path helper
     "snk_bucketed",           # split into bucketed_write/bucketed_read
     "llm_incremental_dedup",  # oracle text factored into _X12_ORACLE
+    "state_ledger_stream",    # parquet staging for the graded bulk fold
 })
 
 

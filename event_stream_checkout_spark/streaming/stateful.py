@@ -206,10 +206,12 @@ def inventory_ledger_stream_tws(
     items_dir: str,
     seed: dict[str, int] | None = None,
     max_files_per_trigger: int | None = 1,
+    fmt: str = "json",
 ) -> DataFrame:
-    """Wire a JSON item stream through the TWS stateful ledger
-    (requires a working protobuf install — bootstrapped into driver
-    and workers by ensure_protobuf where possible)."""
+    """Wire an item stream (json wire format or parquet scale path)
+    through the TWS stateful ledger (requires a working protobuf
+    install — bootstrapped into driver and workers by
+    ensure_protobuf where possible)."""
     if not ensure_protobuf(spark):
         raise RuntimeError(
             "transformWithStateInPandas needs google.protobuf and no "
@@ -224,7 +226,7 @@ def inventory_ledger_stream_tws(
     reader = spark.readStream.schema(ITEM_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(items_dir)
+    stream = reader.format(fmt).load(items_dir)
     return stream.groupBy("product_id").transformWithStateInPandas(
         statefulProcessor=InventoryLedger(seed),
         outputStructType=OUTPUT_SCHEMA,
@@ -246,6 +248,7 @@ def inventory_ledger_stream(
     items_dir: str,
     seed: dict[str, int] | None = None,
     max_files_per_trigger: int | None = 1,
+    fmt: str = "json",
 ) -> DataFrame:
     """Per-product ValueState fold via applyInPandasWithState (U5).
 
@@ -255,6 +258,10 @@ def inventory_ledger_stream(
     whole directory (per-key staging: a key's rows all live in one
     file, so the in-batch per-key sort fixes the fold order with no
     cross-batch coupling).
+
+    ``fmt``: staging format — "json" models the queue wire format;
+    "parquet" is the scale path (at sf1 the json staging write alone
+    costs ~6x the parquet one and parses ~17x the bytes back).
     """
     configure(spark)
     seed_map = seed if seed is not None else {
@@ -285,7 +292,7 @@ def inventory_ledger_stream(
     reader = spark.readStream.schema(ITEM_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(items_dir)
+    stream = reader.format(fmt).load(items_dir)
     return stream.groupBy("product_id").applyInPandasWithState(
         ledger,
         outputStructType=OUTPUT_SCHEMA,
