@@ -309,36 +309,42 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2c: n-gram Jaccard over blocked candidate pairs
 # --------------------------------------------------------------------------
 
+# Hot-gram guard (round 7, closing the last plan-scale hole from the r6
+# verdict): the pairwise self-join's key is (gram, lang, length-bucket),
+# and NOTHING in the block structure bounds a gram's document frequency
+# inside one cell — a boilerplate shingle ("terms of service") shared by
+# B same-language same-length-bucket docs expands to O(B²) join rows
+# BEFORE the jaccard threshold can filter anything.  Grams whose
+# per-cell df exceeds the cap are dropped from the gram space entirely
+# (both sizes and intersections), so every surviving join key carries
+# ≤ cap rows per side and total pair output is O(|dg|·cap), linear in
+# the corpus.  Recall trade: jaccard is measured over the RARE-gram
+# space — a pair whose overlap consists only of stop-phrases no longer
+# surfaces, which is the standard production stance (shared boilerplate
+# is not near-duplication; cf. the identical df-cap in
+# ``llm_contamination`` and the bucket cap in the LSH pass at
+# _LSH_BUCKET_CAP above).  Applied identically in the oracle CTE.
+_JACCARD_DF_CAP = 10
 
-@register(
-    "llm_ngram_jaccard",
-    oracle=f"WITH {SQL_GRAMS.strip()}, "
-    "dg AS (SELECT DISTINCT doc_id, lang, n_chars // 50 AS bucket, gram FROM grams), "
-    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1), "
-    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    "  CAST(count(*) AS BIGINT) AS n_common "
-    "  FROM dg a JOIN dg b ON a.gram = b.gram AND a.lang = b.lang "
-    "  AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-    "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
-    "  CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard "
-    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
-    "JOIN sizes sb ON i.doc_b = sb.doc_id "
-    "WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2",
-    doc="Exact n-gram Jaccard similarity on blocked pairs (X2): "
-    "blocking on (lang, length-bucket) bounds the pair space; the "
-    "gram-level equi-join computes intersections distributively. "
-    "Integer-ratio output is engine-exact.",
-)
-def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dg = (
-        grams_df(spark, sf_dir)
-        .select(
-            "doc_id", "lang", F.expr("n_chars div 50").alias("bucket"), "gram"
-        )
-        .distinct()
+
+def jaccard_pairs(dg: DataFrame) -> DataFrame:
+    """The capped pairwise-Jaccard plan over a distinct
+    ``(doc_id, lang, bucket, gram)`` frame.
+
+    Factored out of the registered query so property tests can drive it
+    with an adversarial corpus (B docs sharing one boilerplate gram must
+    produce O(B·cap) — not O(B²) — pair rows; see
+    tests/test_sketch_properties.py).
+    """
+    rare = (
+        dg.groupBy("gram", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+        .select("gram", "lang", "bucket")
     )
-    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = dg.alias("a"), dg.alias("b")
+    dgc = dg.join(rare, ["gram", "lang", "bucket"])
+    sizes = dgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = dgc.alias("a"), dgc.alias("b")
     inter = (
         a.join(
             b,
@@ -364,6 +370,44 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "dg AS (SELECT DISTINCT doc_id, lang, n_chars // 50 AS bucket, gram FROM grams), "
+    "rare AS (SELECT gram, lang, bucket FROM dg GROUP BY 1, 2, 3 "
+    f"HAVING count(*) <= {_JACCARD_DF_CAP}), "
+    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (gram, lang, bucket)), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dgc GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  CAST(count(*) AS BIGINT) AS n_common "
+    "  FROM dgc a JOIN dgc b ON a.gram = b.gram AND a.lang = b.lang "
+    "  AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
+    "  CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2",
+    doc="Exact n-gram Jaccard similarity on blocked pairs (X2): "
+    "blocking on (lang, length-bucket) bounds the pair space; the "
+    "gram-level equi-join computes intersections distributively. "
+    "Grams hotter than a per-cell document-frequency cap are dropped "
+    "from the gram space BEFORE the self-join (round 7 skew guard — "
+    "see _JACCARD_DF_CAP), bounding join output at O(|grams|·cap) "
+    "instead of O(B²) per boilerplate gram. Jaccard is therefore "
+    "measured over the rare-gram space, the standard recall trade of "
+    "production near-dup passes. Integer-ratio output is engine-exact.",
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = (
+        grams_df(spark, sf_dir)
+        .select(
+            "doc_id", "lang", F.expr("n_chars div 50").alias("bucket"), "gram"
+        )
+        .distinct()
+    )
+    return jaccard_pairs(dg)
 
 
 # --------------------------------------------------------------------------

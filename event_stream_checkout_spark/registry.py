@@ -104,12 +104,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
-    # r6: engine-side refactors on previously green keys — a stale
+    # r7: engine+oracle changed on previously green keys — a stale
     # green row must not shield them from re-grading.
-    "snk_partitioned",        # shared partitioned_root() path helper
-    "snk_bucketed",           # split into bucketed_write/bucketed_read
-    "llm_incremental_dedup",  # oracle text factored into _X12_ORACLE
-    "state_ledger_stream",    # parquet staging for the graded bulk fold
+    "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
 })
 
 

@@ -55,6 +55,46 @@ def test_approx_distinct_bound(spark, shape):
     )
 
 
+def test_jaccard_pair_expansion_bounded(spark):
+    """r7 skew guard (VERDICT r6 item 1): a boilerplate gram shared by
+    B docs in one (lang, bucket) cell must NOT expand to O(B²) pairs.
+
+    Corpus: 60 docs whose ONLY overlap is one hot gram (df=60 > cap=10)
+    plus 2 unique grams each — without the cap every pair would land at
+    jaccard = 1/(3+3-1) = 0.2, exactly at the threshold, i.e. 1770
+    output rows.  With the cap the hot gram is dropped from the gram
+    space, so those docs share nothing and produce ZERO pairs.  A
+    second group of exactly cap docs sharing one gram (df = cap, NOT
+    dropped) must still produce its full cap·(cap-1)/2 = 45 pairs —
+    the cap bounds expansion without killing legitimate similarity."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _JACCARD_DF_CAP,
+        jaccard_pairs,
+    )
+
+    assert _JACCARD_DF_CAP == 10  # the arithmetic below assumes it
+    rows = []
+    for i in range(60):  # hot group: df=60 > cap
+        rows += [
+            (i, "en", 0, "terms of service"),
+            (i, "en", 0, f"uniq {i} a"),
+            (i, "en", 0, f"uniq {i} b"),
+        ]
+    for i in range(100, 110):  # at-cap group: df=10 == cap
+        rows += [
+            (i, "en", 0, "fine shared gram"),
+            (i, "en", 0, f"uniq {i} a"),
+            (i, "en", 0, f"uniq {i} b"),
+        ]
+    dg = spark.createDataFrame(
+        rows, "doc_id long, lang string, bucket long, gram string"
+    )
+    got = jaccard_pairs(dg).collect()
+    assert len(got) == 45, len(got)  # O(cap²) from the legit group only
+    assert all(r["doc_a"] >= 100 and r["doc_b"] >= 100 for r in got)
+    assert all(abs(r["jaccard"] - 0.2) < 1e-12 for r in got)
+
+
 @pytest.mark.parametrize(
     "shape", ["zipf", "all_distinct", "single_value", "empty"]
 )
