@@ -273,19 +273,42 @@ def _x12_band_keys():
     return F.filter(arr, lambda x: x.isNotNull())
 
 
+def _index_tag(sf_dir: str) -> str:
+    """Metastore-name tag for the persisted X12 index tables: source
+    fingerprint + PID.  The fingerprint (documents.parquet mtime+size)
+    makes staleness structurally impossible — regenerating the source
+    at the same path changes the tag, so a long-lived session simply
+    never FINDS the old index and rebuilds (ADVICE r6: the bare
+    tableExists check silently probed a stale index after a source
+    regen).  The PID suffix keeps concurrent sessions from racing one
+    metastore name, as with the other sink tables."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "na"
+    return (
+        hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:8]
+        + f"_{os.getpid()}"
+    )
+
+
 def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Day-1 pay-once build of the persisted X12 dedup index: one row
     per (existing doc, band key) carrying the doc's content hash —
     4 slim rows + 1 md5 per document, written bucketBy(8, bkey) +
     sortBy through the same machinery as snk_bucketed (S12). At 100 TB
     the index is ~0.1% of corpus bytes; day-2 ingests probe it without
-    ever re-scanning the existing corpus. PID-scoped like the other
-    sink tables so concurrent sessions never race one metastore name."""
-    import hashlib
+    ever re-scanning the existing corpus. Source-fingerprinted and
+    PID-scoped (_index_tag) so a stale or raced index is never found."""
     import os
     import tempfile
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    tag = _index_tag(sf_dir)
     name = f"ecs_dedup_idx_{tag}"
     if spark.catalog.tableExists(name):
         return name
@@ -308,41 +331,29 @@ def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-@register(
-    "llm_incremental_dedup_indexed",
-    oracle=_X12_ORACLE,
-    doc="Incremental ingest dedup against the PERSISTED day-2 index "
-    "(X12b): same classification as llm_incremental_dedup — 'exact' on "
-    "content-hash match, 'near' on any shared LSH band key, else "
-    "'unique' — but the existing side is served ENTIRELY by the slim "
-    "index table incremental_index_table() persisted on day 1; the "
-    "probe plan contains ZERO scans of the documents corpus (asserted "
-    "by tests/test_plan_contracts.py::"
-    "test_incremental_dedup_indexed_probes_index_only). The ingest "
-    "batch (small by definition of an ingest) is materialized once and "
-    "BROADCAST to both probes, so the index is streamed scan-locally "
-    "and never shuffled — at 100 TB the only moved bytes are the "
-    "batch's hashes and band keys plus the matched doc ids. The oracle "
-    "is the same SQL as the in-query variant: a persisted index is a "
-    "layout choice and must not change results (snk_bucketed "
-    "discipline).",
-)
-def q_llm_incremental_dedup_indexed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    name = incremental_index_table(spark, sf_dir)
-    idx = spark.table(name)
-    d = load_table(spark, sf_dir, "documents").filter(F.expr(_NEW_PRED_SQL))
-    # The day-2 batch: doc_id + content hash + band keys, computed in
-    # ONE scan-local projection and pinned (localCheckpoint) so the
-    # probe plan never touches documents again.
-    new_sig = _with_grams_guarded(d).select(
+def batch_sig_rows(spark: SparkSession, sf_dir: str, pred_sql: str) -> DataFrame:
+    """An ingest batch's probe-side rows — (doc_id, content hash, band
+    keys) — computed in ONE scan-local projection over the batch
+    predicate and PINNED (localCheckpoint), so every downstream probe
+    plan reads the pinned blocks and never touches documents again.
+    The pin scan is the model's stand-in for reading the arriving
+    batch file; the existing corpus is not read at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.expr(pred_sql))
+    sig = _with_grams_guarded(d).select(
         "doc_id", F.md5("text").alias("h"), *_sig_columns()
     )
-    new = (
-        new_sig.select("doc_id", "h", _x12_band_keys().alias("bkeys"))
-        .localCheckpoint()
-    )
+    return sig.select(
+        "doc_id", "h", _x12_band_keys().alias("bkeys")
+    ).localCheckpoint()
+
+
+def probe_index(idx: DataFrame, new: DataFrame) -> DataFrame:
+    """Classify a pinned batch (doc_id, h, bkeys) against an index
+    frame (doc_id, h, bkey): 'exact' on content-hash match, 'near' on
+    any shared LSH band key, else 'unique'.  The batch (small by
+    definition of an ingest) is BROADCAST to both probes, so the index
+    streams scan-locally and is never shuffled — the only exchanges
+    are the distincts over matched batch doc ids."""
     exact = (
         idx.select(F.col("h").alias("eh"))
         .join(F.broadcast(new.select("doc_id", "h")), F.col("eh") == F.col("h"))
@@ -371,6 +382,160 @@ def q_llm_incremental_dedup_indexed(
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "llm_incremental_dedup_indexed",
+    oracle=_X12_ORACLE,
+    doc="Incremental ingest dedup against the PERSISTED day-2 index "
+    "(X12b): same classification as llm_incremental_dedup — 'exact' on "
+    "content-hash match, 'near' on any shared LSH band key, else "
+    "'unique' — but the existing side is served ENTIRELY by the slim "
+    "index table incremental_index_table() persisted on day 1; the "
+    "probe plan contains ZERO scans of the documents corpus (asserted "
+    "by tests/test_plan_contracts.py::"
+    "test_incremental_dedup_indexed_probes_index_only). The ingest "
+    "batch (small by definition of an ingest) is materialized once and "
+    "BROADCAST to both probes, so the index is streamed scan-locally "
+    "and never shuffled — at 100 TB the only moved bytes are the "
+    "batch's hashes and band keys plus the matched doc ids. The oracle "
+    "is the same SQL as the in-query variant: a persisted index is a "
+    "layout choice and must not change results (snk_bucketed "
+    "discipline).",
+)
+def q_llm_incremental_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    name = incremental_index_table(spark, sf_dir)
+    new = batch_sig_rows(spark, sf_dir, _NEW_PRED_SQL)
+    return probe_index(spark.table(name), new)
+
+
+# --------------------------------------------------------------------------
+# X12c: day-N index maintenance — refresh without a corpus rescan
+# --------------------------------------------------------------------------
+
+# The day-N split refines _NEW_PRED_SQL's 20% "new" slice into two
+# successive ingest days: day 2 appends into the index, day 3 probes
+# the refreshed index.
+_DAY2_PRED_SQL = "doc_id % 10 = 8"
+_DAY3_PRED_SQL = "doc_id % 10 = 9"
+
+_X12_REFRESH_ORACLE = (
+    f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    "exh AS (SELECT DISTINCT md5(text) AS h FROM documents "
+    "WHERE doc_id % 10 < 8), "
+    "exb AS (SELECT DISTINCT band_idx, band_key FROM bands "
+    "WHERE doc_id % 10 < 8), "
+    f"d2 AS (SELECT doc_id, md5(text) AS h FROM documents "
+    f"WHERE {_DAY2_PRED_SQL}), "
+    "d2x AS (SELECT DISTINCT d2.doc_id FROM d2 JOIN exh ON d2.h = exh.h), "
+    f"d2b AS (SELECT doc_id, band_idx, band_key FROM bands "
+    f"WHERE {_DAY2_PRED_SQL}), "
+    "d2n AS (SELECT DISTINCT d2b.doc_id FROM d2b "
+    "JOIN exb USING (band_idx, band_key)), "
+    "d2u AS (SELECT doc_id FROM d2 "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM d2x) "
+    "AND doc_id NOT IN (SELECT doc_id FROM d2n)), "
+    "rh AS (SELECT h FROM exh UNION "
+    "SELECT d2.h FROM d2 JOIN d2u USING (doc_id)), "
+    "rb AS (SELECT band_idx, band_key FROM exb UNION "
+    "SELECT band_idx, band_key FROM d2b JOIN d2u USING (doc_id)), "
+    f"d3 AS (SELECT doc_id, md5(text) AS h FROM documents "
+    f"WHERE {_DAY3_PRED_SQL}), "
+    "d3x AS (SELECT DISTINCT d3.doc_id FROM d3 JOIN rh ON d3.h = rh.h), "
+    f"d3b AS (SELECT doc_id, band_idx, band_key FROM bands "
+    f"WHERE {_DAY3_PRED_SQL}), "
+    "d3n AS (SELECT DISTINCT d3b.doc_id FROM d3b "
+    "JOIN rb USING (band_idx, band_key)) "
+    "SELECT d3.doc_id, CASE WHEN x.doc_id IS NOT NULL THEN 'exact' "
+    "WHEN n.doc_id IS NOT NULL THEN 'near' ELSE 'unique' END AS verdict "
+    "FROM d3 LEFT JOIN d3x x ON d3.doc_id = x.doc_id "
+    "LEFT JOIN d3n n ON d3.doc_id = n.doc_id"
+)
+
+
+def day2_unique_index_rows(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The index rows a day-2 ingest CONTRIBUTES: (doc_id, h, bkey) for
+    the batch's 'unique' verdicts only ('exact'/'near' docs are dropped
+    by dedup, so indexing them would bloat the index with rows that can
+    never be the keeper).  Derived entirely from the pinned batch and
+    the day-1 index table `name` — the plan contains zero scans of the
+    documents corpus (asserted by tests/test_plan_contracts.py)."""
+    new2 = batch_sig_rows(spark, sf_dir, _DAY2_PRED_SQL)
+    uniq = (
+        probe_index(spark.table(name), new2)
+        .filter(F.col("verdict") == "unique")
+        .select("doc_id")
+    )
+    return new2.join(uniq, "doc_id").select(
+        "doc_id", "h", F.explode_outer("bkeys").alias("bkey")
+    )
+
+
+def refreshed_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Day-3 state of the X12 index: the day-1 index plus the day-2
+    batch's unique rows, maintained WITHOUT ever rescanning the
+    existing corpus.  The day-1 rows are copied from the already-built
+    slim index table (index-sized read, ~0.1% of corpus bytes at
+    100 TB) into a separate metastore name — the shared day-1 table
+    stays pristine for llm_incremental_dedup_indexed — and the day-2
+    contribution is a bucketBy(8, bkey) APPEND, so the refreshed table
+    keeps the co-located layout and day-3 probes pay zero exchanges on
+    the index side.  At 100 TB the append moves only the batch's own
+    slim rows; day-N maintenance cost is O(batch), not O(corpus)."""
+    import os
+    import tempfile
+
+    tag = _index_tag(sf_dir)
+    name = f"ecs_dedup_idx_r_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    day1 = incremental_index_table(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_r_{tag}")
+    (
+        spark.table(day1)
+        .write.bucketBy(8, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .option("path", root)
+        .saveAsTable(name)
+    )
+    (
+        day2_unique_index_rows(spark, sf_dir, name)
+        .write.bucketBy(8, "bkey")
+        .sortBy("bkey")
+        .mode("append")
+        .option("path", root)
+        .saveAsTable(name)
+    )
+    return name
+
+
+@register(
+    "llm_incremental_index_refresh",
+    oracle=_X12_REFRESH_ORACLE,
+    doc="Day-N index maintenance for incremental dedup (X12c, closing "
+    "the r6 verdict's day-N gap): day 2's ingest (doc_id % 10 = 8) is "
+    "probed against the day-1 index and its UNIQUE docs' slim rows "
+    "(h + 4 band keys) are bucket-appended into the index; day 3's "
+    "ingest (doc_id % 10 = 9) then probes the REFRESHED index. "
+    "Neither the refresh nor the probe scans the existing corpus "
+    "(plan contract: tests/test_plan_contracts.py::"
+    "test_index_refresh_no_corpus_scan) — maintenance cost is "
+    "O(batch), not O(corpus). The oracle recomputes the same "
+    "classification from first principles (existing ∪ day-2 uniques), "
+    "so a green grade proves append-refresh ≡ from-scratch rebuild; "
+    "the engine-side equivalence is additionally pinned by "
+    "tests/test_variant_equivalence.py::test_index_refresh_matches_rebuild.",
+)
+def q_llm_incremental_index_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    name = refreshed_index_table(spark, sf_dir)
+    new3 = batch_sig_rows(spark, sf_dir, _DAY3_PRED_SQL)
+    return probe_index(spark.table(name), new3)
 
 
 # --------------------------------------------------------------------------

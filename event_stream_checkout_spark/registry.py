@@ -107,6 +107,7 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     # r7: engine+oracle changed on previously green keys — a stale
     # green row must not shield them from re-grading.
     "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
+    "llm_incremental_dedup_indexed",  # refactored onto shared probe helpers
 })
 
 

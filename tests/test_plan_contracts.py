@@ -165,6 +165,27 @@ def test_incremental_dedup_indexed_probes_index_only(spark):
     assert n_hash <= 6, f"unexpected exchanges (index shuffled?): {n_hash}"
 
 
+def test_index_refresh_no_corpus_scan(spark):
+    """X12c: day-N index maintenance never rescans the existing corpus
+    — the day-3 probe plan reads only the refreshed ecs_dedup_idx_r_*
+    table (the pinned day-3 batch carries no scan lineage), and the
+    refresh leg's appended-rows plan likewise reads only the day-1
+    index (the day-2 batch is pinned the same way).  Maintenance cost
+    is O(batch), not O(corpus)."""
+    from event_stream_checkout_spark.operators import llm_ingest as li
+
+    plan = executed_plan(spark, "llm_incremental_index_refresh", full=True)
+    assert "documents.parquet" not in plan, "existing corpus re-scanned"
+    assert "ecs_dedup_idx_r_" in plan, "refreshed index not read"
+
+    name = li.incremental_index_table(spark, SF_DIR)
+    rows = li.day2_unique_index_rows(spark, SF_DIR, name)
+    rows.collect()
+    rplan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in rplan, "refresh leg scans corpus"
+    assert "ecs_dedup_idx_" in rplan, "refresh leg ignores the index"
+
+
 def test_context_chunks_no_key_exchange(spark):
     """X14: chunking is a pure scan-local flatMap — no hash or
     single-partition exchange, no join, no aggregate anywhere in the

@@ -31,6 +31,42 @@ def test_incremental_dedup_variants_agree(spark):
     assert a == b
 
 
+def test_index_refresh_matches_rebuild(spark):
+    """X12c: the append-maintained day-3 index must classify day-3
+    docs identically to a from-scratch index over the same logical
+    state (existing corpus ∪ day-2 uniques), computed here directly
+    from the corpus without any persisted table."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators import llm_ingest as li
+    from event_stream_checkout_spark.registry import load_all
+
+    reg = load_all()
+    a = _rows(reg["llm_incremental_index_refresh"].fn(spark, SF_DIR))
+
+    def idx_rows(pred):
+        sig = li.batch_sig_rows(spark, SF_DIR, pred)
+        return sig.select(
+            "doc_id", "h", F.explode_outer("bkeys").alias("bkey")
+        )
+
+    ex_rows = idx_rows("doc_id % 10 < 8")
+    new2 = li.batch_sig_rows(spark, SF_DIR, li._DAY2_PRED_SQL)
+    d2u = (
+        li.probe_index(ex_rows, new2)
+        .filter(F.col("verdict") == "unique")
+        .select("doc_id")
+    )
+    d2_rows = new2.join(d2u, "doc_id").select(
+        "doc_id", "h", F.explode_outer("bkeys").alias("bkey")
+    )
+    rebuilt = ex_rows.unionByName(d2_rows)
+    new3 = li.batch_sig_rows(spark, SF_DIR, li._DAY3_PRED_SQL)
+    b = _rows(li.probe_index(rebuilt, new3))
+    assert len(a) > 0
+    assert a == b
+
+
 def test_ledger_primitives_agree(spark):
     from event_stream_checkout_spark.registry import load_all
     from event_stream_checkout_spark.streaming.stateful import tws_available
