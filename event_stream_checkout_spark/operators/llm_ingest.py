@@ -622,3 +622,131 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X13b: WEIGHTED domain mixing — per-source target weights
+# --------------------------------------------------------------------------
+
+# Non-default integer target weights; unlisted sources get weight 1.
+# Integer weights keep every threshold an exact integer expression in
+# both engines (a float weight would reintroduce cross-engine rounding).
+_MIX_WEIGHTS = {"src0": 3, "src1": 2}
+_MIX_DEFAULT_WEIGHT = 1
+
+
+def domain_mix_weighted(
+    spark: SparkSession, sf_dir: str, weights: dict[str, int]
+) -> DataFrame:
+    """Weighted deterministic domain mixing: keep counts proportional
+    to per-source target weights w_s, scaled to the largest total the
+    corpus can supply (the limiting source — the one minimizing
+    n_s/w_s — is kept whole).  threshold_s = min over all sources t of
+    (65536·w_s·n_t) div (w_t·n_s), capped at 65535: the min over t IS
+    the limiting-source scale factor, computed as a k²-row self-cross
+    of the k-row counts frame so no argmin row selection (and no
+    float ratio) is ever needed — every term is exact 64-bit integer
+    arithmetic, reproducible across engines.  Equal weights reduce to
+    exactly llm_domain_mix's equal-share thresholds (pinned by
+    tests/test_variant_equivalence.py).  Plan shape is X13's: one tiny
+    per-source count aggregate (pinned — one corpus scan), a k²
+    broadcast self-cross of the counts, then the scan-local md5-prefix
+    keep filter against the broadcast threshold table; the corpus is
+    never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())] or [("", 1)],
+        "source string, wt long",
+    )
+    cw = (
+        counts.join(F.broadcast(wdf), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("wt", F.lit(_MIX_DEFAULT_WEIGHT))
+            .cast("long")
+            .alias("wt"),
+        )
+        # Pin the k-row counts+weights frame: it feeds both sides of
+        # the self-cross AND (via thresholds) the keep filter — without
+        # the pin each consumer re-runs the corpus count scan.
+        .localCheckpoint()
+    )
+    a, b = cw.alias("a"), cw.alias("b")
+    term = F.expr(
+        f"({_MIX_BUCKETS}L * a.wt * b.n_docs) div (b.wt * a.n_docs)"
+    )
+    thresholds = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.wt").alias("weight"),
+            term.alias("term"),
+        )
+        .groupBy("source", "n_docs", "weight")
+        .agg(
+            F.least(F.min("term"), F.lit(_MIX_BUCKETS - 1))
+            .cast("long")
+            .alias("threshold")
+        )
+    )
+    hexthr = F.lpad(F.lower(F.hex(F.col("threshold"))), 4, "0")
+    kept = (
+        d.join(F.broadcast(thresholds), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < hexthr
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return thresholds.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "threshold",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+_WEIGHTS_VALUES = ", ".join(
+    f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+
+@register(
+    "llm_domain_mix_weighted",
+    oracle="WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY source), "
+    f"w(source, wt) AS (VALUES {_WEIGHTS_VALUES}), "
+    "cw AS (SELECT c.source, c.n_docs, "
+    f"CAST(COALESCE(w.wt, {_MIX_DEFAULT_WEIGHT}) AS BIGINT) AS wt "
+    "FROM c LEFT JOIN w USING (source)), "
+    "t AS (SELECT a.source, a.n_docs, a.wt AS weight, "
+    f"CAST(least(min(({_MIX_BUCKETS} * a.wt * b.n_docs) // "
+    f"(b.wt * a.n_docs)), {_MIX_BUCKETS - 1}) AS BIGINT) AS threshold "
+    "FROM cw a CROSS JOIN cw b GROUP BY 1, 2, 3), "
+    "k AS (SELECT d.source, count(*) AS n_kept FROM documents d "
+    "JOIN t USING (source) "
+    "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < "
+    "lpad(lower(to_hex(threshold)), 4, '0') GROUP BY d.source) "
+    "SELECT t.source, t.n_docs, t.weight, t.threshold, "
+    "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
+    "FROM t LEFT JOIN k USING (source)",
+    doc="WEIGHTED domain mixing (X13b, the real training-mix shape — "
+    "r6 verdict item 3): down-sample each source to a kept count "
+    "proportional to its target weight (src0 up-weighted 3×, src1 2×, "
+    "rest 1), scaled so the limiting source is kept whole. Thresholds "
+    "are exact 64-bit integer cross-multiplications over a k²-row "
+    "self-cross of the per-source counts (no float ratios, no argmin "
+    "row selection); the keep predicate is the same scan-local "
+    "md5-prefix comparison as llm_domain_mix, whose equal-share "
+    "thresholds are the all-weights-equal degenerate case (pinned by "
+    "tests/test_variant_equivalence.py::"
+    "test_domain_mix_equal_weights_degenerates).",
+)
+def q_llm_domain_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix_weighted(spark, sf_dir, _MIX_WEIGHTS)

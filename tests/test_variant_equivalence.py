@@ -67,6 +67,22 @@ def test_index_refresh_matches_rebuild(spark):
     assert a == b
 
 
+def test_domain_mix_equal_weights_degenerates(spark):
+    """X13b: with all weights equal, the weighted mixer's thresholds
+    and kept counts must be exactly llm_domain_mix's equal-share
+    result — the weighted formula's degenerate case."""
+    from event_stream_checkout_spark.operators import llm_ingest as li
+    from event_stream_checkout_spark.registry import load_all
+
+    reg = load_all()
+    a = _rows(reg["llm_domain_mix"].fn(spark, SF_DIR))
+    b = _rows(
+        li.domain_mix_weighted(spark, SF_DIR, {}).drop("weight")
+    )
+    assert len(a) > 0
+    assert a == b
+
+
 def test_ledger_primitives_agree(spark):
     from event_stream_checkout_spark.registry import load_all
     from event_stream_checkout_spark.streaming.stateful import tws_available
