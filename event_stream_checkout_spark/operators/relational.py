@@ -492,8 +492,6 @@ def q_agg_stats(spark, sf_dir):
     "I/O at scale).",
 )
 def q_sort_orders(spark, sf_dir):
-    from pyspark.sql import Window
-
     nb = 32
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     rng = o.agg(
@@ -512,6 +510,20 @@ def q_sort_orders(spark, sf_dir):
         o.crossJoin(F.broadcast(rng)).withColumn("_pid", pid).localCheckpoint()
     )
     keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    return rank_from_buckets(bucketed, keys).select(
+        "o_orderkey", "o_totalprice", "pos"
+    )
+
+
+def rank_from_buckets(bucketed, keys):
+    """Second pass of the two-pass global rank, shared by both O1
+    variants: per-bucket row_number in parallel over `_pid`, then
+    broadcast prefix-count offsets complete the global rank as `pos`.
+    `bucketed` must be PINNED (it feeds a window branch and a counts
+    branch) and `_pid` must be value-deterministic with equal sort
+    keys sharing a bucket and bucket order matching key order."""
+    from pyspark.sql import Window
+
     wp = Window.partitionBy("_pid").orderBy(*keys)
     local = bucketed.withColumn("_rn", F.row_number().over(wp))
     counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -519,10 +531,74 @@ def q_sort_orders(spark, sf_dir):
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
     )
+    return local.join(F.broadcast(offsets), "_pid").withColumn(
+        "pos", (F.col("_off") + F.col("_rn")).cast("long")
+    )
+
+
+def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
+                      accuracy: int = 5000):
+    """Statistics-seeded range bucketing for the two-pass sort (the
+    production variant q_sort_orders's docstring promises): boundaries
+    come from a percentile_approx sketch over a SAMPLE of the value
+    column, so a skewed value distribution cannot unbalance buckets
+    the way equi-width min/max boundaries do (a pareto-shaped column
+    puts ~everything in the densest equi-width bucket; sampled
+    quantiles put ~1/nb everywhere — asserted on a harmonic-density
+    column by tests/test_scale_features.py).  Bucket id is the
+    descending quantile index: nb-1 minus the count of boundaries
+    strictly below the value — a pure function of the VALUE, so equal
+    sort keys always share a bucket and ranks stay exact regardless of
+    how good the sample was; sample quality affects only balance.
+    Returns the PINNED bucketed frame (the boundary agg and the scan
+    execute exactly once; the sample scan is the price of statistics
+    and reads only the value column).
+    """
+    pcts = [i / nb for i in range(1, nb)]
+    vtype = dict(df.dtypes)[val_col]
+    sample = df.select(val_col).sample(fraction=fraction, seed=42)
+    barr = sample.agg(
+        F.percentile_approx(
+            val_col, F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
+        ).alias("_bs")
+    )
+    # Empty/degenerate sample → null sketch → everything in one bucket
+    # (still correct, just unbalanced — same failure mode as an empty
+    # statistics table in a production optimizer).
+    bounds = F.coalesce(F.col("_bs"), F.array().cast(f"array<{vtype}>"))
+    idx = F.size(F.filter(bounds, lambda b: b < F.col(val_col)))
+    pid = F.lit(nb - 1) - idx
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("pos", (F.col("_off") + F.col("_rn")).cast("long"))
-        .select("o_orderkey", "o_totalprice", "pos")
+        df.crossJoin(F.broadcast(barr))
+        .withColumn("_pid", pid)
+        .drop("_bs")
+        .localCheckpoint()
+    )
+
+
+@register(
+    "sort_orders_sampled",
+    oracle="SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
+    "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS pos FROM orders",
+    doc="Total sort, statistics-seeded variant (O1b — r6 verdict item "
+    "4): same two-pass global rank as sort_orders, but the range "
+    "buckets are seeded from a sampled percentile_approx sketch "
+    "instead of equi-width min/max, so value skew cannot unbalance "
+    "them (bucket-balance property asserted on a harmonic-density "
+    "column in tests/test_scale_features.py::"
+    "test_quantile_buckets_balanced_under_skew). Bucket id is a pure "
+    "function of the value (descending quantile index), so equal keys "
+    "share a bucket and the rank is exact no matter how stale or "
+    "unlucky the sample — statistics quality affects only balance, "
+    "never correctness, which is why the oracle is identical to "
+    "sort_orders'.",
+)
+def q_sort_orders_sampled(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucketed = quantile_bucketed(o, "o_totalprice", nb=32)
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    return rank_from_buckets(bucketed, keys).select(
+        "o_orderkey", "o_totalprice", "pos"
     )
 
 

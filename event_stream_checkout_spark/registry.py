@@ -108,6 +108,7 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     # green row must not shield them from re-grading.
     "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
     "llm_incremental_dedup_indexed",  # refactored onto shared probe helpers
+    "sort_orders",            # second pass factored into rank_from_buckets
 })
 
 

@@ -764,3 +764,43 @@ def test_contamination_cap_drops_stop_phrases(spark, tmp_path):
     # Every other corpus doc shares ONLY the hot grams with doc 0
     # (df = 16 > cap) — the cap must suppress them all.
     assert flagged == {(7777, 0)}
+
+
+def test_quantile_buckets_balanced_under_skew(spark):
+    """O1b (r6 verdict item 4): sampled-quantile boundaries keep the
+    two-pass sort's buckets balanced on a skewed value column, where
+    equi-width min/max boundaries funnel ~everything into the densest
+    bucket.  v = N/(id+1) is harmonic-density: half the values land in
+    [1, 2], but all N values are distinct, so a quantile sketch can
+    split them evenly."""
+    from event_stream_checkout_spark.operators.relational import (
+        quantile_bucketed,
+    )
+
+    n, nb = 20_000, 16
+    df = spark.range(n).select(
+        (F.lit(float(n)) / (F.col("id") + 1)).alias("v")
+    )
+    b = quantile_bucketed(df, "v", nb=nb, fraction=0.5)
+    sizes = [
+        r["c"]
+        for r in b.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert len(sizes) == nb, sizes  # no empty buckets
+    assert sum(sizes) == n
+    assert max(sizes) <= 3 * min(sizes), sorted(sizes)
+
+    # The problem being fixed: equi-width boundaries on the same column
+    # put >90% of rows into one bucket.
+    lo, hi = df.agg(F.min("v"), F.max("v")).first()
+    width = (hi - lo) / nb
+    eq = df.select(
+        F.least(
+            F.lit(nb - 1), F.floor((F.lit(hi) - F.col("v")) / width)
+        ).alias("p")
+    )
+    esizes = [
+        r["c"]
+        for r in eq.groupBy("p").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert max(esizes) >= 0.9 * n, sorted(esizes)
