@@ -268,7 +268,14 @@ _Q["state_ledger_stream"] = _dc_replace(
     "is bootstrapped from a pure-python runtime where site-packages "
     "lacks one (streaming/stateful.py ensure_protobuf). Same "
     "recursive-CTE value oracle as the applyInPandasWithState form — "
-    "the two primitives must be indistinguishable by results.",
+    "the two primitives must be indistinguishable by results. On a "
+    "host where no protobuf can be imported OR bootstrapped from the "
+    "vendored runtime zip, the query degrades to the "
+    "applyInPandasWithState ledger with a warning instead of raising "
+    "(advisor r6: a hard RuntimeError failed the universal sweep on "
+    "SDK-less hosts) — results are identical by the variant pin, and "
+    "the vendored zip makes the degrade unreachable on any normal "
+    "container.",
 )
 def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -277,7 +284,24 @@ def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .checkout import inventory, order_items
-    from ..streaming.stateful import inventory_ledger_stream_tws
+    from ..streaming.stateful import (
+        inventory_ledger_stream,
+        inventory_ledger_stream_tws,
+        tws_available,
+    )
+
+    if tws_available():
+        ledger_fn = inventory_ledger_stream_tws
+    else:  # pragma: no cover - vendored runtime makes this unreachable
+        import warnings
+
+        warnings.warn(
+            "state_ledger_tws: no usable google.protobuf — degrading to "
+            "the applyInPandasWithState ledger (identical results)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        ledger_fn = inventory_ledger_stream
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_tws_{tag}")
@@ -305,7 +329,7 @@ def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in inventory(spark, sf_dir).select("product_id", "stock").collect()
     }
     q = (
-        inventory_ledger_stream_tws(
+        ledger_fn(
             spark, items_dir, seed=seed, max_files_per_trigger=None,
             fmt="parquet",
         )

@@ -207,7 +207,26 @@ class CheckoutStream:
 
     # -- the micro-batch body (pure M2 logic + idempotent writes) --------
 
+    @staticmethod
+    def _release_pin(df: DataFrame) -> None:
+        """Eagerly free a localCheckpoint's storage blocks.  The pins
+        below allocate block-manager storage every micro-batch, and
+        without an explicit release those blocks are only reclaimed
+        when ContextCleaner happens to GC the driver-side RDD — a
+        long-running fault-injection stream steadily accumulates
+        executor storage (advisor r6).  A checkpointed Dataset's plan
+        root is the LogicalRDD wrapping the persisted RDD; unpersist
+        it once the batch's writes are durable (the frames are
+        per-batch and a replay rebuilds them from source + committed
+        state)."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # cleanup must never fail a committed batch
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Pins to release once this batch's writes are durable.
+        _pins: list[DataFrame] = []
         # Stale-restart guard: micro-batch ids only move forward.  If
         # the streaming _checkpoint dir is lost while state_dir
         # survives, batch ids restart at 0 and the pre-batch readers
@@ -260,6 +279,7 @@ class CheckoutStream:
         # lit(False) is deterministic and the hot path stays lazy.
         if self.publish_fail is not None:
             with_ids = with_ids.localCheckpoint()
+            _pins.append(with_ids)
         responses = (
             corrupt.select(
                 F.lit(400).alias("status_code"),
@@ -300,6 +320,7 @@ class CheckoutStream:
         # two legs (or none).
         if self.process_fail is not None:
             queued = queued.localCheckpoint()
+            _pins.append(queued)
         failing = queued.filter(F.col("_fail"))
         to_dlq = failing.filter(F.col("attempts") >= MAX_RECEIVE_COUNT)
         to_retry = (
@@ -345,6 +366,7 @@ class CheckoutStream:
         new_inventory = res.inventory.localCheckpoint()
         processed = res.processed_events.localCheckpoint()
         to_retry = to_retry.localCheckpoint()
+        _pins += [new_orders, new_inventory, processed, to_retry]
 
         # ---- one driver action gates every conditional write ----------
         # Orders INSERT IGNORE view (anti-join against the FULL table so
@@ -355,6 +377,7 @@ class CheckoutStream:
             orders_out = orders_out.join(
                 existing.select("order_id"), "order_id", "left_anti"
             ).localCheckpoint()
+            _pins.append(orders_out)
         bad = (
             split.rejected.select(
                 F.lit("VALIDATION").alias("reason"),
@@ -489,6 +512,8 @@ class CheckoutStream:
         except Exception:
             pass  # notifier swallows (notification_sender/app.py:24-26)
         batch_df.unpersist()
+        for _p in _pins:
+            self._release_pin(_p)
 
     # -- wiring ----------------------------------------------------------
 
