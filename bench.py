@@ -123,14 +123,18 @@ def main() -> None:
                                ("snk_bucketed_read", tr)):
                     timings[leg] = min(timings.get(leg, float("inf")),
                                        round(t, 3))
+                # Blended number = min over PER-CYCLE write+read sums —
+                # the same quantity the r2-r5 series measured (one
+                # combined run per cycle), so series continuity is
+                # exact; the per-leg entries above are each leg's own
+                # min and may come from different cycles (advisor r6:
+                # summing per-leg minima understated the blended time).
+                timings[key] = min(
+                    timings.get(key, float("inf")), round(tw + tr, 3)
+                )
                 continue
             t = _time(lambda: _noop(registry[key].fn(spark, sf_dir)))
             timings[key] = min(timings.get(key, float("inf")), round(t, 3))
-    # Blended bucketed number = sum of the per-leg minima, keeping the
-    # r2-r5 extended series comparable.
-    timings["snk_bucketed"] = round(
-        timings["snk_bucketed_write"] + timings["snk_bucketed_read"], 3
-    )
 
     total = round(sum(timings[k] for k in HEADLINE), 3)
     extended = round(sum(timings[k] for k in EXTENDED), 3)

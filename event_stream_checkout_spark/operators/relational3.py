@@ -349,6 +349,70 @@ def q_snk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_read(spark, li_name, ord_name)
 
 
+def bucketed_register_existing(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Day-2 catalog registration of the day-1 bucketed layout (S12b):
+    (re)create the two table entries FROM THE EXISTING FILES with
+    ``CREATE TABLE ... CLUSTERED BY ... INTO 8 BUCKETS LOCATION`` —
+    pure metadata DDL, no scan, no shuffle, no rewrite (file mtimes
+    asserted unchanged by tests/test_scale_features.py::
+    test_bucketed_reuse_cold_catalog).  This is how a second session —
+    in production, any session sharing the warehouse catalog; here a
+    catalog-cold restart — inherits the pay-once bucket layout: the
+    bucket spec lives in the catalog entry, so the co-located join
+    plans with zero Exchange again without anyone re-running the
+    write.  Builds the day-1 files first if this process hasn't yet
+    (the pay-once step; its cost is priced separately by the bench's
+    write leg)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_bucketed_{tag}")
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    if not all(
+        os.path.isdir(os.path.join(root, n)) for n in (li_name, ord_name)
+    ):
+        bucketed_write(spark, sf_dir)
+    for name, key in ((li_name, "l_orderkey"), (ord_name, "o_orderkey")):
+        path = os.path.join(root, name)
+        # Footer-only schema read (no data scan), then metadata-only DDL.
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return li_name, ord_name
+
+
+@register(
+    "snk_bucketed_reuse",
+    oracle="SELECT o_orderstatus, "
+    f"{sql_dsum('l_quantity')} AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderstatus",
+    doc="Bucketed-layout reuse across sessions (S12b — r6 verdict item "
+    "8): the day-1 bucketBy(8) files are re-registered in a cold "
+    "catalog with metadata-only DDL (CLUSTERED BY ... LOCATION — no "
+    "scan, no shuffle, no rewrite), and the co-located join runs over "
+    "the re-registered tables with zero Exchange on the join keys, "
+    "proving the pay-once shuffle is paid once per LAYOUT, not once "
+    "per session. Same oracle as snk_bucketed: catalog plumbing must "
+    "not change results.",
+)
+def q_snk_bucketed_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_name, ord_name = bucketed_register_existing(spark, sf_dir)
+    return bucketed_read(spark, li_name, ord_name)
+
+
 def partitioned_root(sf_dir: str) -> str:
     """The on-disk root q_snk_partitioned writes to. Single source of
     truth for the {md5}_{pid} tag so the query and its pruning-evidence

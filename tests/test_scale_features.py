@@ -804,3 +804,51 @@ def test_quantile_buckets_balanced_under_skew(spark):
         for r in eq.groupBy("p").agg(F.count(F.lit(1)).alias("c")).collect()
     ]
     assert max(esizes) >= 0.9 * n, sorted(esizes)
+
+
+def test_bucketed_reuse_cold_catalog(spark):
+    """S12b (r6 verdict item 8): a catalog-cold session inherits the
+    day-1 bucketed layout with metadata-only DDL — no file is rewritten
+    or even touched (mtime snapshot), and the co-located join still
+    plans with zero Exchange on the join keys."""
+    import os
+
+    from event_stream_checkout_spark.operators.relational3 import (
+        bucketed_read,
+        bucketed_register_existing,
+        bucketed_write,
+    )
+    from tests.conftest import SF_DIR
+
+    li_name, ord_name = bucketed_write(spark, SF_DIR)
+    roots = [
+        spark.sql(f"DESCRIBE EXTENDED {n}")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+        .removeprefix("file:")
+        for n in (li_name, ord_name)
+    ]
+
+    def snapshot():
+        return {
+            os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+            for r in roots
+            for f in sorted(os.listdir(r))
+            if not f.startswith(".")
+        }
+
+    before = snapshot()
+    # Cold catalog: drop the entries, keep the files.
+    spark.sql(f"DROP TABLE {li_name}")
+    spark.sql(f"DROP TABLE {ord_name}")
+    li2, ord2 = bucketed_register_existing(spark, SF_DIR)
+    assert (li2, ord2) == (li_name, ord_name)
+    assert snapshot() == before, "registration touched the data files"
+
+    joined = bucketed_read(spark, li2, ord2)
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert snapshot() == before, "the read leg rewrote data files"
