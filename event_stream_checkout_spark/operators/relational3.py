@@ -376,10 +376,16 @@ def bucketed_register_existing(
         os.path.isdir(os.path.join(root, n)) for n in (li_name, ord_name)
     ):
         bucketed_write(spark, sf_dir)
-    for name, key in ((li_name, "l_orderkey"), (ord_name, "o_orderkey")):
+    for name, base, key in (
+        (li_name, "lineitem", "l_orderkey"),
+        (ord_name, "orders", "o_orderkey"),
+    ):
         path = os.path.join(root, name)
-        # Footer-only schema read (no data scan), then metadata-only DDL.
-        schema = spark.read.parquet(path).schema
+        # The bucketed table's schema IS the source table's schema —
+        # declare it (metadata-only) instead of inferring from the
+        # written files, which have no footers to read when the layout
+        # was built over an empty input (empty-tables sweep).
+        schema = load_table(spark, sf_dir, base).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )

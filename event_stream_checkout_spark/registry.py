@@ -105,10 +105,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
     # r7: engine+oracle changed on previously green keys — a stale
-    # green row must not shield them from re-grading.
+    # green row must not shield them from re-grading.  (The four keys
+    # NEW this round — llm_incremental_index_refresh,
+    # llm_domain_mix_weighted, sort_orders_sampled, snk_bucketed_reuse
+    # — are not in DRIVER_VERIFIED and therefore lead the window
+    # automatically.)
     "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
-    "llm_incremental_dedup_indexed",  # refactored onto shared probe helpers
+    "llm_incremental_dedup_indexed",  # shared probe helpers + index tag fingerprint
     "sort_orders",            # second pass factored into rank_from_buckets
+    "state_ledger_tws",       # vendored-protobuf bootstrap + graceful degrade
 })
 
 
