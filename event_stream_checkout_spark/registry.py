@@ -96,6 +96,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "llm_repetition_filter", "llm_incremental_dedup", "llm_domain_mix",
     "llm_context_chunks", "llm_sequence_pack", "llm_vocabulary",
     "llm_pseudonymize", "agg_approx_percentile",
+    # round 6 (CORRECTNESS_r06.json) — first-time greens.
+    "llm_incremental_dedup_indexed", "state_ledger_tws",
 })
 
 
