@@ -538,6 +538,76 @@ def q_llm_incremental_index_refresh(
     return probe_index(spark.table(name), new3)
 
 
+def compacted_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Day-N index COMPACTION: every bucket-append (refreshed_index_
+    table) adds one file per touched bucket, so after N ingest days a
+    bucket holds N small files and probe-side scan cost creeps up —
+    the standard operational decay of any append-maintained layout.
+    Compaction rewrites the index bucketBy(8) into a fresh table with
+    ONE file per bucket and WITHOUT touching the corpus: the rewrite
+    pre-partitions with repartition(8, bkey) — the SAME hash+mod the
+    bucketed writer assigns buckets by, so every task holds exactly
+    one bucket's rows and emits exactly one file.  (A plain bucketed-
+    table scan is NOT bucket-aligned — Spark splits by file unless an
+    operator needs the distribution — so the one index-sized exchange
+    here is the honest cost.)  At 100 TB that is one read+shuffle+
+    write of O(0.1% of corpus bytes), amortized over however many
+    ingest days ran since the last compaction.  File
+    count asserted by tests/test_scale_features.py::
+    test_index_compaction_merges_files; result-invariance by the
+    shared oracle and the registered probe below."""
+    import os
+    import tempfile
+
+    tag = _index_tag(sf_dir)
+    name = f"ecs_dedup_idx_c_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    src = refreshed_index_table(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_c_{tag}")
+    src_root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_r_{tag}")
+    # Read the source by PATH, not by table: the bucketed-table scan
+    # advertises HashPartitioning(bkey, 8), which lets Catalyst elide
+    # the repartition below as already-satisfied — while the actual
+    # scan stays file-split, so the write would fragment again.  A
+    # plain parquet read has unknown partitioning, so the exchange
+    # survives and lands each bucket on exactly one task.
+    (
+        spark.read.schema(spark.table(src).schema)
+        .parquet(src_root)
+        .repartition(8, F.col("bkey"))
+        .write.bucketBy(8, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .option("path", root)
+        .saveAsTable(name)
+    )
+    return name
+
+
+@register(
+    "llm_incremental_index_compact",
+    oracle=_X12_REFRESH_ORACLE,
+    doc="Day-N index compaction (X12d): the bucket-appended index is "
+    "rewritten one-file-per-bucket (repartition(8, bkey) matches the "
+    "bucketed writer's hash+mod, so each task emits exactly its "
+    "bucket's single file — one index-sized exchange, no corpus "
+    "bytes), and day 3 probes the COMPACTED index. "
+    "Same oracle as llm_incremental_index_refresh: compaction is a "
+    "file-layout operation and must be invisible to results — the "
+    "probe over the compacted table must classify identically to the "
+    "probe over the fragmented one. Completes the index lifecycle: "
+    "build (day 1) → probe → append-refresh (day N) → compact.",
+)
+def q_llm_incremental_index_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    name = compacted_index_table(spark, sf_dir)
+    new3 = batch_sig_rows(spark, sf_dir, _DAY3_PRED_SQL)
+    return probe_index(spark.table(name), new3)
+
+
 # --------------------------------------------------------------------------
 # X13: deterministic domain mixing
 # --------------------------------------------------------------------------

@@ -852,3 +852,46 @@ def test_bucketed_reuse_cold_catalog(spark):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert snapshot() == before, "the read leg rewrote data files"
+
+
+def test_index_compaction_merges_files(spark):
+    """X12d: bucket-appends fragment the dedup index (day-1 write
+    tasks × buckets, plus one file per touched bucket per ingest day);
+    compaction must rewrite it to at most one data file per bucket —
+    WITHOUT changing its contents or the day-3 probe verdicts."""
+    import os
+
+    from event_stream_checkout_spark.operators import llm_ingest as li
+    from tests.conftest import SF_DIR
+
+    rname = li.refreshed_index_table(spark, SF_DIR)
+    cname = li.compacted_index_table(spark, SF_DIR)
+
+    def data_files(name):
+        loc = (
+            spark.sql(f"DESCRIBE EXTENDED {name}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+            .removeprefix("file:")
+        )
+        return [
+            f
+            for f in os.listdir(loc)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+
+    rf, cf = data_files(rname), data_files(cname)
+    assert len(cf) <= 8, cf  # one file per bucket
+    assert len(rf) > len(cf), (len(rf), len(cf))  # it actually compacted
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.collect()
+        )
+
+    assert rows(spark.table(cname)) == rows(spark.table(rname))
+    new3 = li.batch_sig_rows(spark, SF_DIR, li._DAY3_PRED_SQL)
+    assert rows(li.probe_index(spark.table(cname), new3)) == rows(
+        li.probe_index(spark.table(rname), new3)
+    )
