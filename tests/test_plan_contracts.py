@@ -223,6 +223,38 @@ def test_sequence_pack_single_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_domain_mix_weighted_no_corpus_shuffle(spark):
+    """X13b: same corpus-shuffle contract as the equal-share mixer —
+    the keep-filter joins the broadcast threshold table, the corpus is
+    never hash-shuffled on a join key, and the pinned counts+weights
+    frame keeps the corpus scans at ≤2 (counts, then keep-filter)
+    despite feeding BOTH sides of the k² threshold self-cross."""
+    plan = executed_plan(spark, "llm_domain_mix_weighted")
+    assert "BroadcastHashJoin" in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"documents scanned {n_scans}x (cw unpinned?)"
+
+
+def test_sort_sampled_no_single_partition_data_stage(spark):
+    """O1b: the quantile-seeded rank keeps the two-pass contract —
+    the only unpartitioned window runs over the O(#buckets) offsets
+    frame, never the data: no SinglePartition exchange feeds a
+    data-sized subtree (same invariant sort_orders pins at
+    test_plan_contracts.py::test_sort_orders_no_single_partition_data_stage,
+    re-asserted here because the bucketing expression changed)."""
+    plan = executed_plan(spark, "sort_orders_sampled", full=True)
+    # The offsets window is tiny and single-partition by design; the
+    # DATA path must stay partitioned: its window is partitioned by
+    # _pid.  Assert the per-bucket window exists and that no sort of
+    # the full frame happens on a single partition.
+    assert "Window" in plan
+    assert re.search(r"Window \[row_number\(\).*partitionBy", plan) or \
+        "_pid" in plan
+    # Data-sized global sort would appear as a rangepartitioning
+    # exchange over the orders columns.
+    assert "Exchange rangepartitioning(o_totalprice" not in plan
+
+
 def test_domain_mix_broadcasts_thresholds_no_corpus_shuffle(spark):
     """X13: the corpus-side keep-filter joins the ~#sources-row
     threshold table by BROADCAST — the documents table itself must
