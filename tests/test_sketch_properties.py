@@ -114,3 +114,137 @@ def test_approx_percentile_rank_bound(spark, shape):
         lo = values[max(1, (plo * n) // 1000) - 1]
         hi = values[min(n, (phi * n + 999) // 1000) - 1]
         assert lo <= est[name] <= hi, (shape, name, est[name], lo, hi)
+
+
+# --------------------------------------------------------------------------
+# r7 property tests: capped jaccard vs brute force; weighted-mix
+# thresholds vs an independent reference computation.
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_corpus_st = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),       # lang
+        st.integers(0, 1),                   # bucket
+        st.sets(st.integers(0, 12), min_size=1, max_size=6),  # gram ids
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus_st)
+def test_jaccard_pairs_matches_bruteforce(spark, corpus):
+    """jaccard_pairs == a python brute-force over the capped gram
+    space, for arbitrary small corpora — guards the df-cap refactor on
+    shapes the fixed oracle corpus never produces (cross-lang,
+    cross-bucket, disjoint, and identical docs)."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _JACCARD_DF_CAP,
+        jaccard_pairs,
+    )
+
+    rows = [
+        (i, lang, bucket, f"g{g}")
+        for i, (lang, bucket, grams) in enumerate(corpus)
+        for g in grams
+    ]
+    dg = spark.createDataFrame(
+        rows, "doc_id long, lang string, bucket long, gram string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"], r["n_a"], r["n_b"], round(r["jaccard"], 9)
+        )
+        for r in jaccard_pairs(dg).collect()
+    }
+
+    # Brute force: drop (gram, lang, bucket) cells with df > cap, then
+    # all-pairs jaccard within (lang, bucket), threshold 0.2.
+    from collections import Counter
+
+    cells = Counter((lang, b, g) for _, lang, b, g in rows)
+    docs = {}
+    for i, lang, b, g in rows:
+        if cells[(lang, b, g)] <= _JACCARD_DF_CAP:
+            docs.setdefault(i, (lang, b, set()))[2].add(g)
+    want = {}
+    ids = sorted(docs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            lx, bx, gx = docs[x]
+            ly, by, gy = docs[y]
+            if (lx, bx) != (ly, by):
+                continue
+            inter = len(gx & gy)
+            if inter == 0:
+                continue
+            jac = inter / (len(gx) + len(gy) - inter)
+            if jac >= 0.2:
+                want[(x, y)] = (inter, len(gx), len(gy), round(jac, 9))
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(1, 200), min_size=1, max_size=5),
+    weights=st.lists(st.integers(1, 9), min_size=1, max_size=5),
+)
+def test_weighted_mix_thresholds_match_reference(spark, counts, weights):
+    """The engine's weighted-mix thresholds == an independent python
+    computation of min_t (65536·w_s·n_t) // (w_t·n_s) capped at 65535,
+    for arbitrary counts/weights — the integer math must be exact, not
+    approximately right."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.operators.llm_ingest import (
+        _MIX_BUCKETS,
+        domain_mix_weighted,
+    )
+
+    n = min(len(counts), len(weights))
+    counts, weights = counts[:n], weights[:n]
+    pdf = pd.DataFrame(
+        [
+            (si * 100_000 + i, f"d {i}", "en", f"s{si}", 3)
+            for si, c in enumerate(counts)
+            for i in range(c)
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        sf_dir = os.path.join(td, "sf")
+        os.makedirs(sf_dir)
+        pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+        wmap = {f"s{si}": w for si, w in enumerate(weights)}
+        got = {
+            r["source"]: (r["n_docs"], r["weight"], r["threshold"])
+            for r in domain_mix_weighted(spark, sf_dir, wmap).collect()
+        }
+    want = {}
+    for si, (c, w) in enumerate(zip(counts, weights)):
+        thr = min(
+            min(
+                (_MIX_BUCKETS * w * ct) // (wt * c)
+                for ct, wt in zip(counts, weights)
+            ),
+            _MIX_BUCKETS - 1,
+        )
+        want[f"s{si}"] = (c, w, thr)
+    assert got == want
