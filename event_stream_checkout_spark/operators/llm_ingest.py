@@ -322,7 +322,10 @@ def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_{tag}")
     (
-        idx.write.bucketBy(8, "bkey")
+        # Bucket-aligned pre-partition (r7, as in bucketed_write): one
+        # file per bucket instead of tasks×buckets fragments.
+        idx.repartition(8, F.col("bkey"))
+        .write.bucketBy(8, "bkey")
         .sortBy("bkey")
         .mode("overwrite")
         .option("path", root)
@@ -494,8 +497,14 @@ def refreshed_index_table(spark: SparkSession, sf_dir: str) -> str:
     day1 = incremental_index_table(spark, sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_r_{tag}")
+    day1_root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_{tag}")
     (
-        spark.table(day1)
+        # Copy day-1 by PATH (a bucketed-table scan would advertise
+        # HashPartitioning and elide the aligning repartition — see
+        # compacted_index_table), bucket-aligned: one file per bucket.
+        spark.read.schema(spark.table(day1).schema)
+        .parquet(day1_root)
+        .repartition(8, F.col("bkey"))
         .write.bucketBy(8, "bkey")
         .sortBy("bkey")
         .mode("overwrite")
@@ -503,7 +512,10 @@ def refreshed_index_table(spark: SparkSession, sf_dir: str) -> str:
         .saveAsTable(name)
     )
     (
+        # The append is also aligned: one file per bucket per ingest
+        # day (compaction still bounds the day-N accumulation).
         day2_unique_index_rows(spark, sf_dir, name)
+        .repartition(8, F.col("bkey"))
         .write.bucketBy(8, "bkey")
         .sortBy("bkey")
         .mode("append")

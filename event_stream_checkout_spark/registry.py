@@ -116,6 +116,7 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "llm_incremental_dedup_indexed",  # shared probe helpers + index tag fingerprint
     "sort_orders",            # second pass factored into rank_from_buckets
     "state_ledger_tws",       # vendored-protobuf bootstrap + graceful degrade
+    "snk_bucketed",           # bucket-aligned pre-partition before the write
 })
 
 
