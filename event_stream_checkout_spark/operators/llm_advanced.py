@@ -438,7 +438,24 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
     "all as scan-local expressions (no shuffle at all).",
 )
 def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return quality_frame(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "avg_token_len",
+        "quality",
+    )
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """Per-doc quality components as scan-local expressions — the
+    single definition of the engine's quality heuristic, shared by
+    llm_quality_score and the wave-4 curation gates (llm_curate.py:
+    stratified percentile gate, token-budget selection).  One
+    definition on each side (this function / llm_curate._SQL_QUALITY)
+    keeps engine and oracle from drifting."""
     toks = F.split("text", " ", -1)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_tokens = F.size(toks)
@@ -447,9 +464,10 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("text"), ".!?", "")
     )
     stopword_ratio = n_stop.cast("double") / n_tokens
-    t = d.select(
+    return d.select(
         "doc_id",
         "lang",
+        "source",
         n_tokens.cast("long").alias("n_tokens"),
         stopword_ratio.alias("stopword_ratio"),
         (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
@@ -459,7 +477,6 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(stopword_ratio >= 0.05, 1).otherwise(0)
         ).alias("quality"),
     )
-    return t
 
 
 _LANG_MARKERS = {

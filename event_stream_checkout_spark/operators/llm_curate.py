@@ -1,0 +1,460 @@
+"""Corpus-curation wave 4 (SURVEY.md §2.10 extensions, X18-X22):
+PII scrubbing, stratified quality gates, token-budget selection,
+LSH-verified exact Jaccard, and a fixed-point PageRank over the
+near-duplicate graph.
+
+These extend the training-data-pipeline family beyond the reference's
+surface (the reference's closest analogue is the payload-validation
+predicate, src/ingest_order/app.py:34-43 — a per-record gate; these are
+the corpus-scale gates a 100 TB pretraining pipeline runs after it).
+
+Scale stances, shared across the module:
+- Everything per-row is a scan-local expression (regex, token counts,
+  quality components) — zero shuffles until a reduction needs one.
+- Anything that looks like a "global ORDER BY + running total" is a
+  TWO-PASS bucketed prefix-sum (``_cumsum_from_buckets``): deterministic
+  value-derived bucket ids, per-bucket windows in parallel, and a
+  broadcast O(#buckets) offset table — the same shape as
+  relational.rank_from_buckets, never a single-partition window over
+  data.
+- Pairwise work (exact Jaccard, PageRank edges) is defined over the
+  LSH candidate set from llm_advanced — bounded by the banding
+  collision structure and its degenerate-bucket cap, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .llm_advanced import (
+    _SQL_BANDS,
+    _SQL_CAPPED,
+    _SQL_SIGS,
+    _STOPWORDS,
+    SQL_GRAMS,
+    _minhash_sigs,
+    _pairs_from_sigs,
+    grams_df,
+    quality_frame,
+)
+
+# --------------------------------------------------------------------------
+# Shared oracle CTE: the quality heuristic (mirror of
+# llm_advanced.quality_frame — one definition per side).
+# --------------------------------------------------------------------------
+
+_SQL_QUALITY = (
+    "qraw AS (SELECT doc_id, lang, source, "
+    "  len(string_split(text, ' ')) AS n_tokens, "
+    "  len(list_filter(string_split(text, ' '), "
+    f"    w -> list_contains({_STOPWORDS!r}, w))) AS n_stop "
+    "  FROM documents), "
+    "qs AS (SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio, "
+    "  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END + "
+    "   CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 1 ELSE 0 END)"
+    "  AS quality FROM qraw)"
+)
+
+
+# --------------------------------------------------------------------------
+# X18: PII scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly — character classes, bounded repetition, \b —
+# verified on adversarial strings by tests/test_curation.py.  No
+# alternation whose leftmost-first vs leftmost-longest semantics could
+# diverge.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_LONGNUM = r"\d{7,}"
+# Replacement order matters (an email contains dots and digits): email
+# first, then IPv4, then bare long digit runs — applied identically in
+# the oracle.
+_PII_RULES = [
+    (_PII_EMAIL, "<EMAIL>", "n_emails"),
+    (_PII_IPV4, "<IP>", "n_ipv4"),
+    (_PII_LONGNUM, "<NUM>", "n_longnums"),
+]
+
+
+def _sql_quote(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+@register(
+    "llm_pii_scrub",
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_quote(p)}')) AS BIGINT) "
+        f"AS {alias}"
+        for p, _, alias in _PII_RULES
+    )
+    + ", md5("
+    + "".join("regexp_replace(" for _ in _PII_RULES)
+    + "text"
+    + "".join(
+        f", '{_sql_quote(p)}', '{repl}', 'g')" for p, repl, _ in _PII_RULES
+    )
+    + ") AS scrubbed_hash FROM documents",
+    doc="PII scrubbing (X18): mask emails, IPv4 addresses and long "
+    "digit runs with typed placeholder tokens, and count what was "
+    "masked per document — the redaction pass a pretraining pipeline "
+    "runs before anything else sees the text. Pure scan-local "
+    "regexp_replace/regexp_extract_all expressions (JVM codegen, zero "
+    "shuffles, zero UDFs); the masked text is emitted as its md5 so "
+    "the result stays slim and hash-checkable. Patterns live in the "
+    "Java∩RE2 regex subset so engine and oracle match byte-for-byte "
+    "(adversarial-string parity pinned by tests/test_curation.py).",
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub(d: DataFrame) -> DataFrame:
+    """The scrub plan over any frame with (doc_id, text) — factored out
+    so tests can drive it with adversarial PII strings (the driver
+    corpora are word-salad and exercise mostly the no-match path)."""
+    scrubbed = F.col("text")
+    counts = []
+    for pat, repl, alias in _PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(alias)
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.select("doc_id", *counts, F.md5(scrubbed).alias("scrubbed_hash"))
+
+
+# --------------------------------------------------------------------------
+# Two-pass bucketed prefix-sum (the distributed form of "running total
+# over a global order", shared by X19/X20)
+# --------------------------------------------------------------------------
+
+
+def _cumsum_from_buckets(
+    bucketed: DataFrame,
+    part_cols: list[str],
+    keys: list,
+    val_col,
+    out_col: str,
+) -> DataFrame:
+    """Distributed running sum of ``val_col`` over ``keys`` within each
+    ``part_cols`` group — the prefix-sum analogue of
+    relational.rank_from_buckets (rank == running sum of 1).
+
+    ``bucketed`` must be PINNED (it feeds a window branch and a totals
+    branch) and carry a ``_pid`` bucket id that is a pure function of
+    the sort-key VALUE with bucket order matching key order.  Pass 1
+    runs the window per (group, bucket) in parallel; pass 2 adds the
+    broadcast per-(group, bucket) prefix offsets — O(#groups·#buckets)
+    rows, never O(data), so no single-partition stage touches data no
+    matter how large one group is at 100 TB.
+    """
+    wp = (
+        Window.partitionBy(*part_cols, "_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_run", F.sum(val_col).over(wp))
+    totals = bucketed.groupBy(*part_cols, "_pid").agg(
+        F.sum(val_col).alias("_tot")
+    )
+    woff = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *part_cols,
+        "_pid",
+        F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
+    )
+    return local.join(F.broadcast(offsets), [*part_cols, "_pid"]).withColumn(
+        out_col, (F.col("_off") + F.col("_run")).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# X19: stratified quality gate (keep the top half per source)
+# --------------------------------------------------------------------------
+
+_STRAT_SUB_BUCKETS = 8
+
+
+@register(
+    "llm_quality_stratified",
+    oracle=f"WITH {_SQL_QUALITY}, "
+    "r AS (SELECT doc_id, source, quality, "
+    "  row_number() OVER (PARTITION BY source ORDER BY quality DESC, "
+    "    stopword_ratio DESC, doc_id) AS rk, "
+    "  count(*) OVER (PARTITION BY source) AS n FROM qs) "
+    "SELECT source, doc_id, CAST(quality AS INTEGER) AS quality, "
+    "CAST(rk AS BIGINT) AS rk FROM r WHERE rk * 2 <= n + 1",
+    doc="Stratified quality gate (X19): within each source, rank docs by "
+    "the quality heuristic (quality band desc, stopword ratio desc, "
+    "doc_id tiebreak) and keep the top half — the per-stratum filter "
+    "that keeps one domain's quality bar from being set by another's "
+    "distribution. The rank is integer-exact (no percentile floats) "
+    "and computed as a TWO-PASS bucketed rank per source "
+    "(_cumsum_from_buckets with weight 1): bucket id is a pure "
+    "function of (quality, stopword_ratio), per-bucket windows run in "
+    "parallel, and the offset table is O(#sources·24) broadcast rows — "
+    "a source with a billion docs at 100 TB never funnels through one "
+    "partition. The oracle states the same gate declaratively with a "
+    "single window.",
+)
+def q_llm_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_frame(load_table(spark, sf_dir, "documents"))
+    # Bucket id from the sort-key value: 3 quality bands × 8 ratio
+    # sub-buckets, descending to match (quality DESC, ratio DESC).
+    sub = F.least(
+        F.lit(_STRAT_SUB_BUCKETS - 1),
+        F.floor(
+            (F.lit(1.0) - F.col("stopword_ratio")) * _STRAT_SUB_BUCKETS
+        ).cast("int"),
+    )
+    pid = ((F.lit(2) - F.col("quality")) * _STRAT_SUB_BUCKETS + sub).alias(
+        "_pid"
+    )
+    bucketed = q.select(
+        "doc_id", "source", "quality", "stopword_ratio", pid
+    ).localCheckpoint()
+    keys = [
+        F.col("quality").desc(),
+        F.col("stopword_ratio").desc(),
+        F.col("doc_id"),
+    ]
+    ranked = _cumsum_from_buckets(
+        bucketed, ["source"], keys, F.lit(1), "rk"
+    )
+    n_src = bucketed.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_src), "source")
+        .filter(F.col("rk") * 2 <= F.col("_n") + 1)
+        .select("source", "doc_id", "quality", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# X20: token-budget selection (greedy by quality until the budget)
+# --------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 2000  # per-language token budget
+_BUDGET_SUB_BUCKETS = 8
+
+
+@register(
+    "llm_token_budget_sample",
+    oracle=f"WITH {_SQL_QUALITY}, "
+    "c AS (SELECT lang, doc_id, quality, n_tokens, "
+    "  sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+    "  FROM qs) "
+    "SELECT lang, doc_id, CAST(quality AS INTEGER) AS quality, n_tokens, "
+    "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c "
+    f"WHERE cum_tokens <= {_TOKEN_BUDGET}",
+    doc="Token-budget selection (X20): per language, admit documents "
+    "best-quality-first until the cumulative token count reaches the "
+    "budget — how a training mix caps each language's contribution in "
+    "tokens rather than documents. The running total is a TWO-PASS "
+    "bucketed prefix-sum (_cumsum_from_buckets): per-(lang, bucket) "
+    "window sums in parallel + broadcast O(#langs·24) offsets, so the "
+    "admission order is globally exact without any per-lang "
+    "single-partition sort — integer token counts make the result "
+    "engine-exact. The oracle is the same greedy rule as one window.",
+)
+def q_llm_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_frame(load_table(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", "quality", "n_tokens"
+    )
+    mx = q.agg(F.max("doc_id").alias("_mx"))
+    # Bucket id from the sort-key value (quality DESC, doc_id ASC):
+    # 3 quality bands × 8 doc_id range sub-buckets.
+    sub = F.least(
+        F.lit(_BUDGET_SUB_BUCKETS - 1),
+        F.expr(f"(doc_id * {_BUDGET_SUB_BUCKETS}) div (_mx + 1)"),
+    )
+    pid = ((F.lit(2) - F.col("quality")) * _BUDGET_SUB_BUCKETS + sub).alias(
+        "_pid"
+    )
+    bucketed = (
+        q.crossJoin(F.broadcast(mx)).select(*q.columns, pid).localCheckpoint()
+    )
+    keys = [F.col("quality").desc(), F.col("doc_id")]
+    cum = _cumsum_from_buckets(
+        bucketed, ["lang"], keys, F.col("n_tokens"), "cum_tokens"
+    )
+    return cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
+        "lang", "doc_id", "quality", "n_tokens", "cum_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
+# X21: exact Jaccard over LSH candidates (the scale-path composition)
+# --------------------------------------------------------------------------
+
+_LSH_JACCARD_THRESHOLD = 0.2
+
+_SQL_CAND = (
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM capped a JOIN capped b ON a.band_idx = b.band_idx "
+    "AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+)
+
+
+@register(
+    "llm_ngram_jaccard_lsh",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_CAPPED}, {_SQL_CAND}, "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM grams), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg "
+    "GROUP BY 1), "
+    "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common "
+    "FROM cand c JOIN dg a ON a.doc_id = c.doc_a "
+    "JOIN dg b ON b.doc_id = c.doc_b AND b.gram = a.gram GROUP BY 1, 2) "
+    "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
+    "CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) "
+    f">= {_LSH_JACCARD_THRESHOLD}",
+    doc="Exact n-gram Jaccard over LSH candidates (X21): the verify "
+    "stage of a candidate-generate/verify near-dup pipeline, and the "
+    "composition the r6 verdict named as llm_ngram_jaccard's scale "
+    "path. Pair space = the banding candidates (bounded by minhash "
+    "collisions + the degenerate-bucket cap), so the exact-similarity "
+    "join touches O(|candidates| · grams/doc) rows — never the all-"
+    "pairs O(n²) of unblocked Jaccard, and, unlike the df-capped "
+    "variant, the similarity itself is measured over the FULL gram "
+    "sets (no rare-gram recall trade; the recall trade moved into "
+    "candidate generation where the sketch theory quantifies it). "
+    "Integer-ratio output is engine-exact.",
+)
+def q_llm_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
+    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dg.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = dg.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _LSH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# X22: fixed-point PageRank over the near-duplicate graph
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # fixed-point unit: pr is BIGINT millionths
+_PR_ITERS = 3
+
+
+def _sql_pr_iter(prev: str, name: str) -> str:
+    return (
+        f"{name} AS (SELECT e.dst AS doc_id, "
+        f"150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS pr "
+        f"FROM edges e JOIN {prev} p ON p.doc_id = e.src "
+        f"JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_CAPPED}, {_SQL_CAND}, "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand "
+    "UNION ALL SELECT doc_b, doc_a FROM cand), "
+    "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges "
+    "GROUP BY src), "
+    f"pr0 AS (SELECT src AS doc_id, CAST({_PR_SCALE} AS BIGINT) AS pr "
+    "FROM deg), "
+    + ", ".join(
+        _sql_pr_iter(f"pr{i}", f"pr{i + 1}") for i in range(_PR_ITERS)
+    )
+    + f" SELECT p.doc_id, d.deg, CAST(p.pr AS BIGINT) AS pr FROM pr{_PR_ITERS} p "
+    "JOIN deg d ON d.src = p.doc_id",
+    doc="Fixed-point PageRank on the near-dup graph (X22): 3 "
+    "synchronous iterations of damped PageRank over the symmetric LSH "
+    "candidate graph — the iterative-graph-algorithm shape (importance "
+    "propagation, centrality of duplicate clusters) expressed as a "
+    "Python-driven loop of join+groupBy rounds, the same driver-side "
+    "fixed-iteration pattern as the connected-components resolver "
+    "(llm_advanced._connected_components). All arithmetic is FIXED-"
+    "POINT BIGINT (pr in millionths; per-edge share = pr div deg "
+    "before summing), so the result is bit-exact on any engine and "
+    "any partitioning — no float summation order anywhere. Edges and "
+    "degrees are pinned once (localCheckpoint) and each round "
+    "shuffles only O(|edges|) slim rows on doc_id; the oracle unrolls "
+    "the same three rounds as CTEs.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
+    return pagerank_fixed(pairs)
+
+
+def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """The fixed-point PageRank rounds over an undirected pair frame
+    (doc_a, doc_b) — factored out of the registered query so tests can
+    drive it with an explicit edge list and compare against a pure-
+    python reference (tests/test_curation.py)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    pr = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(_PR_SCALE).cast("long").alias("pr"),
+    )
+    for _ in range(iters):
+        share = pr.join(
+            deg.withColumnRenamed("src", "doc_id"), "doc_id"
+        ).select(
+            F.col("doc_id").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        pr = (
+            edges.join(share, "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("c").alias("_s"))
+            .select(
+                "doc_id",
+                (F.lit(150000) + F.expr("(85 * _s) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id").select(
+        "doc_id", "deg", "pr"
+    )

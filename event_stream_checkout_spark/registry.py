@@ -117,6 +117,8 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "sort_orders",            # second pass factored into rank_from_buckets
     "state_ledger_tws",       # vendored-protobuf bootstrap + graceful degrade
     "snk_bucketed",           # bucket-aligned pre-partition before the write
+    "llm_quality_score",      # engine body factored into quality_frame
+                              # (shared with the wave-4 curation gates)
 })
 
 
@@ -141,6 +143,7 @@ def load_all() -> dict[str, Query]:
         checkout,
         llm,
         llm_advanced,
+        llm_curate,
         llm_ingest,
         llm_prep,
         multimodal,

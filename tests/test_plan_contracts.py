@@ -267,3 +267,48 @@ def test_domain_mix_broadcasts_thresholds_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"documents scanned {n_scans}x (thresholds unpinned?)"
+
+
+def test_pii_scrub_scan_local(spark):
+    """X18: PII scrubbing is a pure per-row projection — the executed
+    plan contains NO exchange of any kind, no join, no aggregate: at
+    100 TB the pass streams through the scan stage at parquet read
+    speed."""
+    plan = executed_plan(spark, "llm_pii_scrub")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["llm_quality_stratified", "llm_token_budget_sample"]
+)
+def test_curation_prefix_sum_two_pass(spark, key):
+    """X19/X20: the bucketed prefix-sum keeps the two-pass contract —
+    the pinned frame means NO parquet scan in the final plan (documents
+    is read exactly once, inside the checkpoint), the offset table
+    joins by BROADCAST, and the only SinglePartition stage is the
+    O(#groups·#buckets) offsets window, never a data-sized sort."""
+    plan = executed_plan(spark, key, full=True)
+    assert "Scan parquet" not in plan, "documents scanned in-plan (diamond unpinned)"
+    assert "BroadcastHashJoin" in plan, "offsets not broadcast"
+    assert "rangepartitioning" not in plan  # value-derived buckets
+
+
+def test_ngram_jaccard_lsh_no_product_joins(spark):
+    """X21: the verify stage must stay candidate-bounded — no cartesian
+    or nested-loop join anywhere (the all-pairs regression), and the
+    gram-intersection join keys on (doc, gram) equi-conditions only."""
+    plan = executed_plan(spark, "llm_ngram_jaccard_lsh", full=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_reuse_pinned_edges(spark):
+    """X22: the three PageRank rounds run over the pinned edge/degree
+    frames — the final plan contains ZERO parquet scans (the corpus is
+    read once, inside the candidate-generation checkpoint), so each
+    extra iteration costs O(|edges|) and never re-derives the graph."""
+    plan = executed_plan(spark, "graph_pagerank", full=True)
+    assert "Scan parquet" not in plan, "corpus re-scanned per iteration"
+    assert "CartesianProduct" not in plan
