@@ -484,6 +484,101 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_roots(sf_dir: str) -> tuple[str, str]:
+    """(raw, compacted) roots for the small-file compaction op —
+    PID-scoped like partitioned_root so concurrent sessions never
+    clobber each other."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), f"ecs_compact_{tag}")
+    return os.path.join(base, "raw"), os.path.join(base, "compacted")
+
+
+def compact_partitions(spark: SparkSession, raw_schema, raw: str, out: str):
+    """The compaction pass itself: one shuffle keyed on the partition
+    column, so every partition's rows land in exactly ONE task and the
+    rewrite emits exactly one file per partition directory.  Hash
+    collisions between dates only co-locate two dates in one task —
+    still one file per directory."""
+    (
+        spark.read.schema(raw_schema)
+        .parquet(raw)
+        .repartition(F.col("event_date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out)
+    )
+
+
+def partition_file_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Data-file count per partition directory from a driver-side
+    listing — O(#partitions) metadata work (the lakehouse-manifest op),
+    never a data scan.  At 100 TB this listing comes from the table
+    format's manifest files instead of the filesystem; the contract
+    (count files without reading them) is the same."""
+    import glob
+    import os
+
+    rows = []
+    for d in sorted(glob.glob(os.path.join(root, "event_date=*"))):
+        n_files = sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        rows.append((os.path.basename(d).split("=", 1)[1], n_files))
+    return spark.createDataFrame(rows, "event_date string, n_files long")
+
+
+@register(
+    "snk_partitioned_compact",
+    oracle="SELECT strftime(ts, '%Y-%m-%d') AS event_date, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    f"{sql_dsum('value')} AS sum_value, "
+    "CAST(1 AS BIGINT) AS n_files "
+    "FROM events GROUP BY 1",
+    doc="Small-file compaction for the date-partitioned sink (S13b): "
+    "the maintenance op every partitioned 100 TB table needs — a day-1 "
+    "write from W tasks leaves up to W files per date directory, and "
+    "small files destroy scan throughput (per-file open cost, no "
+    "row-group parallelism). The compactor rewrites each partition "
+    "into exactly one file via a single shuffle keyed on the partition "
+    "column (each date owned by one task — never a global coalesce, "
+    "which would serialize the rewrite). The graded result joins the "
+    "compacted table's per-date aggregate with a per-date data-file "
+    "count from the manifest listing; the oracle derives the same "
+    "aggregate from the raw events table with the contract n_files=1 — "
+    "so BOTH content preservation and the one-file layout are "
+    "hash-checked. Pruned reads still work post-compaction "
+    "(tests/test_scale_features.py::test_compaction_reduces_files).",
+)
+def q_snk_partitioned_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_root, out_root = compact_roots(sf_dir)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # Day-1 state: a task-fragmented partitioned write — 8 writer
+    # tasks each touching every date ⇒ up to 8 files per date
+    # directory (at test SF the source is one split, so the fan-out
+    # must be explicit; on a real cluster it's the natural state of
+    # any multi-task ingest).
+    e.repartition(8).write.partitionBy("event_date").mode(
+        "overwrite"
+    ).parquet(raw_root)
+    compact_partitions(spark, e.schema, raw_root, out_root)
+    agg = (
+        spark.read.schema(e.schema)
+        .parquet(out_root)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+    manifest = partition_file_manifest(spark, out_root)
+    return agg.join(manifest, "event_date").select(
+        "event_date", "n", "sum_value", "n_files"
+    )
+
+
 # Rank-bound table for the approx-percentile verdict: per target
 # percentile p, the sketch estimate must lie between the exact order
 # statistics at ranks (p-0.5%)·n and (p+0.5%)·n.  Rank arithmetic is
