@@ -1,0 +1,193 @@
+"""Product-analytics operators over the event stream (SURVEY.md §2
+extension family E1-E3): ordered funnel, cohort retention, and
+last-touch attribution.
+
+The reference's event stream carries checkout lifecycle events
+(OrderCreated → OrderProcessed, README.md golden scenarios); these
+operators are the standard analytics a team runs OVER such a stream —
+conversion funnels, cohort retention triangles, and attribution of a
+terminal event to the preceding touchpoint.  They complete the
+"event-stream analytics" story next to the windowed/sessionized
+aggregations in streaming_analogues.
+
+Scale stances:
+- Everything keys on ``user_id`` — high-cardinality, uniform — so every
+  shuffle here hash-partitions evenly; no global windows anywhere.
+- Funnel stages are progressive per-user MIN-aggregations joined on
+  user_id (each stage's frame is one slim row per surviving user),
+  never a per-user sort of full histories.
+- Attribution uses one per-user window pass (single shuffle); the
+  carried state is one column, not the event list.
+- All outputs are integers, timestamps, or dsum-stabilized doubles —
+  engine-exact for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+# Funnel definition: entry → middle → terminal, each later stage
+# strictly after the previous one and inside a 7-day window anchored
+# at the user's funnel ENTRY (the first view).
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "evt_funnel",
+    oracle="WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events "
+    f"WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, max(s1.ts1) AS ts1, min(e.ts) AS ts2 "
+    "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+    f"WHERE e.event_type = '{_FUNNEL_STAGES[1]}' AND e.ts > s1.ts1 "
+    f"AND e.ts <= s1.ts1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, min(e.ts) AS ts3 "
+    "FROM events e JOIN s2 ON e.user_id = s2.user_id "
+    f"WHERE e.event_type = '{_FUNNEL_STAGES[2]}' AND e.ts > s2.ts2 "
+    f"AND e.ts <= s2.ts1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY GROUP BY 1) "
+    f"SELECT '1_{_FUNNEL_STAGES[0]}' AS stage, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+    f"UNION ALL SELECT '2_{_FUNNEL_STAGES[1]}', CAST(count(*) AS BIGINT) "
+    "FROM s2 "
+    f"UNION ALL SELECT '3_{_FUNNEL_STAGES[2]}', CAST(count(*) AS BIGINT) "
+    "FROM s3",
+    doc="Ordered conversion funnel (E1): how many users did "
+    "view → click → purchase IN ORDER, each step strictly after the "
+    "previous and within 7 days of funnel entry. Computed as "
+    "progressive per-user MIN aggregations — stage k's frame is one "
+    "slim (user, ts) row per user still in the funnel, joined to the "
+    "next stage's events on user_id — so no per-user event history is "
+    "ever sorted or collected; every shuffle keys on the uniform "
+    "user_id. The event scan is filtered to one stage's type per leg "
+    "(predicate reaches the parquet scan). Timestamps are exact, so "
+    "the whole funnel is hash-checkable.",
+)
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    win = f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAY"
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.expr(f"ts1 + {win}"))
+        )
+        .groupBy("user_id")
+        .agg(F.max("ts1").alias("ts1"), F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts2"))
+            & (F.col("ts") <= F.expr(f"ts1 + {win}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+
+    def stage_count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(s1, f"1_{_FUNNEL_STAGES[0]}")
+        .unionAll(stage_count(s2, f"2_{_FUNNEL_STAGES[1]}"))
+        .unionAll(stage_count(s3, f"3_{_FUNNEL_STAGES[2]}"))
+    )
+
+
+@register(
+    "evt_retention",
+    oracle="WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 "
+    "FROM events GROUP BY 1), "
+    "act AS (SELECT DISTINCT e.user_id, strftime(f.d0, '%Y-%m-%d') AS cohort, "
+    "  date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_offset "
+    "FROM events e JOIN f ON e.user_id = f.user_id) "
+    "SELECT cohort, CAST(week_offset AS BIGINT) AS week_offset, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM act GROUP BY 1, 2",
+    doc="Cohort retention triangle (E2): users are cohorted by their "
+    "first-ever event date; for each (cohort, weeks-since-first) cell, "
+    "count the distinct users still active — the standard retention "
+    "matrix. Two uniform user_id shuffles (first-event min, then the "
+    "distinct pre-collapse); the (user, cohort, offset) DISTINCT "
+    "collapses each user's arbitrarily long event history to at most "
+    "#weeks rows BEFORE the final small aggregate, so a power user "
+    "with 10^6 events contributes the same rows as anyone else — the "
+    "same pre-collapse-beats-skew pattern as llm_vocabulary. Day "
+    "arithmetic on DATEs (integer), engine-exact.",
+)
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.expr("datediff(to_date(ts), d0) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "evt_attribution",
+    oracle="WITH w AS (SELECT user_id, event_type, ts, value, "
+    "  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+    "    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type "
+    "  FROM events) "
+    "SELECT coalesce(prev_type, 'none') AS channel, "
+    "CAST(count(*) AS BIGINT) AS n_purchases, "
+    f"{sql_dsum('value')} AS total_value "
+    "FROM w WHERE event_type = 'purchase' GROUP BY 1",
+    doc="Last-touch attribution (E3): every purchase is credited to "
+    "the user's most recent PRECEDING non-purchase event type (the "
+    "touchpoint), 'none' if the purchase opens the history — the "
+    "as-of-join shape expressed as ONE per-user window pass: "
+    "last_value(... IGNORE NULLS) over (user, time) carries exactly "
+    "one column of state, so the whole op costs a single uniform "
+    "user_id shuffle regardless of history length (vs a per-purchase "
+    "range self-join, which would re-scan each user's history per "
+    "purchase). Deterministic (event_id tiebreak); value totals via "
+    "the engine's stable-sum policy.",
+)
+def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("prev_type", prev)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("prev_type", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("total_value"),
+        )
+    )

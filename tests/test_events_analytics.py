@@ -1,0 +1,118 @@
+"""Behavioral tests for the product-analytics operators (E1-E3):
+funnel ordering/window semantics, retention offset math, and
+attribution edge cases — on crafted event histories where the right
+answer is computed by hand."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from event_stream_checkout_spark.operators.events_analytics import (
+    q_evt_attribution,
+    q_evt_funnel,
+    q_evt_retention,
+)
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, minutes_after_T0, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        [
+            (eid, T0 + timedelta(minutes=m), uid, et, v, "{}")
+            for eid, m, uid, et, v in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "sfx")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_funnel_requires_order_and_window(spark, tmp_path):
+    """Stage counts must respect strict ordering (a click BEFORE the
+    first view does not advance the funnel) and the 7-day entry-anchored
+    window (a purchase 8 days after the first view is out)."""
+    day = 24 * 60
+    rows = [
+        # user 1: clean view → click → purchase inside the window.
+        (1, 0, 1, "view", 1.0),
+        (2, 10, 1, "click", 1.0),
+        (3, 20, 1, "purchase", 9.0),
+        # user 2: click BEFORE the view — funnel stalls at view.
+        (4, 0, 2, "click", 1.0),
+        (5, 10, 2, "view", 1.0),
+        # user 3: view → click, but the purchase lands 8 days after
+        # the first view — outside the 7-day entry window.
+        (6, 0, 3, "view", 1.0),
+        (7, 10, 3, "click", 1.0),
+        (8, 8 * day, 3, "purchase", 5.0),
+        # user 4: never views — not in the funnel at all.
+        (9, 0, 4, "purchase", 3.0),
+        # user 5: view, then a click at exactly entry+7d (inclusive
+        # boundary) — stage 2 yes, no purchase.
+        (10, 0, 5, "view", 1.0),
+        (11, 7 * day, 5, "click", 1.0),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in q_evt_funnel(spark, _write_events(tmp_path, rows)).collect()
+    }
+    assert out == {"1_view": 4, "2_click": 3, "3_purchase": 1}
+
+
+def test_retention_offsets_are_day_exact(spark, tmp_path):
+    """Cohort = first event DATE; offsets count floor(days/7). A user
+    active on days 0, 6, 7 lands in offsets 0 and 1 (day 6 is still
+    week 0); distinct collapses repeated activity in one week."""
+    day = 24 * 60
+    rows = [
+        (1, 0, 1, "view", 1.0),          # day 0 → week 0
+        (2, 6 * day, 1, "click", 1.0),   # day 6 → still week 0
+        (3, 7 * day, 1, "view", 1.0),    # day 7 → week 1
+        (4, 7 * day + 5, 1, "view", 1.0),  # same week — distinct collapses
+        (5, 0, 2, "view", 1.0),          # second user, same cohort, week 0 only
+    ]
+    out = {
+        (r["cohort"], r["week_offset"]): r["n_users"]
+        for r in q_evt_retention(
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    }
+    assert out == {
+        ("2024-03-01", 0): 2,
+        ("2024-03-01", 1): 1,
+    }
+
+
+def test_attribution_last_touch_and_none(spark, tmp_path):
+    """Each purchase credits the LAST preceding non-purchase event;
+    consecutive purchases both credit that same touchpoint; a purchase
+    with no preceding event is 'none'."""
+    rows = [
+        (1, 0, 1, "view", 1.0),
+        (2, 10, 1, "click", 1.0),
+        (3, 20, 1, "purchase", 10.0),   # credits click
+        (4, 30, 1, "purchase", 20.0),   # still credits click (last
+                                        # non-purchase unchanged)
+        (5, 0, 2, "purchase", 5.0),     # opens history → none
+        (6, 10, 2, "error", 1.0),
+        (7, 20, 2, "purchase", 7.0),    # credits error
+    ]
+    out = {
+        r["channel"]: (r["n_purchases"], r["total_value"])
+        for r in q_evt_attribution(
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    }
+    assert out == {
+        "click": (2, 30.0),
+        "none": (1, 5.0),
+        "error": (1, 7.0),
+    }

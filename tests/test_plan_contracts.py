@@ -312,3 +312,27 @@ def test_pagerank_iterations_reuse_pinned_edges(spark):
     plan = executed_plan(spark, "graph_pagerank", full=True)
     assert "Scan parquet" not in plan, "corpus re-scanned per iteration"
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_pass(spark):
+    """E3: last-touch attribution costs ONE uniform user_id shuffle for
+    the window plus the tiny channel aggregate — never a per-purchase
+    self-join (no Join at all) and never a global window
+    (no SinglePartition exchange)."""
+    plan = executed_plan(spark, "evt_attribution")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 2, f"expected 2 hash exchanges (window+agg), saw {n_hash}"
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_retention_precollapses_before_final_agg(spark):
+    """E2: the (user, cohort, offset) DISTINCT must collapse per-user
+    activity BEFORE the final cell aggregate (the skew guard) — the
+    plan aggregates twice (distinct, then cells) and joins first-event
+    dates back on the uniform user_id key only."""
+    plan = executed_plan(spark, "evt_retention", full=True)
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 stages
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
