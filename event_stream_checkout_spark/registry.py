@@ -141,6 +141,7 @@ def load_all() -> dict[str, Query]:
     """
     from .operators import (  # noqa: F401
         checkout,
+        clustering,
         events_analytics,
         llm,
         llm_advanced,

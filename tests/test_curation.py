@@ -278,3 +278,41 @@ def test_pagerank_mass_is_plausible(spark):
     )
     prs = {r["pr"] for r in pagerank_fixed(df).collect()}
     assert len(prs) == 1
+
+
+# ---------------------------------------------------------------------------
+# X23: k-means refinement on crafted blob geometry
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_refinement_separates_blobs(spark):
+    """Two well-separated blobs; seeds 0..7 straddle both. After one
+    Lloyd round every vector must be assigned to a cluster whose SEED
+    came from the vector's own blob, and the refined within-cluster
+    distance must not exceed the seed-round distance for any vector
+    (centroid means can only move toward their members)."""
+    from event_stream_checkout_spark.operators.clustering import (
+        kmeans_refined_assignment,
+    )
+
+    rng = random.Random(7)
+    dims = 8
+
+    def vec(center, i):
+        return [center + rng.uniform(-0.05, 0.05) for _ in range(dims)]
+
+    # vec_ids 0-3 = blob A seeds, 4-7 = blob B seeds, 8-23 members.
+    rows = []
+    for i in range(24):
+        blob_a = (i < 4) or (8 <= i < 16)
+        rows.append((i, vec(0.0 if blob_a else 5.0, i)))
+    blob_of = {i: ("A" if ((i < 4) or (8 <= i < 16)) else "B") for i in range(24)}
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_refined_assignment(df, 8).collect()
+    }
+    assert len(got) == 24
+    for vid, cl in got.items():
+        assert blob_of[cl] == blob_of[vid], (vid, cl)
