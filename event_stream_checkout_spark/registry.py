@@ -152,6 +152,7 @@ def load_all() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
         scalar_fns,
         streaming_analogues,
         windows,

@@ -248,3 +248,31 @@ def test_weighted_mix_thresholds_match_reference(spark, counts, weights):
         )
         want[f"s{si}"] = (c, w, thr)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "shape", ["zipf", "all_distinct", "single_value", "empty"]
+)
+def test_freq_items_superset_guarantee(spark, shape):
+    """A5c (same settings as q_agg_freq_items, k=6): on every
+    adversarial shape, EVERY value with true frequency > N/6 must
+    appear in the freqItems sketch — zipf's mega-hot head, the
+    single-value column, and (vacuously) the all-distinct and empty
+    shapes."""
+    from event_stream_checkout_spark.operators.relational4 import _FI_K
+
+    df = _shapes(spark)[shape]
+    n = df.count()
+    exact_hot = {
+        r["v"]
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * _FI_K > F.lit(n))
+        .collect()
+    }
+    expected_hot = {"zipf": True, "single_value": True}.get(shape, False)
+    assert bool(exact_hot) == expected_hot, (shape, exact_hot)
+    items = set(
+        df.stat.freqItems(["v"], support=1.0 / _FI_K).collect()[0][0]
+    )
+    assert exact_hot <= items, (shape, exact_hot - items)
