@@ -426,6 +426,58 @@ def q_snk_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_orders_scd2",
+    oracle=f"{_PIPE}, base AS ("
+    "  SELECT order_id, customer_id, status, 1 AS version FROM settled), "
+    "delta AS ("
+    "  SELECT order_id, customer_id, 'REFUNDED' AS status, 2 AS version "
+    "  FROM settled WHERE status = 'PROCESSED' AND n_items >= 3), "
+    "unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta), "
+    "hist AS (SELECT *, lead(version) OVER (PARTITION BY order_id "
+    "         ORDER BY version) AS valid_to FROM unioned) "
+    "SELECT order_id, customer_id, status, version AS valid_from, "
+    "valid_to, (valid_to IS NULL) AS is_current FROM hist",
+    doc="SCD2 history sink (S6b): the upsert stream from "
+    "snk_orders_upsert, kept as FULL slowly-changing-dimension "
+    "history instead of a latest-wins rewrite — every version row "
+    "survives with [valid_from, valid_to) version bounds and an "
+    "is_current flag (valid_to = lead(version), null for the open "
+    "row). This is the audit/time-travel layout a 100 TB dimension "
+    "keeps next to its current snapshot: one uniform order_id window "
+    "per rewrite (the same shuffle the upsert already pays), append-"
+    "only semantics, and the current snapshot is the is_current "
+    "slice — latest-wins becomes a FILTER, not a rewrite. Versions "
+    "are integers, so the history is engine-exact.",
+)
+def q_snk_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settled = settled_orders(spark, sf_dir)
+    base = settled.select(
+        "order_id", "customer_id", "status", F.lit(1).alias("version")
+    )
+    delta = settled.filter(
+        (F.col("status") == "PROCESSED") & (F.col("n_items") >= 3)
+    ).select(
+        "order_id",
+        "customer_id",
+        F.lit("REFUNDED").alias("status"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("order_id").orderBy("version")
+    return (
+        base.unionByName(delta)
+        .withColumn("valid_to", F.lead("version").over(w))
+        .select(
+            "order_id",
+            "customer_id",
+            "status",
+            F.col("version").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
     "snk_dlq",
     oracle="WITH fails AS (SELECT event_id, user_id, ts, "
     "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "

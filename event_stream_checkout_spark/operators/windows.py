@@ -122,3 +122,44 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+@register(
+    "win_rolling_time",
+    oracle="WITH e AS (SELECT user_id, event_id, ts, value, "
+    "date_diff('second', TIMESTAMP '1970-01-01', ts) AS epoch_s "
+    "FROM events) "
+    "SELECT user_id, event_id, CAST(epoch_s AS BIGINT) AS epoch_s, "
+    f"CAST(sum({sql_quant('value')}) OVER w AS DOUBLE) / 10000.0 "
+    "AS value_7d, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_7d "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s "
+    "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)",
+    doc="Time-RANGE rolling window (W5): per-user trailing-7-day spend "
+    "and event count — the frame is bounded by event TIME (RANGE over "
+    "epoch seconds), not row count, so sparse and dense histories get "
+    "the same semantics; this is the windowed form of the fraud/"
+    "velocity checks a checkout pipeline runs per user. One uniform "
+    "user_id shuffle; rows that share a second share a frame (RANGE "
+    "semantics make the tie deterministic without an id tiebreak); "
+    "sums via the decimal policy so frame accumulation order cannot "
+    "leak engine differences.",
+)
+def q_win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", epoch_seconds(F.col("ts")).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "epoch_s",
+        (F.sum(quant("value")).over(w).cast("double") / 10000.0).alias(
+            "value_7d"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )

@@ -96,3 +96,36 @@ def test_ledger_primitives_agree(spark):
     b = _rows(reg["state_ledger_tws"].fn(spark, SF_DIR))
     assert len(a) > 0
     assert a == b
+
+
+def test_scd2_current_slice_equals_upsert(spark):
+    """S6/S6b: the SCD2 history's is_current slice and the latest-wins
+    upsert are two physical layouts of one semantic state — they must
+    agree row-for-row, and the history must satisfy the SCD2
+    invariants (exactly one open row per order; closed rows chain
+    valid_to = the next version's valid_from)."""
+    from event_stream_checkout_spark.registry import load_all
+
+    reg = load_all()
+    hist = reg["snk_orders_scd2"].fn(spark, SF_DIR).collect()
+    upsert = reg["snk_orders_upsert"].fn(spark, SF_DIR)
+
+    # _rows sorts columns by name: (customer_id, order_id, status).
+    current = sorted(
+        (r["customer_id"], r["order_id"], r["status"])
+        for r in hist
+        if r["is_current"]
+    )
+    assert len(current) > 0
+    assert current == _rows(upsert)
+
+    by_order: dict = {}
+    for r in hist:
+        by_order.setdefault(r["order_id"], []).append(r)
+    for oid, rows in by_order.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in rows if r["valid_to"] is None]
+        assert len(opens) == 1, (oid, rows)
+        assert opens[0] is rows[-1]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], (oid, rows)
