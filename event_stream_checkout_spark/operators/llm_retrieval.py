@@ -1,0 +1,274 @@
+"""LLM-curation wave 5: relevance ranking (BM25), weighted sampling
+without replacement (Efraimidis–Spirakis A-ES), and edit-distance
+near-dup detection with banded length blocking.
+
+These extend the §2.10 curation family: BM25 is the lexical-retrieval
+baseline every data-selection pipeline ranks against, A-ES is THE
+distributed way to draw a weighted sample in one pass (keys are
+independent per row — no sequential draw state), and edit-distance
+catches the character-level near-dups that token-set methods (minhash/
+simhash/jaccard) miss.
+
+Cross-engine float policy for ``ln``: unlike +,-,*,/,sqrt, libm ``log``
+is not guaranteed correctly rounded, so a raw ln can differ by 1 ulp
+between the JVM and DuckDB.  Every ln here is therefore quantized
+immediately (floor(x*1e6+0.5) or floor(x*1e9+0.5) — integer-valued
+doubles, exact) before entering any comparison or further arithmetic;
+downstream ops are the bit-stable ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "llm_bm25_topk",
+    oracle="WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+    " FROM documents), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1), "
+    "corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+    "  (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl "
+    "  FROM documents), "
+    f"tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks "
+    f"  WHERE tok IN ({_SQL_TERMS}) GROUP BY 1, 2), "
+    "dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+    "  FROM toks "
+    f"  WHERE tok IN ({_SQL_TERMS}) GROUP BY 1), "
+    "idf AS (SELECT tok, floor(ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) "
+    "  * 1000000.0 + 0.5) / 1000000.0 AS idf FROM dfreq, corpus c), "
+    "scored AS (SELECT t.doc_id, "
+    f"  i.idf * (t.tf * ({_BM25_K1} + 1.0)) / "
+    f"  (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + ({_BM25_B} * d.dl) / c.avgdl))"
+    "  AS s FROM tf t JOIN idf i ON t.tok = i.tok "
+    "  JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN corpus c) "
+    f"SELECT doc_id, {sql_dsum('s')} AS score FROM scored GROUP BY doc_id "
+    f"ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}",
+    doc="BM25 top-k relevance ranking (X23): score every document "
+    "against a fixed query-term set with the Robertson/Sparck-Jones "
+    "BM25 weighting (k1=1.2, b=0.75) and return the top 20 — the "
+    "lexical-retrieval baseline for data selection ('find the docs "
+    "most about X in the corpus'). All set statistics are corpus "
+    "aggregates: df/idf per term (3 rows — broadcast), avgdl a "
+    "broadcast scalar; tf is a (doc, term) count whose groupBy "
+    "map-side-collapses before the shuffle. Per-doc term scores "
+    "reduce through the stable-sum policy and the top-k is a "
+    "TakeOrdered (per-partition heaps — no total sort). At 100 TB "
+    "nothing here materializes more than the (doc × matched-term) "
+    "frame, linear in corpus size; idf's ln is quantized at 1e-6 on "
+    "both engines (module docstring).",
+)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    corpus = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+        )
+    )
+    qtoks = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = qtoks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        (
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("idf"),
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (F.lit(1.0) - b + (b * F.col("dl")) / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(dsum("s").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+
+
+@register(
+    "llm_weighted_sample",
+    oracle="WITH keyed AS (SELECT doc_id, lang, n_chars, "
+    "floor(ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) + 1.0) / 4294967297.0) * 1000000000.0 + 0.5) "
+    "/ CAST(n_chars AS DOUBLE) AS sample_key FROM documents) "
+    "SELECT doc_id, lang, n_chars, sample_key FROM keyed "
+    f"ORDER BY sample_key DESC, doc_id LIMIT {_WS_K}",
+    doc="Weighted sampling without replacement (X24, Efraimidis–"
+    "Spirakis A-ES): each doc draws a deterministic uniform u from "
+    "md5(doc_id) and competes with key ln(u)/w (w = n_chars, "
+    "equivalent ordering to the classic u^(1/w)); the top-k keys ARE "
+    "a weighted sample without replacement. This is THE distributed "
+    "weighted sampler: keys are independent per row (no sequential "
+    "draw state), so it is one scan-local expression plus a "
+    "TakeOrdered top-k (per-partition heaps — at 100 TB each "
+    "partition surfaces ≤k candidates, no total sort, no shuffle of "
+    "the corpus). Hash-keyed u makes the sample reproducible across "
+    "runs/engines/partitionings, the same property llm_sample_hash "
+    "exploits; ln is quantized at 1e-9 (integer-valued double — "
+    "exact) before the division, so the key is bit-stable across "
+    "engines (module docstring).",
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    key = F.floor(F.log(u) * 1000000000.0 + 0.5) / F.col("n_chars").cast(
+        "double"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup with banded length blocking
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 60      # compare the first 60 chars
+_ED_MAX_DIST = 8     # pair threshold
+_ED_BAND = 20        # n_chars // 20 length bands
+_ED_BLOCK_CAP = 50   # drop (lang, band) blocks bigger than this
+
+
+@register(
+    "llm_editdist_dedup",
+    oracle="WITH banded AS (SELECT doc_id, lang, text, "
+    f"n_chars // {_ED_BAND} AS band FROM documents), "
+    "blocks AS (SELECT lang, band FROM banded GROUP BY 1, 2 "
+    f"HAVING count(*) <= {_ED_BLOCK_CAP}), "
+    "kept AS (SELECT b.* FROM banded b JOIN blocks k "
+    "  ON b.lang = k.lang AND b.band = k.band), "
+    "probes AS (SELECT doc_id, lang, text, band, "
+    "  unnest([band - 1, band, band + 1]) AS probe FROM kept) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, "
+    f"CAST(levenshtein(substring(a.text, 1, {_ED_PREFIX}), "
+    f"  substring(b.text, 1, {_ED_PREFIX})) AS BIGINT) AS dist "
+    "FROM probes a JOIN kept b "
+    "ON a.lang = b.lang AND a.probe = b.band AND a.doc_id < b.doc_id "
+    f"WHERE levenshtein(substring(a.text, 1, {_ED_PREFIX}), "
+    f"  substring(b.text, 1, {_ED_PREFIX})) <= {_ED_MAX_DIST}",
+    doc="Edit-distance near-dup detection (X25): pairs of same-"
+    "language documents whose 60-char prefixes are within Levenshtein "
+    "distance 8 — the character-level near-dup class (typo edits, "
+    "small insertions) that token-SET methods (minhash/simhash/"
+    "jaccard) are blind to. Quadratic-pair blow-up is contained by "
+    "banded length blocking: candidates must share (lang, "
+    "n_chars÷20-band) with each left doc probing its own and both "
+    "adjacent bands (an edit moves length only a few chars, so true "
+    "pairs stay within ±1 band — each pair tested at most once since "
+    "the right side's band is fixed), and blocks larger than 50 docs "
+    "are dropped entirely (the jaccard/contamination df-cap stance: "
+    "an over-dense band is boilerplate, not near-duplication — "
+    "documented recall trade). Join output is O(Σ block²) with "
+    "block ≤ cap ⇒ O(corpus · cap), linear; the O(prefix²) DP runs "
+    "post-join inside codegen on the surviving candidates only.",
+)
+def q_llm_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return editdist_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def editdist_pairs(d: DataFrame) -> DataFrame:
+    """The banded blocked edit-distance pair plan over a
+    documents-shaped frame (doc_id, lang, text, n_chars).
+
+    Factored out of the registered query so property tests can drive
+    it with an adversarial corpus: B docs crammed into one
+    (lang, band) block beyond the cap must produce ZERO pairs (block
+    dropped), never O(B²) join output.
+    """
+    banded = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, _ED_PREFIX).alias("prefix"),
+        (F.col("n_chars") / _ED_BAND).cast("long").alias("band"),
+    )
+    blocks = (
+        banded.groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= _ED_BLOCK_CAP)
+        .drop("_n")
+    )
+    kept = banded.join(blocks, ["lang", "band"])
+    probes = kept.select(
+        "doc_id",
+        "lang",
+        "prefix",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("probe"),
+    )
+    a, b = probes.alias("a"), kept.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.probe") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= _ED_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("long").alias("dist"),
+        )
+    )

@@ -143,11 +143,13 @@ def load_all() -> dict[str, Query]:
         checkout,
         clustering,
         events_analytics,
+        lakehouse,
         llm,
         llm_advanced,
         llm_curate,
         llm_ingest,
         llm_prep,
+        llm_retrieval,
         multimodal,
         relational,
         relational2,

@@ -1,0 +1,154 @@
+"""Wave-5 operator semantics: CDC tombstones, incremental-MV merge
+algebra, bloom prefilter soundness, blocked edit-distance bounds, and
+the A-ES weighted-sample bias.  Oracle parity (tests/test_parity.py)
+already pins cross-engine equality; these tests pin the SEMANTIC and
+SCALE claims the docstrings make.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_stream_checkout_spark.operators.lakehouse import (
+    bloom_prune,
+    membership_filter,
+    q_agg_incremental_mv,
+    q_cdc_apply,
+)
+from event_stream_checkout_spark.operators.llm_retrieval import (
+    _ED_BLOCK_CAP,
+    editdist_pairs,
+    q_llm_weighted_sample,
+)
+from event_stream_checkout_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_cdc_tombstone_deletes_key(spark):
+    """A key whose LAST version is a delete marker is absent from the
+    materialized state; every surviving key carries its latest value."""
+    e = load_table(spark, SF_DIR, "events").toPandas()
+    e = e.sort_values(["ts", "event_id"])
+    last = e.groupby("user_id").tail(1)
+    deleted = set(last[last.event_type == "error"].user_id)
+    survived = set(last[last.event_type != "error"].user_id)
+
+    out = q_cdc_apply(spark, SF_DIR).toPandas()
+    assert set(out.user_id) == survived
+    assert not (set(out.user_id) & deleted)
+    merged = out.merge(last[["user_id", "value"]], on="user_id")
+    assert (merged.last_value == merged.value).all()
+
+
+def test_incremental_mv_merge_equals_recompute(spark):
+    """base ⊕ delta == one-shot recompute, in-engine (the oracle checks
+    the same against DuckDB; this pins it against Spark itself)."""
+    o = load_table(spark, SF_DIR, "orders")
+    from event_stream_checkout_spark.functions.numeric import dsum
+
+    month = F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    want = {
+        r["month"]: (r["n_orders"], r["revenue"], r["max_price"])
+        for r in o.groupBy(month)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .collect()
+    }
+    got = {
+        r["month"]: (r["n_orders"], r["revenue"], r["max_price"])
+        for r in q_agg_incremental_mv(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_bloom_prefilter_sound_and_effective(spark):
+    """The membership prefilter never drops a true member (soundness —
+    the exact join's correctness depends on it) and prunes the vast
+    majority of non-members before the shuffle (effectiveness)."""
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    elig = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    filt = membership_filter(elig, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", filt)
+
+    elig_keys = {r[0] for r in elig.collect()}
+    pruned_keys = {r[0] for r in pruned.collect()}
+    li_keys = [r[0] for r in li.collect()]
+    # Soundness: every lineitem row whose key IS eligible survives.
+    assert {k for k in li_keys if k in elig_keys} <= pruned_keys
+    # Effectiveness: with ~2% eligible keys and a 4096-bit filter, the
+    # pass-through rate must be far below half.
+    n_pruned = pruned.count()
+    assert n_pruned < len(li_keys) * 0.5, (
+        f"prefilter passed {n_pruned}/{len(li_keys)} rows"
+    )
+
+
+def test_editdist_oversized_block_dropped(spark):
+    """B docs crammed into one (lang, band) block beyond the cap yield
+    ZERO pairs — O(B²) expansion is structurally impossible — while a
+    small block still surfaces its true near-dup pair."""
+    rows = [
+        # one oversized block: identical-length, same-lang boilerplate
+        *[
+            (i, "en", "boilerplate terms of service text " + str(i % 7), 100)
+            for i in range(_ED_BLOCK_CAP + 10)
+        ],
+        # one small block with a true near-dup pair (band 100//20 != 5)
+        (1000, "de", "the quick brown fox jumps over the lazy dog", 44),
+        (1001, "de", "the quick brown fox jumps over the lazy hog", 44),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    got = editdist_pairs(d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert pairs == {(1000, 1001)}, pairs
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-ES draws with probability proportional to weight: the sampled
+    docs' mean n_chars must exceed the corpus mean (heavier docs get
+    keys nearer zero), and the sample is exactly k distinct docs."""
+    d = load_table(spark, SF_DIR, "documents")
+    out = q_llm_weighted_sample(spark, SF_DIR).toPandas()
+    assert len(out) == 50 and out.doc_id.nunique() == 50
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    assert out.n_chars.mean() > corpus_mean
+    # keys are ln(u)-quantized / w: all ≤ 0, heavier docs closer to 0.
+    assert (out.sample_key <= 0).all()
+
+
+def test_weighted_sample_matches_reference_aes(spark):
+    """The engine's quantized-ln key ranks docs exactly as an
+    independent python A-ES with the same md5-derived uniforms."""
+    import hashlib
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    rows = d.collect()
+    keys = {}
+    for r in rows:
+        u = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            + 1.0
+        ) / 4294967297.0
+        keys[r["doc_id"]] = math.floor(math.log(u) * 1e9 + 0.5) / float(
+            r["n_chars"]
+        )
+    want = [
+        doc
+        for doc, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    ]
+    got = [
+        r["doc_id"]
+        for r in q_llm_weighted_sample(spark, SF_DIR)
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .collect()
+    ]
+    assert got == want

@@ -336,3 +336,23 @@ def test_retention_precollapses_before_final_agg(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 stages
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bloom_prune_prefilter_below_probe_exchange(spark):
+    """J8: the 4096-bit membership test runs scan-local on the probe
+    side BEFORE its exchange — the plan carries the bit-test filter
+    (shiftright/&) under a broadcast join of the ≤64-row bitmap, and
+    the exact join is the pinned shuffle (SortMergeJoin) it protects.
+    If the bit test ever migrates above the exchange (or disappears),
+    the full probe side shuffles and the operator's 100 TB story is
+    gone."""
+    plan = executed_plan(spark, "join_bloom_prune", full=True)
+    assert "shiftright" in plan, "membership bit-test missing from plan"
+    assert "SortMergeJoin" in plan, "exact join not a shuffle join"
+    assert "BroadcastExchange" in plan, "bitmap not broadcast"
+    # The bit test must sit BELOW the probe-side exchange: in toString
+    # order (top-down), the first shiftright occurrence comes after
+    # the exchange that feeds the SMJ.
+    first_sr = plan.index("shiftright")
+    smj = plan.index("SortMergeJoin")
+    assert first_sr > smj, "bit-test printed above the exact join?"

@@ -748,3 +748,68 @@ def test_process_batch_job_budget(stream_env):
     finally:
         sc.setJobGroup(None, None)
     assert 0 < len(jobs) <= 50, f"{len(jobs)} driver jobs in one micro-batch"
+
+
+def test_stream_stream_interval_join_matches_graded_batch(spark, tmp_path):
+    """The graded stream_interval_join batch frame is row-identical to
+    the REAL two-readStream watermarked interval join (T9): same
+    user-key equality, same (0, 30min] range predicate, watermarks on
+    both sides so Spark can evict buffered state.  This is the
+    contract that makes the batch grading transferable to the
+    streaming deployment."""
+    from event_stream_checkout_spark.operators.lakehouse import (
+        _INTERVAL_MIN,
+        q_stream_interval_join,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events_dir = str(tmp_path / "events")
+    events = load_table(spark, SF_DIR, "events")
+    events.write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    def leg(kind, id_alias, ts_alias, user_alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(user_alias),
+                F.col("event_id").alias(id_alias),
+                # Watermarks require TIMESTAMP (not NTZ); the session
+                # tz is pinned UTC so the cast is a pure retag.
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    v = leg("view", "view_id", "view_ts", "user_id")
+    p = leg("purchase", "purchase_id", "purchase_ts", "p_user_id")
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_INTERVAL_MIN} MINUTES")
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT view_id, purchase_id FROM ivj").collect()
+    }
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in q_stream_interval_join(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
