@@ -1,5 +1,5 @@
 """Distributed clustering over the embedding corpus (SURVEY.md §2.10
-X23): Lloyd-iteration k-means refinement — the iterative-ML shape
+X26): Lloyd-iteration k-means refinement — the iterative-ML shape
 (assign → recompute → reassign) expressed as DataFrame rounds, and the
 learned-centroid upgrade path for the sign-bucket IVF index
 (llm_similarity_ivf keeps its buckets static; a real ANN index
@@ -67,7 +67,7 @@ def _sql_assign(cent: str, dname: str, aname: str) -> str:
     + " SELECT cluster, CAST(count(*) AS BIGINT) AS n_members, "
     "CAST(SUM(dq) AS DOUBLE) / 10000.0 AS inertia "
     "FROM a2 GROUP BY cluster",
-    doc="k-means refinement rounds (X23): deterministic seeds (the "
+    doc="k-means refinement rounds (X26): deterministic seeds (the "
     "first k vectors) → assign every vector to its nearest seed → "
     "recompute centroids as per-dim stable means → reassign — one "
     "full Lloyd iteration plus the final assignment, reporting "
