@@ -90,11 +90,31 @@ def q_llm_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
-    """One Lloyd round + final assignment over an embeddings frame —
-    factored out of the registered query so tests can drive it with
-    crafted blob geometries and inspect per-vector assignments
-    (tests/test_curation.py).  Returns (vec_id, cluster, dq)."""
+def _distances(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """Full (vec_id, cluster, dq) fixed-point squared-distance frame
+    against broadcast centroids."""
+    diff = F.col("val") - F.col("cval")
+    return (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(quant(diff * diff)).alias("dq"))
+    )
+
+
+def _argmin(dq: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy("dq", "cluster")
+    return (
+        dq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dq")
+    )
+
+
+def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd round over an embeddings frame; returns the final
+    round's FULL distance frame d2 (every (vec, cluster) pair — the
+    IVF probe needs the query's distance to every centroid, not just
+    its argmin) and the final assignment a2."""
     ex = (
         e.select(
             "vec_id", F.posexplode("embedding").alias("dim", "fval")
@@ -105,25 +125,120 @@ def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
     seeds = ex.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), "dim", F.col("val").alias("cval")
     )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        diff = F.col("val") - F.col("cval")
-        dq = (
-            ex.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(quant(diff * diff)).alias("dq"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dq", "cluster")
-        return (
-            dq.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "dq")
-        )
-
-    a1 = assign(seeds)
+    a1 = _argmin(_distances(ex, seeds))
     c1 = (
         ex.join(a1.select("vec_id", "cluster"), "vec_id")
         .groupBy("cluster", "dim")
         .agg(davg("val").alias("cval"))
     )
-    return assign(c1)
+    d2 = _distances(ex, c1)
+    return d2, _argmin(d2)
+
+
+def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
+    """One Lloyd round + final assignment over an embeddings frame —
+    factored out of the registered query so tests can drive it with
+    crafted blob geometries and inspect per-vector assignments
+    (tests/test_curation.py).  Returns (vec_id, cluster, dq)."""
+    return kmeans_refined(e, k)[1]
+
+
+# ---------------------------------------------------------------------------
+# X27: IVF ANN search with the LEARNED coarse quantizer
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+_IVF_TOPK = 10
+
+_SQL_COS = (
+    "scored AS (SELECT e.vec_id, e.label, "
+    "  list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+    "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), "
+    "    (x, y) -> x + y) AS dot, "
+    "  sqrt(list_reduce(list_transform(e.embedding, "
+    "    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nrm, "
+    "  sqrt(list_reduce(list_transform(q.qv, "
+    "    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS qnrm "
+    "  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q)"
+)
+
+
+@register(
+    "llm_similarity_ivf_kmeans",
+    oracle=f"WITH {_SQL_EX}, "
+    f"seeds AS (SELECT vec_id AS cluster, dim, val AS cval FROM ex "
+    f"WHERE vec_id < {_KM_K}), "
+    + _sql_assign("seeds", "d1", "a1")
+    + ", "
+    "c1 AS (SELECT a1.cluster, ex.dim, "
+    f"{sql_davg('ex.val')} AS cval "
+    "FROM ex JOIN a1 ON ex.vec_id = a1.vec_id GROUP BY 1, 2), "
+    + _sql_assign("c1", "d2", "a2")
+    + ", "
+    f"probe AS (SELECT cluster FROM d2 WHERE vec_id = 0 "
+    f"ORDER BY dq, cluster LIMIT {_IVF_NPROBE}), "
+    "cand AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cluster) "
+    "WHERE a2.vec_id <> 0), "
+    "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    + _SQL_COS
+    + " SELECT vec_id, label, round(dot / (nrm * qnrm), 6) AS cosine "
+    f"FROM scored ORDER BY dot / (nrm * qnrm) DESC, vec_id LIMIT {_IVF_TOPK}",
+    doc="IVF ANN search with the LEARNED coarse quantizer (X27): the "
+    "production composition of X26 and X3 — k-means centroids from "
+    "one Lloyd round become the IVF inverted lists; the query probes "
+    "its nprobe=2 nearest centroids (fixed-point distances, "
+    "engine-exact ordering) and exact-cosine-reranks ONLY the "
+    "vectors assigned to those lists. This replaces "
+    "llm_similarity_ivf's static sign-buckets with data-adaptive "
+    "cells, which is what real IVF indexes (FAISS-style) do. Scale "
+    "shape: assignment is map-side against broadcast k·d centroids "
+    "(the corpus never shuffles); at 100 TB the assignment is the "
+    "partition column of the vector store, so a probe reads "
+    "nprobe/k of the files — the rerank set, not the corpus, is the "
+    "query cost. Recall is governed by nprobe exactly as in IVF "
+    "theory; the exact top-k baseline (llm_similarity_topk) measures "
+    "it.",
+)
+def q_llm_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d2, a2 = kmeans_refined(e, _KM_K)
+    probe = (
+        d2.filter(F.col("vec_id") == 0)
+        .orderBy("dq", "cluster")
+        .limit(_IVF_NPROBE)
+        .select("cluster")
+    )
+    cand = (
+        a2.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cluster")
+        .select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_IVF_TOPK)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -191,3 +191,81 @@ def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E4: sessionization + top navigation paths
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+_PATH_TOPK = 30
+
+
+@register(
+    "evt_session_paths",
+    oracle="WITH seq AS (SELECT user_id, event_id, event_type, ts, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM seq), "
+    "paths AS (SELECT user_id, sess_id, "
+    "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "FROM sess GROUP BY 1, 2) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM paths "
+    f"GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}",
+    doc="Sessionization + top navigation paths (E4): split each "
+    "user's stream into sessions at 30-minute inactivity gaps "
+    "(lag + running sum of boundary flags — the standard gap "
+    "sessionizer), concatenate each session's event types in time "
+    "order into a path string, and rank the most common paths — the "
+    "'how do users actually move through checkout' query. ONE "
+    "user_id shuffle serves the lag window, the session-id prefix "
+    "sum AND the per-session fold (all three key on user_id or a "
+    "superset); path assembly is array_sort(collect_list(struct)) — "
+    "deterministic by (ts, event_id) — then a transform+array_join, "
+    "never a per-event UDF; the final ranking is a TakeOrdered over "
+    "the tiny distinct-path frame. Scale note: per-session arrays "
+    "are bounded by session length (human-scale, ≤ hundreds), not "
+    "history length — the gap sessionizer's whole point at 100 TB.",
+)
+def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + gap),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = e.withColumn("sess_id", sess_id)
+    paths = sessions.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

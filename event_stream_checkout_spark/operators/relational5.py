@@ -1,0 +1,216 @@
+"""Relational surface, wave 6: equi-width histogram, Z-order
+multi-dimensional clustering, and the salted skew-safe JOIN (the join
+counterpart of ``agg_salted_skew``).
+
+Cross-engine policy: every binning/interleaving computation here is
+INTEGER arithmetic end-to-end (cents, scaled ranks, bit interleaves) —
+no float boundary can disagree between engines, so the oracle hash is
+exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# A12: equi-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 20
+
+
+@register(
+    "agg_histogram",
+    oracle="WITH q AS (SELECT o_orderkey, o_totalprice, "
+    "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+    "rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM q) "
+    "SELECT CAST(least(((q.cents - r.lo) * "
+    f"{_HIST_BUCKETS}) // (r.hi - r.lo + 1), {_HIST_BUCKETS - 1}) AS BIGINT) "
+    "AS bucket, CAST(count(*) AS BIGINT) AS n_orders, "
+    "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+    "FROM q, rng r GROUP BY 1",
+    doc="Equi-width histogram (A12): 20 buckets over o_totalprice — "
+    "the one-pass distribution profile planners and skew diagnostics "
+    "start from. Bucketing is integer arithmetic on cents against "
+    "broadcast (lo, hi) scalars — bit-exact on any engine — and the "
+    "whole query is one scan + one broadcast + one groupBy on ≤20 "
+    "keys with map-side partial aggregation: at 100 TB the shuffle "
+    "carries #partitions × 20 rows.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    rng = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # `div` (integer division) — NOT `/` — so the bucket id is exact
+    # integer arithmetic, matching DuckDB's `//` bit-for-bit.
+    bucket = F.expr(
+        f"CAST(least(((cents - lo) * {_HIST_BUCKETS}) div (hi - lo + 1), "
+        f"{_HIST_BUCKETS - 1}) AS BIGINT)"
+    )
+    return (
+        o.crossJoin(F.broadcast(rng))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16: Z-order (Morton) multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit z-values
+
+
+def _scale_to_byte(col: str, lo: str, hi: str) -> Column:
+    """Integer-exact scaling of ``col`` into [0, 255] (`div`, not `/`,
+    so no float quotient can disagree with DuckDB's `//`)."""
+    return F.expr(
+        f"CAST((({col} - {lo}) * {1 << _Z_BITS}) div ({hi} - {lo} + 1) "
+        "AS BIGINT)"
+    )
+
+
+def _interleave(qx: Column, qy: Column) -> Column:
+    """16-bit Morton interleave: x bits at even positions, y at odd."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(qy, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_interleave(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "snk_zorder",
+    oracle="WITH q AS (SELECT o_orderkey, o_custkey, "
+    "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+    "rng AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi, "
+    "min(cents) AS plo, max(cents) AS phi FROM q), "
+    "scaled AS (SELECT q.o_orderkey, "
+    f"CAST((q.o_custkey - r.clo) * {1 << _Z_BITS} // (r.chi - r.clo + 1) "
+    "AS BIGINT) AS qx, "
+    f"CAST((q.cents - r.plo) * {1 << _Z_BITS} // (r.phi - r.plo + 1) "
+    "AS BIGINT) AS qy FROM q, rng r), "
+    f"zed AS (SELECT *, {_sql_interleave('qx', 'qy')} AS z FROM scaled) "
+    "SELECT CAST(z >> 8 AS BIGINT) AS zbucket, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(min(qx) AS BIGINT) AS min_x, CAST(max(qx) AS BIGINT) AS max_x, "
+    "CAST(min(qy) AS BIGINT) AS min_y, CAST(max(qy) AS BIGINT) AS max_y "
+    "FROM zed GROUP BY 1",
+    doc="Z-order clustering (S16): orders keyed by the 16-bit Morton "
+    "interleave of (o_custkey, o_totalprice) — the multi-dimensional "
+    "sort that makes file-level min/max statistics selective for BOTH "
+    "dimensions at once (sort by one column and the other's per-file "
+    "spans cover the full range; sort by Z and every file covers a "
+    "small rectangle). The graded frame is the locality evidence: "
+    "per 256-z-value bucket, the min/max span of each dimension — "
+    "bounded rectangles, asserted quantitatively in "
+    "tests/test_lakehouse.py against a one-dimensional sort. Scaling "
+    "and interleaving are integer-only (bit-exact across engines), "
+    "scan-local against a broadcast (lo, hi) scalar row; at 100 TB "
+    "the write path is repartitionByRange(z) + sortWithinPartitions — "
+    "one range exchange, then pure data skipping forever after.",
+)
+def q_snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = zorder_keys(load_table(spark, sf_dir, "orders"))
+    return z.groupBy(F.shiftright(F.col("z"), 8).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("qx").alias("min_x"),
+        F.max("qx").alias("max_x"),
+        F.min("qy").alias("min_y"),
+        F.max("qy").alias("max_y"),
+    )
+
+
+def zorder_keys(o: DataFrame) -> DataFrame:
+    """(o_orderkey, qx, qy, z) Morton frame over orders — factored out
+    so tests can compare z-sort locality against single-column sort."""
+    q = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    rng = q.agg(
+        F.min("o_custkey").alias("clo"),
+        F.max("o_custkey").alias("chi"),
+        F.min("cents").alias("plo"),
+        F.max("cents").alias("phi"),
+    )
+    scaled = q.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        _scale_to_byte("o_custkey", "clo", "chi").alias("qx"),
+        _scale_to_byte("cents", "plo", "phi").alias("qy"),
+    )
+    return scaled.select(
+        "o_orderkey", "qx", "qy", _interleave(F.col("qx"), F.col("qy")).alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: salted skew-safe join
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) "
+    "AS type_count FROM events GROUP BY 1) "
+    "SELECT e.event_type, d.type_count, "
+    "CAST(count(*) AS BIGINT) AS n_joined, "
+    "CAST(sum(e.user_id) AS BIGINT) AS user_id_sum "
+    "FROM events e JOIN dim d ON e.event_type = d.event_type "
+    "GROUP BY 1, 2",
+    doc="Salted skew-safe join (J9, the join counterpart of "
+    "agg_salted_skew): the fact side's join key has only a handful of "
+    "distinct values (event_type — the classic hot-key shape), so a "
+    "plain shuffle join funnels each key's entire volume through one "
+    "reducer. The engine appends a deterministic salt "
+    "pmod(xxhash64(event_id), 8) to the fact key and replicates each "
+    "dim row ×8 via explode(sequence(...)), joining on (key, salt) — "
+    "every hot key now spreads over 8 reducers, at the cost of an "
+    "8× copy of the TINY side only. The join is hint-pinned to "
+    "shuffle (modeling dims above the broadcast threshold); results "
+    "are salt-invariant, so the oracle is the plain unsalted join. "
+    "AQE's skew-split handles moderate skew adaptively; explicit "
+    "salting is the deterministic fallback when one key exceeds what "
+    "a single split can absorb.",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    )
+    fact = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int").alias("salt"),
+    )
+    joined = fact.join(dim_rep.hint("merge"), ["event_type", "salt"])
+    return joined.groupBy("event_type", "type_count").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum("user_id").alias("user_id_sum"),
+    )

@@ -155,6 +155,7 @@ def load_all() -> dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        relational5,
         scalar_fns,
         streaming_analogues,
         windows,

@@ -1,0 +1,127 @@
+"""Wave-6 semantics: Z-order locality, gap sessionization, salted-join
+invariance, and IVF-with-learned-centroids recall.  Oracle parity pins
+cross-engine equality; these pin the claims the docstrings make.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from event_stream_checkout_spark.operators.clustering import (
+    _IVF_TOPK,
+    q_llm_similarity_ivf_kmeans,
+)
+from event_stream_checkout_spark.operators.llm import q_llm_similarity_topk
+from event_stream_checkout_spark.operators.relational5 import zorder_keys
+from event_stream_checkout_spark.operators.events_analytics import (
+    q_evt_session_paths,
+)
+from event_stream_checkout_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_zorder_skips_files_for_predicates_on_either_dim(spark):
+    """The point of Z-order: with 64 equal z-prefix buckets, each
+    bucket's min/max stats bound BOTH dimensions (≈32×32 rectangles),
+    so a range predicate on EITHER x or y skips most buckets.  A
+    single-dimension x-sort has sx≈4 per bucket (great for x
+    predicates) but sy≈256 — a y-only predicate must open every
+    bucket.  Count the buckets whose stats overlap a width-16 range in
+    each dimension under both layouts."""
+    z = zorder_keys(load_table(spark, SF_DIR, "orders")).cache()
+
+    def overlapping(bucket_col, dim, lo, hi):
+        stats = z.groupBy(bucket_col.alias("b")).agg(
+            F.min(dim).alias("mn"), F.max(dim).alias("mx")
+        )
+        return stats.filter(
+            (F.col("mn") <= hi) & (F.col("mx") >= lo)
+        ).count()
+
+    zb = F.shiftright(F.col("z"), 10)   # 64 z buckets
+    xb = F.shiftright(F.col("qx"), 2)   # 64 x-range buckets
+    # y-only predicate: x-sort opens (almost) everything, z skips.
+    z_y = overlapping(zb, "qy", 100, 115)
+    x_y = overlapping(xb, "qy", 100, 115)
+    # x-only predicate: x-sort is optimal, z still skips most buckets.
+    z_x = overlapping(zb, "qx", 100, 115)
+    x_x = overlapping(xb, "qx", 100, 115)
+    z.unpersist()
+    assert x_y >= 48, (x_y, "x-sort should be useless for y predicates")
+    assert z_y * 2 <= x_y, (z_y, x_y)
+    assert z_x <= 24 and x_x <= 8, (z_x, x_x)
+
+
+def test_session_paths_gap_splitting(spark):
+    """Gap sessionizer on a crafted stream: events 29 min apart chain
+    into one session; a 31-min gap opens a new one."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 7, "view", 1.0, "{}"),
+        (2, m(29), 7, "click", 1.0, "{}"),      # 29 min -> same session
+        (3, m(58), 7, "purchase", 1.0, "{}"),   # 29 min -> same session
+        (4, m(90), 7, "view", 1.0, "{}"),       # 32 min -> NEW session
+        (5, m(0), 8, "view", 1.0, "{}"),        # other user, own session
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        # reuse the real tables for the other names by pointing at the
+        # synthetic dir only for events: build paths directly
+        out = q_evt_session_paths.__wrapped__ if hasattr(
+            q_evt_session_paths, "__wrapped__"
+        ) else q_evt_session_paths
+        got = {
+            (r["path"], r["n_sessions"]) for r in out(spark, d).collect()
+        }
+    assert got == {("view>click>purchase", 1), ("view", 2)}, got
+
+
+def test_ivf_kmeans_recall_against_exact(spark):
+    """IVF with nprobe=2 of k=8 learned cells: the approximate top-10
+    overlaps the exact top-10 — on the blob-structured synthetic
+    embeddings the nearest cells hold the true neighbors, so recall@10
+    must be high (≥0.5 by construction, empirically 1.0 here)."""
+    approx = {
+        r["vec_id"] for r in q_llm_similarity_ivf_kmeans(spark, SF_DIR).collect()
+    }
+    exact = [
+        r["vec_id"] for r in q_llm_similarity_topk(spark, SF_DIR).collect()
+    ][:_IVF_TOPK]
+    recall = len(approx & set(exact)) / float(_IVF_TOPK)
+    assert recall >= 0.5, f"recall@10={recall}"
+
+
+def test_salted_join_salt_invariance(spark):
+    """The salted join's result is identical to the plain unsalted
+    join-aggregate (salting is a pure physical rewrite)."""
+    from event_stream_checkout_spark.operators.relational5 import (
+        q_join_skew_salted,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    plain = {
+        tuple(r)
+        for r in e.join(dim, "event_type")
+        .groupBy("event_type", "type_count")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.sum("user_id").alias("user_id_sum"),
+        )
+        .collect()
+    }
+    salted = {tuple(r) for r in q_join_skew_salted(spark, SF_DIR).collect()}
+    assert salted == plain
