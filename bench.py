@@ -75,6 +75,12 @@ EXTRA = [
     # find the PID-scoped tables and run only the day-3 probe, so the
     # reported min is the RECURRING per-ingest probe cost.
     "llm_incremental_index_refresh",
+    # wave 5/6 heavies: learned-centroid IVF (exploded-vector kmeans
+    # round + rerank), the stream-stream interval join, and BM25's
+    # double token explode.
+    "llm_similarity_ivf_kmeans",
+    "stream_interval_join",
+    "llm_bm25_topk",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

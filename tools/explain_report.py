@@ -55,6 +55,18 @@ QUERIES = [
     "llm_ngram_jaccard_lsh",   # r7: exact jaccard over LSH candidates
     "graph_pagerank",          # r7: fixed-point iterative graph rounds
     "snk_partitioned_compact", # r7: one-file-per-date compaction
+    "cdc_apply",               # r7w5: max_by argmax with partial agg
+    "agg_incremental_mv",      # r7w5: base ⊕ delta rollup merge
+    "join_bloom_prune",        # r7w5: bit-test prefilter under the exchange
+    "stream_interval_join",    # r7w5: bounded-range stream-stream join
+    "llm_bm25_topk",           # r7w5: broadcast idf/avgdl + TakeOrdered
+    "llm_weighted_sample",     # r7w5: scan-local A-ES keys + TakeOrdered
+    "llm_editdist_dedup",      # r7w5: banded blocked pair join
+    "agg_histogram",           # r7w6: integer binning vs broadcast range
+    "snk_zorder",              # r7w6: scan-local Morton interleave
+    "join_skew_salted",        # r7w6: salted fact ⋈ replicated dim
+    "evt_session_paths",       # r7w6: one-shuffle gap sessionizer
+    "llm_similarity_ivf_kmeans",  # r7w6: learned-cell probe + rerank
 ]
 
 
