@@ -242,3 +242,59 @@ def q_llm_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_TOPK)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X28: int8 scalar quantization of the embedding corpus
+# ---------------------------------------------------------------------------
+
+_QLEVELS = 255
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle=f"WITH {_SQL_EX}, "
+    "rng AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM ex GROUP BY 1), "
+    "coded AS (SELECT ex.vec_id, ex.dim, ex.val, r.lo, r.hi, "
+    f"least(floor((ex.val - r.lo) / (r.hi - r.lo) * {_QLEVELS}.0 + 0.5), "
+    f"{_QLEVELS}) AS code FROM ex JOIN rng r USING (dim)), "
+    "recon AS (SELECT vec_id, val - (lo + code / "
+    f"{_QLEVELS}.0 * (hi - lo)) AS err FROM coded) "
+    "SELECT vec_id, "
+    "(CAST(SUM(CAST(floor(err * err * 100000000.0 + 0.5) AS DECIMAL(25,0))) "
+    "AS DOUBLE) / 100000000.0) AS sq_err "
+    "FROM recon GROUP BY vec_id",
+    doc="int8 scalar quantization (X28): per-dimension (lo, hi) ranges "
+    "→ 8-bit codes → reconstruction squared error per vector — the "
+    "memory story for vector search at 100 TB (4 bytes → 1 byte per "
+    "dim cuts the IVF lists' footprint 4×; the error frame is how you "
+    "validate the recall cost before committing). Ranges are a "
+    "64-row broadcast; coding and reconstruction are scan-local float "
+    "expressions with IDENTICAL trees on both engines (+,-,*,/ are "
+    "IEEE-exact), and the per-vector error reduces through a 1e-8 "
+    "fixed-point sum (errors are ~1e-3, so the money-scale 1e-4 quant "
+    "would flush them — same policy, finer grain). One corpus-scan, "
+    "one uniform vec_id shuffle.",
+)
+def q_llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    rng = ex.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = F.least(
+        F.floor((F.col("val") - F.col("lo")) / span * float(_QLEVELS) + 0.5),
+        F.lit(float(_QLEVELS)),
+    )
+    err = F.col("val") - (F.col("lo") + code / float(_QLEVELS) * span)
+    fine_q = F.floor(err * err * 100000000.0 + 0.5).cast("decimal(25,0)")
+    return (
+        ex.join(F.broadcast(rng), "dim")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(fine_q).cast("double") / 100000000.0).alias("sq_err")
+        )
+    )

@@ -269,3 +269,61 @@ def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# E5: activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_STREAK_TOPK = 25
+
+
+@register(
+    "evt_activity_streaks",
+    oracle="WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+    "FROM events), "
+    "isl AS (SELECT user_id, d, d - CAST(row_number() OVER "
+    "(PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp FROM days), "
+    "streaks AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS "
+    "streak_days, min(d) AS start_day FROM isl GROUP BY 1, 2), "
+    "best AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY streak_days DESC, start_day) AS rn FROM streaks) "
+    "SELECT user_id, streak_days, start_day FROM best WHERE rn = 1 "
+    f"ORDER BY streak_days DESC, user_id LIMIT {_STREAK_TOPK}",
+    doc="Longest activity streak per user (E5, gaps-and-islands): "
+    "distinct active days per user, islands of consecutive dates via "
+    "the classic date-minus-row_number grouping key, longest island "
+    "per user, global top-25. Everything keys on user_id — the "
+    "distinct-day collapse (map-side partial), the island window and "
+    "the per-user argmax share ONE uniform shuffle — and the final "
+    "ranking is a TakeOrdered over one row per user. The "
+    "gaps-and-islands trick matters at scale precisely because it "
+    "turns 'find consecutive runs' (a sequential scan per user) into "
+    "a stateless per-row expression + groupBy.",
+)
+def q_evt_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    isl = days.withColumn(
+        "grp", F.expr("date_sub(d, CAST(row_number() OVER "
+                      "(PARTITION BY user_id ORDER BY d) AS INT))")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("start_day"),
+    )
+    best = (
+        streaks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("streak_days").desc(), "start_day"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "start_day")
+    )
+    return best.orderBy(
+        F.col("streak_days").desc(), "user_id"
+    ).limit(_STREAK_TOPK)

@@ -272,3 +272,116 @@ def editdist_pairs(d: DataFrame) -> DataFrame:
             dist.cast("long").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X29: BPE-style phrase-merge training (iterative most-frequent-pair)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _sql_best(pairs: str, name: str) -> str:
+    return (
+        f"{name} AS (SELECT pair, cnt FROM {pairs} "
+        f"ORDER BY cnt DESC, pair LIMIT 1)"
+    )
+
+
+def _sql_bpe_oracle() -> str:
+    # docs0 .. docs3: text after 0..3 merges; bestN picked from docsN-1.
+    parts = ["docs AS (SELECT doc_id, text FROM documents)"]
+    sel = []
+    cur = "docs"
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"p{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT unnest(list_transform(generate_series(1, "
+            f"len(string_split(text, ' ')) - 1), "
+            f"i -> string_split(text, ' ')[i] || ' ' || "
+            f"string_split(text, ' ')[i + 1])) AS pair FROM {cur}) GROUP BY 1)"
+        )
+        parts.append(_sql_best(f"p{r}", f"b{r}"))
+        nxt = f"m{r}"
+        parts.append(
+            f"{nxt} AS (SELECT d.doc_id, trim(replace(' ' || d.text || ' ', "
+            f"' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '_') || ' ')) "
+            f"AS text FROM {cur} d CROSS JOIN b{r} b)"
+        )
+        sel.append(
+            f"SELECT {r} AS round, pair, cnt FROM b{r}"
+        )
+        cur = nxt
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+@register(
+    "llm_phrase_merges",
+    oracle=_sql_bpe_oracle(),
+    doc="BPE-style phrase-merge training (X29): the byte-pair-encoding "
+    "training loop lifted to token level — each round counts every "
+    "adjacent token pair across the corpus, merges the most frequent "
+    "pair into a single unit (deterministic count-then-lexicographic "
+    "tiebreak), rewrites the corpus, and repeats; 3 rounds are graded "
+    "as (round, pair, count) rows. This is how subword/phrase "
+    "vocabularies are actually learned (Sennrich BPE; word2vec "
+    "phrase detection), and the distributed shape matters: pair "
+    "extraction is a SCAN-LOCAL array zip (slice+transform over the "
+    "token array — no explode-join on position), counts collapse "
+    "map-side to the vocabulary of pairs, the winner is a 1-row "
+    "broadcast, and the rewrite is one scan-local string replace "
+    "(left-to-right non-overlapping in both engines — greedy BPE "
+    "semantics). Per round: one pair-count shuffle, zero corpus "
+    "shuffles. The corpus frame is localCheckpoint-pinned between "
+    "rounds so round N+1 rewrites N's output, not a recomputed "
+    "lineage.",
+)
+def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = []
+    cur = d
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.split("text", " ", -1)
+        n = F.size(toks)
+        pairs_arr = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            cur.select(F.explode(pairs_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .localCheckpoint()
+        )
+        out.append(best.select(F.lit(r).alias("round"), "pair", "cnt"))
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "doc_id",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
+                            F.lit(" "),
+                        ),
+                    )
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -125,3 +125,61 @@ def test_salted_join_salt_invariance(spark):
     }
     salted = {tuple(r) for r in q_join_skew_salted(spark, SF_DIR).collect()}
     assert salted == plain
+
+
+def test_phrase_merges_greedy_semantics(spark):
+    """BPE merge rounds on a crafted corpus: round 1 merges the most
+    frequent adjacent pair ('b c', 3×) with lexicographic tiebreak
+    against 'a b' (2×... crafted so counts differ), and round 2's
+    counts are computed over the REWRITTEN text (the merged unit
+    participates as one token)."""
+    import tempfile
+
+    from event_stream_checkout_spark.operators.llm_retrieval import (
+        q_llm_phrase_merges,
+    )
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "b c d e", "en", "s", 7),
+        (3, "x b c y", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r["round"], r["pair"], r["cnt"])
+            for r in q_llm_phrase_merges(spark, d).collect()
+        }
+    # round 1: 'b c' appears 3×, every other pair ≤2 — merged to b_c.
+    assert (1, "b c", 3) in got
+    # round 2 operates on rewritten text: 'b_c d' now appears 2×
+    # ('c d' no longer exists as a pair anywhere).
+    assert (2, "b_c d", 2) in got
+    assert not any(p == "c d" for _, p, _ in got)
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 reconstruction error per vector is bounded by the
+    per-dim step size: sq_err ≤ Σ_dims (span/255/2)² (+ fixed-point
+    rounding slack)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_embedding_quantize,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v"))
+    bound = (
+        ex.groupBy("dim")
+        .agg(((F.max("v") - F.min("v")) / 255.0 / 2.0).alias("half_step"))
+        .agg(F.sum(F.col("half_step") * F.col("half_step")))
+        .collect()[0][0]
+    )
+    errs = [r["sq_err"] for r in q_llm_embedding_quantize(spark, SF_DIR).collect()]
+    assert max(errs) <= bound + 1e-6, (max(errs), bound)
+    assert min(errs) >= 0.0
