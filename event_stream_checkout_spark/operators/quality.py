@@ -1,0 +1,135 @@
+"""Data-quality constraint checking (V1) and time-series anomaly
+detection (E6) — the validation layer a production lake runs on every
+ingest, generalizing the reference's single-payload validator
+(``/root/reference/src/ingest_order/app.py:19-27``) to table-level
+invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dstddev, sql_dstddev
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "dq_constraints",
+    oracle="SELECT 'orders_pk_unique' AS constraint_name, "
+    "CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) "
+    "AS BIGINT) AS n_violations "
+    "UNION ALL SELECT 'orders_custkey_not_null', "
+    "CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) "
+    "UNION ALL SELECT 'orders_price_positive', "
+    "CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT) "
+    "UNION ALL SELECT 'orders_status_domain', "
+    "CAST((SELECT count(*) FROM orders WHERE o_orderstatus NOT IN "
+    "('O', 'F', 'P')) AS BIGINT) "
+    "UNION ALL SELECT 'lineitem_orders_fk', "
+    "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) "
+    "UNION ALL SELECT 'lineitem_qty_range', "
+    "CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR "
+    "l_quantity > 50) AS BIGINT)",
+    doc="Table-level data-quality constraints (V1): primary-key "
+    "uniqueness, NOT NULL, value-range, domain-membership, and "
+    "referential integrity evaluated in one pass each, reported as "
+    "(constraint, violation count) — the Delta-constraints/"
+    "expectations layer every ingest gate needs, generalizing the "
+    "reference's per-payload validate_input to set-level invariants. "
+    "Scale shape: the four orders rules fuse into ONE scan (a single "
+    "aggregate computes all four violation counts; the uniqueness "
+    "rule is count-minus-distinct — no self-join), the FK rule is a "
+    "left-anti count (hash semi-join, AQE-owned strategy), and each "
+    "count crosses the network as one row. No rule materializes "
+    "violating rows — counts gate, a quarantine sink (snk_dlq "
+    "pattern) captures.",
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # All four orders-side rules in ONE aggregate pass.
+    o_agg = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "orders_pk_unique"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "orders_custkey_not_null"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "orders_price_positive"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("orders_status_domain"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orders_fk"))
+    )
+    qty = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("lineitem_qty_range")
+    )
+    wide = o_agg.crossJoin(orphans).crossJoin(qty)
+    return wide.unpivot(
+        [],
+        [
+            "orders_pk_unique",
+            "orders_custkey_not_null",
+            "orders_price_positive",
+            "orders_status_domain",
+            "lineitem_orders_fk",
+            "lineitem_qty_range",
+        ],
+        "constraint_name",
+        "n_violations",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6: per-series z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 2.0
+
+
+@register(
+    "evt_anomaly",
+    oracle="WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "stats AS (SELECT event_type, "
+    "(CAST(SUM(CAST(floor(n * 10000.0 + 0.5) AS DECIMAL(25,0))) AS DOUBLE) "
+    "/ 10000.0 / COUNT(n)) AS mu, "
+    f"{sql_dstddev('n')} AS sigma FROM daily GROUP BY 1) "
+    "SELECT d.event_type, d.d AS day, d.n, "
+    "round((d.n - s.mu) / s.sigma, 6) AS z "
+    "FROM daily d JOIN stats s ON d.event_type = s.event_type "
+    f"WHERE abs((d.n - s.mu) / s.sigma) > {_Z_THRESHOLD}",
+    doc="Per-series z-score anomaly detection (E6): daily event counts "
+    "per type, flagged where |count − μ| > 2σ of that type's own "
+    "series — the volume-anomaly monitor every event pipeline runs "
+    "(ingestion drops, bot spikes). Two aggregation levels — "
+    "(type, day) then type — both map-side-collapsing; the per-type "
+    "stats frame is #types rows, broadcast back to the daily frame. "
+    "μ and σ go through the engine's stable-sum policy so the z "
+    "scores hash-match across engines; z is rounded at 1e-6 for the "
+    "output (σ's sqrt is IEEE-exact, the division identical trees).",
+)
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        davg("n").alias("mu"), dstddev("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > _Z_THRESHOLD)
+        .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+    )

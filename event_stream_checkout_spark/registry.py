@@ -151,6 +151,7 @@ def load_all() -> dict[str, Query]:
         llm_prep,
         llm_retrieval,
         multimodal,
+        quality,
         relational,
         relational2,
         relational3,

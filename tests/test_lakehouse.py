@@ -152,3 +152,48 @@ def test_weighted_sample_matches_reference_aes(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_dq_constraints_detect_injected_violations(spark):
+    """Each constraint fires on a crafted corpus: duplicate PK, null
+    FK column, non-positive price, unknown status, orphaned lineitem,
+    out-of-range quantity — and the counts are exact."""
+    import tempfile
+
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_constraints,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0),
+            (1, 11, "F", 200.0),      # duplicate o_orderkey
+            (2, None, "P", 300.0),    # null custkey
+            (3, 12, "Z", -5.0),       # bad status AND non-positive price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (99, 1, 5.0),    # orphan (no order 99)
+            (2, 1, 70.0),    # quantity out of range
+        ],
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(f"{d}/orders.parquet")
+        lineitem.write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r["constraint_name"]: r["n_violations"]
+            for r in q_dq_constraints(spark, d).collect()
+        }
+    assert got == {
+        "orders_pk_unique": 1,
+        "orders_custkey_not_null": 1,
+        "orders_price_positive": 1,
+        "orders_status_domain": 1,
+        "lineitem_orders_fk": 1,
+        "lineitem_qty_range": 1,
+    }, got
