@@ -327,3 +327,51 @@ def q_evt_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(
         F.col("streak_days").desc(), "user_id"
     ).limit(_STREAK_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# E7: first-order Markov transition matrix of event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_markov_transitions",
+    oracle="WITH seq AS (SELECT user_id, event_type AS cur_type, "
+    "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS next_type FROM events), "
+    "pairs AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2), "
+    "totals AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS total "
+    "FROM pairs GROUP BY 1) "
+    "SELECT p.cur_type, p.next_type, p.n, "
+    "round(CAST(p.n AS DOUBLE) / t.total, 6) AS p "
+    "FROM pairs p JOIN totals t ON p.cur_type = t.cur_type",
+    doc="First-order Markov transition matrix (E7): for each user's "
+    "time-ordered stream, count (current → next) event-type "
+    "transitions and normalize per current state — the user-journey "
+    "model behind next-action prediction and funnel leak analysis. "
+    "One user_id window pass (lead carries one column), pair counts "
+    "collapse map-side to ≤ #types² rows, and the normalizing totals "
+    "join is #types rows broadcast. Probabilities are a single "
+    "BIGINT/BIGINT double division — identical IEEE trees, rounded "
+    "1e-6 for the hash.",
+)
+def q_evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    )

@@ -50,7 +50,13 @@ from ..tables import load_table
     "disappears, exactly MERGE ... WHEN MATCHED AND op='D' THEN DELETE.",
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return cdc_materialize(load_table(spark, sf_dir, "events"))
+
+
+def cdc_materialize(e: DataFrame) -> DataFrame:
+    """Latest-surviving-version materialization of an events-shaped
+    changelog frame (factored out so ``snapshot_diff`` can materialize
+    two time-bounded snapshots with the same argmax plan)."""
     payload = F.struct(
         F.col("event_type").alias("event_type"),
         F.col("value").alias("value"),
@@ -279,4 +285,80 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             epoch_seconds(F.col("purchase_ts")) - epoch_seconds(F.col("view_ts"))
         ).alias("lag_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (time-travel compare)
+# ---------------------------------------------------------------------------
+
+_SNAP_T1 = "TIMESTAMP '2024-01-20 00:00:00'"
+
+_SQL_CDC_SNAP = (
+    "(SELECT user_id, n_versions, last_value FROM ("
+    "SELECT user_id, event_type, value AS last_value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)"
+    " AS rn, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions"
+    " FROM events WHERE {pred}) WHERE rn = 1 AND event_type <> 'error')"
+)
+
+
+@register(
+    "snapshot_diff",
+    oracle="WITH s1 AS "
+    + _SQL_CDC_SNAP.format(pred=f"ts < {_SNAP_T1}")
+    + ", s2 AS "
+    + _SQL_CDC_SNAP.format(pred="TRUE")
+    + " SELECT COALESCE(s1.user_id, s2.user_id) AS user_id, "
+    "CASE WHEN s1.user_id IS NULL THEN 'added' "
+    "WHEN s2.user_id IS NULL THEN 'removed' ELSE 'updated' END AS change, "
+    "s1.last_value AS old_value, s2.last_value AS new_value "
+    "FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id "
+    "WHERE s1.user_id IS NULL OR s2.user_id IS NULL "
+    "OR s1.last_value <> s2.last_value OR s1.n_versions <> s2.n_versions",
+    doc="Snapshot diff / time-travel compare (S15): materialize the "
+    "CDC state as of T1 and as of now with the same argmax plan "
+    "(cdc_materialize over a time-bounded scan — at 100 TB the T1 "
+    "snapshot partition-prunes to pre-cutoff files), then FULL OUTER "
+    "join the two #keys-sized states to emit added / removed / "
+    "updated keys with old and new values. This is how you audit "
+    "what a day of ingest actually changed without storing per-key "
+    "history — the lakehouse answer to the reference's 'check the "
+    "orders table after the run' verification loop "
+    "(src/order_processor/check_db.py:33-43). 'updated' compares "
+    "value AND version count, so same-value rewrites (an upsert that "
+    "touched the key) still surface. Both snapshots shuffle once on "
+    "user_id and the diff join reuses that partitioning.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s1 = cdc_materialize(e.filter(F.expr(f"ts < {_SNAP_T1}"))).select(
+        F.col("user_id").alias("u1"),
+        F.col("n_versions").alias("v1"),
+        F.col("last_value").alias("old_value"),
+    )
+    s2 = cdc_materialize(e).select(
+        F.col("user_id").alias("u2"),
+        F.col("n_versions").alias("v2"),
+        F.col("last_value").alias("new_value"),
+    )
+    j = s1.join(s2, s1.u1 == s2.u2, "full_outer")
+    change = (
+        F.when(F.col("u1").isNull(), F.lit("added"))
+        .when(F.col("u2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.filter(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+            | (F.col("v1") != F.col("v2"))
+        )
+        .select(
+            F.coalesce("u1", "u2").alias("user_id"),
+            change.alias("change"),
+            "old_value",
+            "new_value",
+        )
     )

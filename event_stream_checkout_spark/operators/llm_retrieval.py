@@ -385,3 +385,58 @@ def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# X30: deterministic train/val/test split with per-split stats
+# ---------------------------------------------------------------------------
+
+# md5-prefix thresholds: [0, cccc) train ≈ 80%, [cccc, e666) val ≈ 10%,
+# [e666, ffff] test ≈ 10% of the 16-bit prefix space.
+_SPLIT_TRAIN_HI = "cccc"
+_SPLIT_VAL_HI = "e666"
+
+
+@register(
+    "llm_dataset_split",
+    oracle="WITH tagged AS (SELECT doc_id, "
+    "len(string_split(text, ' ')) AS n_tokens, "
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    f"'{_SPLIT_TRAIN_HI}' THEN 'train' "
+    "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    f"'{_SPLIT_VAL_HI}' THEN 'val' ELSE 'test' END AS split "
+    "FROM documents) "
+    "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+    "FROM tagged GROUP BY 1",
+    doc="Deterministic train/val/test split (X30): each doc lands in "
+    "train (~80%) / val (~10%) / test (~10%) by its md5(doc_id) "
+    "prefix against fixed thresholds — reproducible across runs, "
+    "engines, partitionings, and RE-INGESTS (a doc keeps its split "
+    "forever, so later pipeline runs can never leak val/test docs "
+    "into train: the property rand() splits lack and the reason "
+    "hash-splitting is the production standard). Graded as per-split "
+    "doc and token totals; the tag is one scan-local expression, the "
+    "rollup 3 groups with map-side partials. Composes with "
+    "llm_contamination (decontaminate train against the held-out "
+    "splits) and llm_token_budget_sample.",
+)
+def q_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(prefix < _SPLIT_TRAIN_HI, "train")
+        .when(prefix < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
