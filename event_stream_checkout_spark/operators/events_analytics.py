@@ -375,3 +375,63 @@ def q_evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E8: RFM (recency / frequency / monetary) user segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_BUCKETS = 4
+
+
+@register(
+    "evt_rfm_segments",
+    oracle="WITH base AS (SELECT user_id, max(ts) AS last_ts, "
+    "CAST(count(*) AS BIGINT) AS frequency, "
+    "(CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(25,0))) "
+    "AS DOUBLE) / 10000.0) AS monetary FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "scored AS (SELECT user_id, "
+    f"ntile({_RFM_BUCKETS}) OVER (ORDER BY last_ts DESC, user_id) AS r, "
+    f"ntile({_RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id) AS f, "
+    f"ntile({_RFM_BUCKETS}) OVER (ORDER BY monetary DESC, user_id) AS m "
+    "FROM base) "
+    "SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users FROM scored "
+    "GROUP BY 1, 2, 3",
+    doc="RFM segmentation (E8): purchasing users quartiled on "
+    "recency (last purchase), frequency (purchase count), and "
+    "monetary (stable-sum spend), reported as (r, f, m) cell sizes — "
+    "the classic customer-value grid. Determinism: each ntile orders "
+    "by (measure, user_id) so ties split identically on any engine. "
+    "Scale note: ntile over a global ORDER is a single-partition "
+    "window — fine HERE because the frame is one row per PURCHASING "
+    "user (already collapsed from the event stream by a uniform "
+    "user_id aggregate), i.e. dimension-sized, not event-sized; at "
+    "100 TB with billions of users the quartile boundaries would come "
+    "from the sampled-quantile machinery of sort_orders_sampled "
+    "instead (same output contract, documented upgrade path).",
+)
+def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    def tile(order_cols):
+        return F.ntile(_RFM_BUCKETS).over(
+            Window.orderBy(*order_cols)
+        )
+    scored = base.select(
+        "user_id",
+        tile([F.col("last_ts").desc(), F.col("user_id")]).alias("r"),
+        tile([F.col("frequency").desc(), F.col("user_id")]).alias("f"),
+        tile([F.col("monetary").desc(), F.col("user_id")]).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -440,3 +440,72 @@ def q_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X31: unigram cross-entropy (perplexity-proxy) quality filter
+# ---------------------------------------------------------------------------
+
+_PPL_TOPK = 40
+
+
+@register(
+    "llm_perplexity_proxy",
+    oracle="WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok FROM documents), "
+    "vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+    "GROUP BY 1), "
+    "total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab), "
+    "lp AS (SELECT v.tok, floor(ln(CAST(v.cnt AS DOUBLE) / t.n) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS logp FROM vocab v, total t), "
+    "doc AS (SELECT tk.doc_id, "
+    "CAST(SUM(CAST(floor(-lp.logp * 10000.0 + 0.5) AS DECIMAL(25,0))) "
+    "AS DOUBLE) / 10000.0 AS nll, CAST(count(*) AS BIGINT) AS n_toks "
+    "FROM toks tk JOIN lp ON tk.tok = lp.tok GROUP BY 1) "
+    "SELECT doc_id, n_toks, round(nll / n_toks, 6) AS xent "
+    "FROM doc ORDER BY nll / n_toks DESC, doc_id "
+    f"LIMIT {_PPL_TOPK}",
+    doc="Unigram cross-entropy / perplexity-proxy filter (X31): score "
+    "every document by its mean negative log-probability under the "
+    "corpus's own unigram language model and surface the 40 most "
+    "surprising docs — perplexity filtering, THE quality signal real "
+    "LLM data pipelines rank on (docs a corpus LM finds improbable "
+    "are boilerplate, noise, or wrong-language). Distributed shape: "
+    "the unigram LM is (token, count) — map-side-collapsed, "
+    "vocabulary-sized, JOINED (not broadcast — a 100 TB vocab is a "
+    "zipf head plus a long tail; the (doc,token) explode pre-collapses "
+    "nothing but joins on the uniform token hash); per-token ln is "
+    "quantized 1e-6 (module docstring), per-doc sums fixed-point, and "
+    "the ranking is TakeOrdered partition heaps. The full-LM upgrade "
+    "path swaps the unigram joins for an n-gram table — same plan.",
+)
+def q_llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("logp"),
+    )
+    nll_q = F.floor(-F.col("logp") * 10000.0 + 0.5).cast("decimal(25,0)")
+    doc = (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(nll_q).cast("double") / 10000.0).alias("nll"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    xent = F.col("nll") / F.col("n_toks")
+    return (
+        doc.orderBy(xent.desc(), "doc_id")
+        .limit(_PPL_TOPK)
+        .select("doc_id", "n_toks", F.round(xent, 6).alias("xent"))
+    )

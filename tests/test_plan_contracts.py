@@ -356,3 +356,51 @@ def test_bloom_prune_prefilter_below_probe_exchange(spark):
     first_sr = plan.index("shiftright")
     smj = plan.index("SortMergeJoin")
     assert first_sr > smj, "bit-test printed above the exact join?"
+
+
+def test_cdc_apply_partial_argmax_before_exchange(spark):
+    """S14: the max_by argmax partially aggregates map-side — the plan
+    shows partial_max_by/partial_count below ONE hash exchange on
+    user_id, and no Window node (the row_number formulation would
+    shuffle every changelog version)."""
+    plan = executed_plan(spark, "cdc_apply")
+    assert "partial_max_by" in plan or "partial_count" in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 exchange, saw {n_hash}"
+    assert "Window" not in plan
+
+
+def test_session_paths_single_user_shuffle(spark):
+    """E4: lag window, session-id prefix sum, and the per-session fold
+    all key on user_id (or a superset) — exactly ONE user_id exchange
+    feeds them; the only other exchange serves the tiny distinct-path
+    ranking."""
+    plan = executed_plan(spark, "evt_session_paths")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, saw {n_hash}"
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_single_small_aggregate(spark):
+    """A12: one scan, broadcast range scalars, and a ≤20-key groupBy
+    with map-side partials — a single data exchange."""
+    plan_full = executed_plan(spark, "agg_histogram", full=True)
+    assert (
+        "BroadcastExchange" in plan_full
+        or "BroadcastNestedLoopJoin" in plan_full
+    )
+    # Final-plan section only (full=True doubles node counts with the
+    # pre-AQE copy): the bucket groupBy is the single data exchange.
+    plan = executed_plan(spark, "agg_histogram")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 1, f"expected <=1 hash exchange, saw {n_hash}"
+
+
+def test_perplexity_no_corpus_sort(spark):
+    """X31: the surprising-docs ranking is TakeOrdered partition heaps
+    — no global sort anywhere.  (The one SinglePartition exchange in
+    the plan is the 1-row vocabulary-total scalar, not a data stage.)"""
+    plan = executed_plan(spark, "llm_perplexity_proxy")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
