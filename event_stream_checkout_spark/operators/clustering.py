@@ -298,3 +298,97 @@ def q_llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(fine_q).cast("double") / 100000000.0).alias("sq_err")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X32: semantic dedup within learned cells (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.4  # same bar as the sign-bucket near-dup variant
+
+_SQL_PAIR_COS = (
+    "scoredp AS (SELECT p.vec_a, p.vec_b, p.cluster, "
+    "  list_reduce(list_transform(generate_series(1, len(ea.embedding)), "
+    "    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), "
+    "    (x, y) -> x + y) AS dot, "
+    "  sqrt(list_reduce(list_transform(ea.embedding, "
+    "    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS na, "
+    "  sqrt(list_reduce(list_transform(eb.embedding, "
+    "    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nb "
+    "  FROM prs p JOIN embeddings ea ON p.vec_a = ea.vec_id "
+    "  JOIN embeddings eb ON p.vec_b = eb.vec_id)"
+)
+
+
+@register(
+    "llm_semantic_dedup",
+    oracle=f"WITH {_SQL_EX}, "
+    f"seeds AS (SELECT vec_id AS cluster, dim, val AS cval FROM ex "
+    f"WHERE vec_id < {_KM_K}), "
+    + _sql_assign("seeds", "d1", "a1")
+    + ", "
+    "c1 AS (SELECT a1.cluster, ex.dim, "
+    f"{sql_davg('ex.val')} AS cval "
+    "FROM ex JOIN a1 ON ex.vec_id = a1.vec_id GROUP BY 1, 2), "
+    + _sql_assign("c1", "d2", "a2")
+    + ", "
+    "prs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster "
+    "  FROM a2 x JOIN a2 y ON x.cluster = y.cluster "
+    "  AND x.vec_id < y.vec_id), "
+    + _SQL_PAIR_COS
+    + " SELECT vec_a, vec_b, cluster, round(dot / (na * nb), 6) AS cosine "
+    f"FROM scoredp WHERE dot / (na * nb) >= {_SEM_THRESHOLD}",
+    doc="Semantic dedup within learned cells (X32, the SemDeDup "
+    "shape): near-duplicate embedding pairs found by exact cosine "
+    "INSIDE each k-means cell only — the learned-partition upgrade "
+    "of llm_embedding_near_dup's static sign-buckets, and exactly "
+    "how production semantic dedup bounds its pair space (vectors in "
+    "different cells are far apart by construction, so the O(n²) "
+    "pair join becomes Σ cell² with cells that TRACK the data "
+    "distribution instead of hashing blindly). Same 0.4 cosine bar "
+    "as the sign-bucket variant, so the two candidate generators are "
+    "directly comparable. The pair join keys on the cell id (uniform "
+    "after Lloyd balancing); per-pair cosine is the proven IEEE "
+    "left-fold. At 100 TB, cells are the vector store's partitions — "
+    "the join is partition-local.",
+)
+def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    _, a2 = kmeans_refined(e, _KM_K)
+    asg = a2.select("vec_id", "cluster")
+    ea = asg.join(e, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "cluster",
+        F.col("embedding").alias("emb_a"),
+    )
+    eb = asg.join(e, "vec_id").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    prs = ea.join(
+        eb,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        prs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _SEM_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            "cluster",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

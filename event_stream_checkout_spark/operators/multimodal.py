@@ -23,6 +23,7 @@ DuckDB on the same derivation.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -301,3 +302,72 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "content"
     )
     return m.mapInPandas(_sample_frame_batches, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# X5d: audio windowed-RMS energy over mapInPandas
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 256  # fake PCM samples (bytes) per analysis window
+
+
+def _audio_window_batches(batches):
+    """mapInPandas kernel: fake-PCM bytes → per-window RMS energy.
+
+    The fake decode treats each payload byte as one unsigned 8-bit
+    sample (real audio swaps in a proper codec without touching the
+    plan).  RMS per window = sqrt(mean(sample²)) — integer sums, one
+    exact double division, one correctly-rounded sqrt, so the oracle
+    reproduces it bit-for-bit from the source characters."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            samples = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+            for w in range(0, len(samples), AUDIO_WINDOW):
+                chunk = samples[w : w + AUDIO_WINDOW]
+                rms = math.sqrt(
+                    float(int((chunk * chunk).sum())) / float(len(chunk))
+                )
+                rows.append((media_id, w // AUDIO_WINDOW, len(chunk), rms))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "window_idx", "n_samples", "rms"]
+        )
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, window_idx long, n_samples long, rms double"
+)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"WITH m AS (SELECT doc_id AS media_id, text FROM documents "
+    "WHERE doc_id % 3 = 1), "
+    "s AS (SELECT media_id, i - 1 AS pos, "
+    "  ord(substring(text, i, 1)) AS v "
+    "  FROM m, UNNEST(generate_series(1, len(text))) AS t(i)), "
+    f"w AS (SELECT media_id, pos // {AUDIO_WINDOW} AS window_idx, "
+    "  CAST(count(*) AS BIGINT) AS n_samples, "
+    "  CAST(sum(v * v) AS BIGINT) AS ss FROM s GROUP BY 1, 2) "
+    "SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx, "
+    "n_samples, sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms FROM w",
+    doc="Audio windowed-RMS energy over mapInPandas (X5d/U1): each "
+    "'audio' item's fake-PCM payload (1 byte = 1 unsigned sample; a "
+    "real codec swaps in behind the same kernel signature) is cut "
+    f"into {AUDIO_WINDOW}-sample windows and scored sqrt(mean(s²)) — "
+    "the silence-detection / loudness-normalization primitive, and "
+    "the 1-row→N-windows Arrow fan-out shape for audio. Windows stay "
+    "partition-local (no shuffle); numerically the kernel is integer "
+    "sums + one exact division + one correctly-rounded sqrt, which "
+    "is why the DuckDB oracle reproduces the doubles bit-for-bit "
+    "from the source characters (ASCII corpus: byte value = char "
+    "code).",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_df(spark, sf_dir).filter(F.col("meta.kind") == "audio").select(
+        "media_id", "content"
+    )
+    return m.mapInPandas(_audio_window_batches, _AUDIO_SCHEMA)

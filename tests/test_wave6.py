@@ -183,3 +183,42 @@ def test_embedding_quantize_error_bound(spark):
     errs = [r["sq_err"] for r in q_llm_embedding_quantize(spark, SF_DIR).collect()]
     assert max(errs) <= bound + 1e-6, (max(errs), bound)
     assert min(errs) >= 0.0
+
+
+def test_semantic_dedup_within_cells_and_verified(spark):
+    """Every emitted pair shares a k-means cell and its cosine clears
+    the bar when recomputed independently; and the learned-cell
+    generator finds every sign-bucket near-dup pair whose two vectors
+    landed in the same cell (the generators agree on their candidate
+    intersection)."""
+    import numpy as np
+
+    from event_stream_checkout_spark.operators.clustering import (
+        _KM_K,
+        _SEM_THRESHOLD,
+        kmeans_refined,
+        q_llm_semantic_dedup,
+    )
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        q_llm_embedding_near_dup,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    _, a2 = kmeans_refined(e, _KM_K)
+    cell = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+
+    got = q_llm_semantic_dedup(spark, SF_DIR).collect()
+    assert len(got) > 0
+    for r in got:
+        assert cell[r["vec_a"]] == cell[r["vec_b"]] == r["cluster"]
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= _SEM_THRESHOLD - 1e-9
+
+    sem_pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    for r in q_llm_embedding_near_dup(spark, SF_DIR).collect():
+        va, vb = sorted((r["vec_a"], r["vec_b"]))
+        if cell.get(va) == cell.get(vb):
+            assert (va, vb) in sem_pairs, (va, vb)
