@@ -67,6 +67,13 @@ QUERIES = [
     "join_skew_salted",        # r7w6: salted fact ⋈ replicated dim
     "evt_session_paths",       # r7w6: one-shuffle gap sessionizer
     "llm_similarity_ivf_kmeans",  # r7w6: learned-cell probe + rerank
+    "llm_phrase_merges",       # r7w7: scan-local pair zip + broadcast argmax
+    "llm_perplexity_proxy",    # r7w10: joined unigram LM + TakeOrdered
+    "llm_semantic_dedup",      # r7w11: cell-local pair join
+    "snapshot_diff",           # r7w9: two pruned argmax folds + outer diff
+    "dq_constraints",          # r7w8: fused constraint aggregate
+    "evt_markov_transitions",  # r7w9: one lead-window pass
+    "multimodal_audio_windows",  # r7w11: Arrow fan-out, no shuffle
 ]
 
 
