@@ -107,11 +107,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
     # r7: engine+oracle changed on previously green keys — a stale
-    # green row must not shield them from re-grading.  (The four keys
-    # NEW this round — llm_incremental_index_refresh,
-    # llm_domain_mix_weighted, sort_orders_sampled, snk_bucketed_reuse
-    # — are not in DRIVER_VERIFIED and therefore lead the window
-    # automatically.)
+    # green row must not shield them from re-grading.  (The 43 keys
+    # NEW this round are not in DRIVER_VERIFIED and lead the window
+    # automatically; with these 6 re-grades the 50-key window is
+    # 49/50 full — one spare slot, so later additions must either
+    # stay under that or consciously bump a re-grade.)
     "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
     "llm_incremental_dedup_indexed",  # shared probe helpers + index tag fingerprint
     "sort_orders",            # second pass factored into rank_from_buckets

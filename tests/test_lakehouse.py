@@ -197,3 +197,48 @@ def test_dq_constraints_detect_injected_violations(spark):
         "lineitem_orders_fk": 1,
         "lineitem_qty_range": 1,
     }, got
+
+
+def test_bm25_matches_reference_implementation(spark):
+    """The engine's BM25 top-k equals an independent pure-python BM25
+    over the same corpus with the same quantized-idf convention."""
+    from event_stream_checkout_spark.operators.llm_retrieval import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        q_llm_bm25_topk,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    n_docs = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    scores = {}
+    for term in _BM25_TERMS:
+        df = float(sum(1 for t in docs.values() if term in t))
+        idf = math.floor(
+            math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5
+        ) / 1e6
+        for doc_id, toks in docs.items():
+            tf = float(toks.count(term))
+            if tf == 0:
+                continue
+            s = (
+                idf
+                * (tf * (_BM25_K1 + 1.0))
+                / (tf + _BM25_K1 * (1.0 - _BM25_B + (_BM25_B * len(toks)) / avgdl))
+            )
+            # engine reduces per-doc term scores through dsum (1e-4
+            # fixed point)
+            scores[doc_id] = scores.get(doc_id, 0) + math.floor(s * 1e4 + 0.5)
+    want = [
+        doc
+        for doc, _ in sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:_BM25_TOPK]
+    ]
+    got = [r["doc_id"] for r in q_llm_bm25_topk(spark, SF_DIR).collect()]
+    assert got == want
