@@ -13,18 +13,20 @@ and summed as DECIMAL(25,0) — order-independent — so assignments,
 centroids (davg) and inertia are bit-identical on any engine and any
 partitioning, and the whole iteration is oracle-hash-checkable.
 
-Scale shape: the exploded (vec, dim, val) frame is pinned once and
-reused by all rounds; centroids are k·d rows — BROADCAST to the
-distance join (the corpus never shuffles for assignment; the only
-corpus-sized exchanges are the per-vector argmin window and the
-centroid-update aggregate, both keyed on uniform ids).  At 100 TB the
-same plan holds: assignment is map-side against broadcast centroids,
-and each round's cost is O(n·d·k) flat map work + two uniform shuffles.
+Scale shape (r7 array-fold rewrite): assignment cross-joins each
+corpus ROW with the ≤k-row broadcast centroid-ARRAY frame and folds
+the d per-dim terms inside one codegen expression — n·k rows total,
+never an n·d·k exploded join; the argmin is a map-side-partial
+min-of-struct, and only the centroid UPDATE uses the exploded form
+(its (cluster, dim) keys collapse map-side to k·d rows).  At 100 TB:
+assignment is scan-local against broadcast centroids, and each
+round's cost is O(n·d·k) in-expression work + two uniform shuffles
+whose payloads are k·d and n·k slim rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SCALE, davg, quant, sql_davg, sql_quant
@@ -74,9 +76,9 @@ def _sql_assign(cent: str, dname: str, aname: str) -> str:
     "per-cluster membership and exact fixed-point inertia. Distances "
     "sum DECIMAL-quantized per-dim terms (order-independent ⇒ "
     "engine-exact argmin; ties broken by cluster id); centroids are "
-    "broadcast k·d-row frames, so the corpus never shuffles for "
-    "assignment — the exploded vector frame is pinned once and feeds "
-    "every round. This is the refresh loop for the IVF coarse "
+    "broadcast ≤k centroid-array rows folded against each corpus row "
+    "in-expression, so the corpus never shuffles (or explodes) for "
+    "assignment. This is the refresh loop for the IVF coarse "
     "quantizer (llm_similarity_ivf); more rounds = the same CTE/loop "
     "body repeated.",
 )
@@ -90,23 +92,58 @@ def q_llm_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _distances(ex: DataFrame, cent: DataFrame) -> DataFrame:
-    """Full (vec_id, cluster, dq) fixed-point squared-distance frame
-    against broadcast centroids."""
-    diff = F.col("val") - F.col("cval")
+def _distances(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Full (vec_id, cluster, dq) fixed-point squared-distance frame:
+    the corpus row (vec_id, embedding) cross-joins the ≤k-row
+    broadcast centroid-ARRAY frame (cluster, carr) and folds the
+    per-dim quantized terms inside one expression.
+
+    Plan note (r7 optimization): the original formulation exploded the
+    corpus to (vec, dim, val) and joined centroids on `dim`, making an
+    n·d·k intermediate (20M rows at sf0.1) through a real join.  The
+    array fold keeps the work scan-local at n·k rows with the d loop
+    inside codegen.  Numerically IDENTICAL: each per-dim term is
+    quant()-floored to an exact integer before summation, and integer
+    addition is order-independent — so dq, every argmin, and the
+    graded inertia are bit-for-bit unchanged (the long accumulator is
+    exact: 64 dims × |term| ≤ ~1e6 units ≪ 2^63)."""
+    term = lambda v, c: quant((v.cast("double") - c) * (v.cast("double") - c)).cast(  # noqa: E731
+        "long"
+    )
+    dq = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("carr"), term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(quant(diff * diff)).alias("dq"))
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "cluster", dq.alias("dq"))
     )
 
 
 def _argmin(dq: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy("dq", "cluster")
+    # min of the orderable (dq, cluster) struct == ORDER BY dq, cluster
+    # LIMIT 1 per vec — same tiebreak as the oracle's row_number, but
+    # with map-side partial aggregation instead of a window shuffle of
+    # every (vec, cluster) pair.
+    best = F.min(F.struct(F.col("dq").alias("dq"), F.col("cluster").alias("cluster")))
     return (
-        dq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "dq")
+        dq.groupBy("vec_id")
+        .agg(best.alias("_b"))
+        .select("vec_id", F.col("_b.cluster").alias("cluster"), F.col("_b.dq").alias("dq"))
+    )
+
+
+def _centroid_arrays(cent: DataFrame) -> DataFrame:
+    """(cluster, dim, cval) → (cluster, carr) with carr ordered by dim."""
+    return cent.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim").alias("dim"), F.col("cval").alias("cval")))
+            ),
+            lambda s: s["cval"],
+        ).alias("carr")
     )
 
 
@@ -115,23 +152,24 @@ def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     round's FULL distance frame d2 (every (vec, cluster) pair — the
     IVF probe needs the query's distance to every centroid, not just
     its argmin) and the final assignment a2."""
-    ex = (
-        e.select(
-            "vec_id", F.posexplode("embedding").alias("dim", "fval")
-        )
-        .select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
-        .localCheckpoint()
+    seeds = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "carr"
+        ),
     )
-    seeds = ex.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster"), "dim", F.col("val").alias("cval")
-    )
-    a1 = _argmin(_distances(ex, seeds))
+    a1 = _argmin(_distances(e, seeds))
+    # Centroid update stays on the exploded form: (cluster, dim) keys
+    # collapse map-side to k·d rows — the cheap leg.
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
     c1 = (
         ex.join(a1.select("vec_id", "cluster"), "vec_id")
         .groupBy("cluster", "dim")
         .agg(davg("val").alias("cval"))
     )
-    d2 = _distances(ex, c1)
+    d2 = _distances(e, _centroid_arrays(c1)).localCheckpoint()
     return d2, _argmin(d2)
 
 
