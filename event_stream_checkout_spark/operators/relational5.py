@@ -214,3 +214,68 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_joined"),
         F.sum("user_id").alias("user_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A5d: mergeable HLL sketches with union (DataSketches)
+# ---------------------------------------------------------------------------
+
+_HLL_REL_ERR = 0.05  # lgConfigK=12 ⇒ ~1.6% stderr; 5% is a >3σ bound
+
+
+@register(
+    "agg_hll_union",
+    # Verdict pattern (as agg_approx_distinct / agg_freq_items): the
+    # sketch internals are engine-specific; what the algorithm
+    # guarantees — estimates within the configured error of the exact
+    # distinct, and sketch UNION ≡ distinct-of-union — is what the
+    # query grades, against the exact side DuckDB recomputes.
+    oracle="SELECT event_type AS scope, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS in_bound "
+    "FROM events GROUP BY 1 "
+    "UNION ALL SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE "
+    "FROM events",
+    doc="Mergeable HLL distinct sketches with union (A5d, Apache "
+    "DataSketches via hll_sketch_agg/hll_union_agg): per-event-type "
+    "user sketches PLUS their union re-estimated as the global "
+    "distinct — the property that makes sketches THE 100 TB distinct "
+    "strategy (per-partition/per-day sketches persist once, any "
+    "rollup is a cheap union — no re-scan, unlike exact distinct "
+    "whose partials don't merge). Graded on the guarantee: every "
+    "estimate within 5% (>3σ at lgK=12) of the exact count, exact "
+    "side recomputed by the oracle; union estimate ≡ "
+    "distinct-of-union within the same bound. Completes the sketch "
+    "family next to HLL++ (agg_approx_distinct), approx-percentile, "
+    "and frequent-items.",
+)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    per_type = sk.select(
+        F.col("event_type").alias("scope"),
+        "n_exact",
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    glob = (
+        sk.agg(
+            F.hll_union_agg("sk").alias("u"),
+        )
+        .crossJoin(
+            F.broadcast(e.agg(F.count_distinct("user_id").alias("n_exact")))
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_exact",
+            F.hll_sketch_estimate("u").alias("est"),
+        )
+    )
+    bound = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.col("n_exact") * _HLL_REL_ERR
+    )
+    return per_type.unionByName(glob).select(
+        "scope", "n_exact", bound.alias("in_bound")
+    )
