@@ -404,3 +404,35 @@ def test_perplexity_no_corpus_sort(spark):
     plan = executed_plan(spark, "llm_perplexity_proxy")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmeans_assignment_no_dim_explode_join(spark):
+    """X26 (r7 array-fold rewrite): the assignment distance frame folds
+    per-dim terms in-expression against the broadcast centroid-array
+    frame — its plan carries the aggregate/zip_with fold over a
+    broadcast nested-loop cross join, with NO explode of the corpus
+    and NO equi-join on a `dim` key (the old n·d·k shape).  Asserted
+    on the pre-checkpoint frame: the registered query pins d2 with a
+    localCheckpoint, so the fold is invisible in its own final plan."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.clustering import (
+        _KM_K,
+        _distances,
+    )
+    from event_stream_checkout_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "carr"
+        ),
+    )
+    d = _distances(e, seeds)
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(zip_with" in plan or "zip_with" in plan, plan[:600]
+    assert "BroadcastNestedLoopJoin" in plan, "centroid frame not broadcast-crossed"
+    assert "Generate" not in plan, "corpus exploded in the assignment leg"
+    assert not re.search(r"HashJoin \[dim#", plan), "joined on the dim key"

@@ -74,6 +74,8 @@ QUERIES = [
     "dq_constraints",          # r7w8: fused constraint aggregate
     "evt_markov_transitions",  # r7w9: one lead-window pass
     "multimodal_audio_windows",  # r7w11: Arrow fan-out, no shuffle
+    "llm_kmeans_refine",       # r7: array-fold assignment (no n·d·k join)
+    "agg_hll_union",           # r7: mergeable sketch rollup
 ]
 
 
