@@ -222,3 +222,30 @@ def test_semantic_dedup_within_cells_and_verified(spark):
         va, vb = sorted((r["vec_a"], r["vec_b"]))
         if cell.get(va) == cell.get(vb):
             assert (va, vb) in sem_pairs, (va, vb)
+
+
+def test_kmeans_refinement_does_not_increase_inertia(spark):
+    """Lloyd's guarantee: after recomputing centroids as cluster means
+    and reassigning, total inertia is ≤ the seed assignment's inertia
+    (monotone non-increasing objective — the property that makes the
+    iteration converge)."""
+    from event_stream_checkout_spark.operators.clustering import (
+        _KM_K,
+        _argmin,
+        _distances,
+        kmeans_refined,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "carr"
+        ),
+    )
+    seed_inertia = (
+        _argmin(_distances(e, seeds)).agg(F.sum("dq")).collect()[0][0]
+    )
+    d2, a2 = kmeans_refined(e, _KM_K)
+    refined_inertia = a2.agg(F.sum("dq")).collect()[0][0]
+    assert refined_inertia <= seed_inertia, (refined_inertia, seed_inertia)
