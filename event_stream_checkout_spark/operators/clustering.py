@@ -383,7 +383,11 @@ _SQL_PAIR_COS = (
     "how production semantic dedup bounds its pair space (vectors in "
     "different cells are far apart by construction, so the O(n²) "
     "pair join becomes Σ cell² with cells that TRACK the data "
-    "distribution instead of hashing blindly). Same 0.4 cosine bar "
+    "distribution instead of hashing blindly). Cell SIZE is the scale "
+    "knob, exactly like the sign-bucket variant's bits parameter: k "
+    "grows with the corpus (k ≈ n / target-cell-rows — thousands of "
+    "cells at 100 TB, so cell² stays a bounded constant per "
+    "partition); k=8 pins the oracle at test SF. Same 0.4 cosine bar "
     "as the sign-bucket variant, so the two candidate generators are "
     "directly comparable. The pair join keys on the cell id (uniform "
     "after Lloyd balancing); per-pair cosine is the proven IEEE "

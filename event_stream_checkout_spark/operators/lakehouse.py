@@ -254,7 +254,11 @@ _INTERVAL_MIN = 30  # purchase within 30 minutes of the view
     "time range is exactly what lets both sides' state be watermark-"
     "evicted; an unbounded-time join would buffer forever). Graded "
     "here in batch form — one hash exchange per side on user_id, the "
-    "range predicate evaluated post-join inside codegen; the real "
+    "range predicate evaluated post-join inside codegen. Output size "
+    "per user is (views in a 30-min window) × (purchases in that "
+    "window) — bounded by event RATE within the range bound, never "
+    "by history length; that rate bound is also what lets the "
+    "streaming form cap its buffered state. The real "
     "two-readStream form with both watermarks runs in "
     "tests/test_streaming.py::test_stream_stream_interval_join and is "
     "asserted row-identical to this batch frame.",

@@ -458,10 +458,12 @@ _PPL_TOPK = 40
     "total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab), "
     "lp AS (SELECT v.tok, floor(ln(CAST(v.cnt AS DOUBLE) / t.n) "
     "* 1000000.0 + 0.5) / 1000000.0 AS logp FROM vocab v, total t), "
-    "doc AS (SELECT tk.doc_id, "
-    "CAST(SUM(CAST(floor(-lp.logp * 10000.0 + 0.5) AS DECIMAL(25,0))) "
-    "AS DOUBLE) / 10000.0 AS nll, CAST(count(*) AS BIGINT) AS n_toks "
-    "FROM toks tk JOIN lp ON tk.tok = lp.tok GROUP BY 1) "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "doc AS (SELECT tf.doc_id, "
+    "CAST(SUM(tf.tf * CAST(floor(-lp.logp * 10000.0 + 0.5) AS DECIMAL(25,0)))"
+    " AS DOUBLE) / 10000.0 AS nll, CAST(sum(tf.tf) AS BIGINT) AS n_toks "
+    "FROM tf JOIN lp ON tf.tok = lp.tok GROUP BY 1) "
     "SELECT doc_id, n_toks, round(nll / n_toks, 6) AS xent "
     "FROM doc ORDER BY nll / n_toks DESC, doc_id "
     f"LIMIT {_PPL_TOPK}",
@@ -473,8 +475,12 @@ _PPL_TOPK = 40
     "are boilerplate, noise, or wrong-language). Distributed shape: "
     "the unigram LM is (token, count) — map-side-collapsed, "
     "vocabulary-sized, JOINED (not broadcast — a 100 TB vocab is a "
-    "zipf head plus a long tail; the (doc,token) explode pre-collapses "
-    "nothing but joins on the uniform token hash); per-token ln is "
+    "zipf head plus a long tail); the token stream PRE-COLLAPSES to "
+    "(doc, token, tf) on the uniform composite key before the "
+    "vocabulary join, so the zipf head ('the' in every doc) crosses "
+    "the token-keyed shuffle once per DOCUMENT, not once per "
+    "occurrence — and AQE skew-split owns what head remains (the "
+    "join is 1:1, no expansion); per-token ln is "
     "quantized 1e-6 (module docstring), per-doc sums fixed-point, and "
     "the ranking is TakeOrdered partition heaps. The full-LM upgrade "
     "path swaps the unigram joins for an n-gram table — same plan.",
@@ -494,13 +500,21 @@ def q_llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("logp"),
     )
+    # Pre-collapse to (doc, tok, tf) BEFORE the token-keyed join: the
+    # zipf head then ships one row per containing doc, not one per
+    # occurrence.  tf × floor(term) ≡ summing the floored term tf
+    # times (integer multiplication is exact), so the fixed-point
+    # totals are bit-identical to the per-occurrence formulation.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     nll_q = F.floor(-F.col("logp") * 10000.0 + 0.5).cast("decimal(25,0)")
     doc = (
-        toks.join(lp, "tok")
+        tf.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
-            (F.sum(nll_q).cast("double") / 10000.0).alias("nll"),
-            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum(F.col("tf") * nll_q).cast("double") / 10000.0).alias(
+                "nll"
+            ),
+            F.sum("tf").alias("n_toks"),
         )
     )
     xent = F.col("nll") / F.col("n_toks")
