@@ -81,6 +81,12 @@ EXTRA = [
     "llm_similarity_ivf_kmeans",
     "stream_interval_join",
     "llm_bm25_topk",
+    # later r7 waves: iterative merge rounds, joined unigram LM,
+    # cell-local pair join, sketch rollup.
+    "llm_phrase_merges",
+    "llm_perplexity_proxy",
+    "llm_semantic_dedup",
+    "agg_hll_union",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
