@@ -397,21 +397,6 @@ _SQL_PAIR_COS = (
 def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     _, a2 = kmeans_refined(e, _KM_K)
-    asg = a2.select("vec_id", "cluster")
-    ea = asg.join(e, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), "cluster",
-        F.col("embedding").alias("emb_a"),
-    )
-    eb = asg.join(e, "vec_id").select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster").alias("cluster_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    prs = ea.join(
-        eb,
-        (F.col("cluster") == F.col("cluster_b"))
-        & (F.col("vec_a") < F.col("vec_b")),
-    )
 
     def dot(a, b):
         return F.aggregate(
@@ -420,9 +405,38 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # Per-vector norm ONCE before the pair join (the same precompute
+    # the sign-bucket variant uses): each pair then folds one dot, not
+    # a dot plus two redundant norm folds — 3x less lambda work on the
+    # O(Σ cell²) frame.  sqrt of the identical fold is the identical
+    # double, so cosines are bit-unchanged.
+    asg = (
+        a2.select("vec_id", "cluster")
+        .join(e, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    ea = asg.select(
+        F.col("vec_id").alias("vec_a"), "cluster",
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    eb = asg.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    prs = ea.join(
+        eb,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         prs.withColumn("cos_raw", cos)

@@ -363,6 +363,11 @@ def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         out.append(best.select(F.lit(r).alias("round"), "pair", "cnt"))
+        if r == _BPE_ROUNDS:
+            # The last round's merge result is never read — skip the
+            # final corpus rewrite + checkpoint (1/3 of the rewrite
+            # cost at 3 rounds).
+            break
         cur = (
             cur.crossJoin(F.broadcast(best.select("pair")))
             .select(
