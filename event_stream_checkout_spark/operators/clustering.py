@@ -3,7 +3,10 @@ X26): Lloyd-iteration k-means refinement — the iterative-ML shape
 (assign → recompute → reassign) expressed as DataFrame rounds, and the
 learned-centroid upgrade path for the sign-bucket IVF index
 (llm_similarity_ivf keeps its buckets static; a real ANN index
-refreshes its coarse quantizer with exactly these rounds).
+refreshes its coarse quantizer with exactly these rounds) — plus the
+consumers of those learned cells: IVF search with nprobe probing
+(X27), SemDeDup-style semantic dedup (X32), and int8 scalar
+quantization of the vector store (X28).
 
 Engine-exactness: k-means is normally hostile to cross-engine hash
 checks (float distance sums depend on reduction order).  Here every

@@ -1,13 +1,17 @@
-"""LLM-curation wave 5: relevance ranking (BM25), weighted sampling
-without replacement (Efraimidis–Spirakis A-ES), and edit-distance
-near-dup detection with banded length blocking.
+"""LLM-curation waves 5-10: relevance ranking (BM25), weighted
+sampling without replacement (Efraimidis–Spirakis A-ES), edit-distance
+near-dup detection with banded length blocking, BPE-style phrase-merge
+training, deterministic train/val/test splits, and unigram
+perplexity-proxy filtering.
 
 These extend the §2.10 curation family: BM25 is the lexical-retrieval
 baseline every data-selection pipeline ranks against, A-ES is THE
 distributed way to draw a weighted sample in one pass (keys are
-independent per row — no sequential draw state), and edit-distance
-catches the character-level near-dups that token-set methods (minhash/
-simhash/jaccard) miss.
+independent per row — no sequential draw state), edit-distance catches
+the character-level near-dups that token-set methods (minhash/simhash/
+jaccard) miss, the merge loop is how subword/phrase vocabularies are
+learned, hash-splits are the leak-proof dataset partitioning, and
+perplexity is the canonical model-based quality signal.
 
 Cross-engine float policy for ``ln``: unlike +,-,*,/,sqrt, libm ``log``
 is not guaranteed correctly rounded, so a raw ln can differ by 1 ulp
