@@ -116,3 +116,83 @@ def test_attribution_last_touch_and_none(spark, tmp_path):
         "none": (1, 5.0),
         "error": (1, 7.0),
     }
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """Gaps-and-islands on a crafted calendar: user 1 is active Jan
+    1-3 and Jan 10 (longest streak 3 starting Jan 1); user 2 has two
+    2-day streaks and the EARLIER one wins the per-user tiebreak;
+    multiple same-day events collapse to one active day."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_activity_streaks,
+    )
+
+    def ev(i, day, hour, uid):
+        return (
+            i,
+            dt.datetime(2024, 1, day, hour, 0, 0),
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 1, 9, 1), ev(2, 1, 17, 1),   # same day counts once
+        ev(3, 2, 9, 1), ev(4, 3, 9, 1),    # Jan 1-3: streak of 3
+        ev(5, 10, 9, 1),                   # isolated day
+        ev(6, 5, 9, 2), ev(7, 6, 9, 2),    # streak of 2 (earlier)
+        ev(8, 20, 9, 2), ev(9, 21, 9, 2),  # streak of 2 (later)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tmp_path / "ev1"
+    df.write.parquet(str(d / "events.parquet"))
+    got = {
+        r["user_id"]: (r["streak_days"], r["start_day"])
+        for r in q_evt_activity_streaks(spark, str(d)).collect()
+    }
+    assert got[1] == (3, dt.date(2024, 1, 1))
+    assert got[2] == (2, dt.date(2024, 1, 5))  # earlier streak wins tie
+
+
+def test_markov_transitions_counts_and_rows(spark, tmp_path):
+    """Transition matrix on a crafted stream: per-user orderings drive
+    the pair counts and probabilities normalize per current state."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    seq_u1 = ["view", "click", "view", "click"]     # v>c, c>v, v>c
+    seq_u2 = ["view", "purchase"]                   # v>p
+    rows = []
+    i = 0
+    for uid, seq in ((1, seq_u1), (2, seq_u2)):
+        for j, et in enumerate(seq):
+            i += 1
+            rows.append(
+                (i, t0 + dt.timedelta(minutes=j), uid, et, 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tmp_path / "ev2"
+    df.write.parquet(str(d / "events.parquet"))
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n"], r["p"])
+        for r in q_evt_markov_transitions(spark, str(d)).collect()
+    }
+    assert got[("view", "click")] == (2, round(2 / 3, 6))
+    assert got[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 3  # no cross-user pair, no trailing pair
