@@ -384,6 +384,30 @@ def q_evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RFM_BUCKETS = 4
 
 
+def _idiv(a, d):
+    """Exact integer floor-division of two non-negative long Columns.
+    Spark's `/` is always fractional; subtracting the remainder first
+    makes the dividend an exact multiple, so the double division is
+    exact for any quotient < 2^53 (no floor-of-.9999 off-by-one)."""
+    return ((a - (a % d)) / d).cast("long")
+
+
+def _ntile_from_rank(pos, n, k: int):
+    """ntile(k) recovered scan-locally from a 1-based global rank:
+    with q = n div k and r = n mod k, SQL ntile gives the first r
+    tiles q+1 rows and the rest q rows.  Rows ranked <= r*(q+1) fall
+    in tile 1 + (pos-1) div (q+1); the rest in
+    r + 1 + (pos - r*(q+1) - 1) div q.  greatest(q, 1) guards the
+    (never-taken) second branch when n < k.  Cast to int to match the
+    engine/oracle ntile output type."""
+    q = _idiv(n, F.lit(k))
+    r = n % F.lit(k)
+    cut = r * (q + F.lit(1))
+    big = _idiv(pos - 1, q + F.lit(1)) + F.lit(1)
+    small = r + _idiv(pos - cut - 1, F.greatest(q, F.lit(1))) + F.lit(1)
+    return F.when(pos <= cut, big).otherwise(small).cast("int")
+
+
 @register(
     "evt_rfm_segments",
     oracle="WITH base AS (SELECT user_id, max(ts) AS last_ts, "
@@ -401,17 +425,27 @@ _RFM_BUCKETS = 4
     doc="RFM segmentation (E8): purchasing users quartiled on "
     "recency (last purchase), frequency (purchase count), and "
     "monetary (stable-sum spend), reported as (r, f, m) cell sizes — "
-    "the classic customer-value grid. Determinism: each ntile orders "
-    "by (measure, user_id) so ties split identically on any engine. "
-    "Scale note: ntile over a global ORDER is a single-partition "
-    "window — fine HERE because the frame is one row per PURCHASING "
-    "user (already collapsed from the event stream by a uniform "
-    "user_id aggregate), i.e. dimension-sized, not event-sized; at "
-    "100 TB with billions of users the quartile boundaries would come "
-    "from the sampled-quantile machinery of sort_orders_sampled "
-    "instead (same output contract, documented upgrade path).",
+    "the classic customer-value grid. Determinism: each quartile "
+    "orders by (measure, user_id) so ties split identically on any "
+    "engine. Scale (r7 verdict item 1): the per-user frame is the "
+    "column that grows with the business, so NO global ntile window "
+    "touches it — each measure goes through the two-pass bucketed "
+    "rank (quantile_bucketed sampled boundaries + rank_from_buckets, "
+    "relational.py:516,539), and the EXACT ntile id is recovered "
+    "scan-locally from the global rank via the closed form "
+    "tile(rk, n, k): the first n%k tiles hold ceil(n/k) rows, the "
+    "rest floor(n/k) — bit-identical to the oracle's ntile on any "
+    "partitioning because the rank itself is exact. The only "
+    "unpartitioned windows run over the O(#buckets) prefix-count "
+    "frames; the three per-measure tile frames re-meet on user_id "
+    "(uniform high-cardinality shuffle joins). recency ranks on "
+    "unix_micros(last_ts) — a strictly monotone recode, so the DESC "
+    "order is unchanged while percentile_approx gets a numeric "
+    "column.",
 )
 def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import quantile_bucketed, rank_from_buckets
+
     e = load_table(spark, sf_dir, "events")
     base = (
         e.filter(F.col("event_type") == "purchase")
@@ -421,17 +455,47 @@ def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             dsum("value").alias("monetary"),
         )
-    )
-    def tile(order_cols):
-        return F.ntile(_RFM_BUCKETS).over(
-            Window.orderBy(*order_cols)
+        # Exact tz-free micros-since-epoch for the NTZ timestamp
+        # (unix_micros wants TIMESTAMP; an NTZ->TZ cast would route
+        # through the session timezone and could collide across a DST
+        # gap): days*86400 + wall-clock h/m + fractional-second
+        # decimal, all pure functions of the wall time.
+        .withColumn(
+            "last_ts_us",
+            (
+                F.unix_date(F.col("last_ts").cast("date")).cast("long")
+                * 86400
+                + F.hour("last_ts").cast("long") * 3600
+                + F.minute("last_ts").cast("long") * 60
+            )
+            * 1_000_000
+            + (F.expr("extract(second from last_ts)") * 1_000_000).cast(
+                "long"
+            ),
         )
-    scored = base.select(
-        "user_id",
-        tile([F.col("last_ts").desc(), F.col("user_id")]).alias("r"),
-        tile([F.col("frequency").desc(), F.col("user_id")]).alias("f"),
-        tile([F.col("monetary").desc(), F.col("user_id")]).alias("m"),
+        # Pinned: feeds three bucketing passes + the n-count agg; the
+        # events scan and the per-user aggregate execute exactly once.
+        .localCheckpoint()
     )
-    return scored.groupBy("r", "f", "m").agg(
+    nf = base.agg(F.count(F.lit(1)).alias("_n"))
+
+    def scored(col: str, tag: str) -> DataFrame:
+        bucketed = quantile_bucketed(base.select("user_id", col), col, nb=32)
+        ranked = rank_from_buckets(
+            bucketed, [F.col(col).desc(), F.col("user_id")]
+        )
+        return ranked.crossJoin(F.broadcast(nf)).select(
+            "user_id",
+            _ntile_from_rank(
+                F.col("pos"), F.col("_n"), _RFM_BUCKETS
+            ).alias(tag),
+        )
+
+    grid = (
+        scored("last_ts_us", "r")
+        .join(scored("frequency", "f"), "user_id")
+        .join(scored("monetary", "m"), "user_id")
+    )
+    return grid.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -108,7 +108,7 @@ _Z_THRESHOLD = 2.0
     "SELECT d.event_type, d.d AS day, d.n, "
     "round((d.n - s.mu) / s.sigma, 6) AS z "
     "FROM daily d JOIN stats s ON d.event_type = s.event_type "
-    f"WHERE abs((d.n - s.mu) / s.sigma) > {_Z_THRESHOLD}",
+    f"WHERE s.sigma > 0 AND abs((d.n - s.mu) / s.sigma) > {_Z_THRESHOLD}",
     doc="Per-series z-score anomaly detection (E6): daily event counts "
     "per type, flagged where |count − μ| > 2σ of that type's own "
     "series — the volume-anomaly monitor every event pipeline runs "
@@ -117,7 +117,12 @@ _Z_THRESHOLD = 2.0
     "stats frame is #types rows, broadcast back to the daily frame. "
     "μ and σ go through the engine's stable-sum policy so the z "
     "scores hash-match across engines; z is rounded at 1e-6 for the "
-    "output (σ's sqrt is IEEE-exact, the division identical trees).",
+    "output (σ's sqrt is IEEE-exact, the division identical trees). "
+    "Constant series (σ = 0) are excluded by construction in BOTH "
+    "engines: Spark double x/0 yields ±Infinity (|z| > 2 would emit "
+    "the row) while DuckDB returns NULL (filtered) — the σ > 0 guard "
+    "removes that engine-divergent case before the division matters "
+    "(advisor finding, ADVICE.md r7).",
 )
 def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -130,6 +135,6 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
     return (
         daily.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > _Z_THRESHOLD)
+        .filter((F.col("sigma") > 0) & (F.abs(z) > _Z_THRESHOLD))
         .select("event_type", "day", "n", F.round(z, 6).alias("z"))
     )

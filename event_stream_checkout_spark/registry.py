@@ -106,19 +106,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
 ROUND_MODIFIED: frozenset[str] = frozenset({
-    # r7: engine+oracle changed on previously green keys — a stale
-    # green row must not shield them from re-grading.  (The 43 keys
-    # NEW this round are not in DRIVER_VERIFIED and lead the window
-    # automatically; with these 6 re-grades the 50-key window is
-    # 49/50 full — one spare slot, so later additions must either
-    # stay under that or consciously bump a re-grade.)
-    "llm_ngram_jaccard",      # per-cell df-cap added to engine AND oracle
-    "llm_incremental_dedup_indexed",  # shared probe helpers + index tag fingerprint
-    "sort_orders",            # second pass factored into rank_from_buckets
-    "state_ledger_tws",       # vendored-protobuf bootstrap + graceful degrade
-    "snk_bucketed",           # bucket-aligned pre-partition before the write
-    "llm_quality_score",      # engine body factored into quality_frame
-                              # (shared with the wave-4 curation gates)
+    # r8: engine and/or oracle changed on previously green keys — a
+    # stale green row must not shield them from re-grading.
+    "evt_rfm_segments",   # global ntile replaced by two-pass bucketed
+                          # rank + closed-form tile (r7 verdict item 1)
+    "evt_anomaly",        # sigma>0 guard added to engine AND oracle
+                          # (ADVICE.md r7 constant-series parity break)
 })
 
 

@@ -196,3 +196,108 @@ def test_markov_transitions_counts_and_rows(spark, tmp_path):
     assert got[("view", "purchase")] == (1, round(1 / 3, 6))
     assert got[("click", "view")] == (1, 1.0)
     assert len(got) == 3  # no cross-user pair, no trailing pair
+
+
+def test_ntile_closed_form_matches_sql_semantics(spark):
+    """The scan-local tile formula in _ntile_from_rank must reproduce
+    SQL ntile exactly for every (n, k) shape: first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k) — checked exhaustively for
+    n in 1..25, k in {2,3,4,5,7} against a pure-python reference."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.events_analytics import (
+        _ntile_from_rank,
+    )
+
+    cases = []
+    expected = {}
+    for k in (2, 3, 4, 5, 7):
+        for n in range(1, 26):
+            q, r = divmod(n, k)
+            for pos in range(1, n + 1):
+                # reference ntile: walk the bucket sizes
+                acc, tile = 0, 0
+                for t in range(1, k + 1):
+                    acc += q + 1 if t <= r else q
+                    if pos <= acc:
+                        tile = t
+                        break
+                cases.append((pos, n, k))
+                expected[(pos, n, k)] = tile
+    df = spark.createDataFrame(cases, "pos long, n long, k int")
+    out = {}
+    for k in (2, 3, 4, 5, 7):
+        got = (
+            df.filter(F.col("k") == k)
+            .select(
+                "pos", "n", "k",
+                _ntile_from_rank(F.col("pos"), F.col("n"), k).alias("t"),
+            )
+            .collect()
+        )
+        out.update({(r["pos"], r["n"], r["k"]): r["t"] for r in got})
+    assert out == expected
+
+
+def test_rfm_matches_ntile_oracle_on_crafted_ties(spark, tmp_path):
+    """RFM grid on a crafted frame with heavy ties (all users share
+    one purchase day; frequencies collide) — the bucketed-rank tiles
+    must still split ties by user_id exactly as ntile's (measure,
+    user_id) ordering does.  8 users, k=4: expected grid computed by
+    hand from the deterministic ordering."""
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_rfm_segments,
+    )
+
+    # users 1..8: user u purchases u%3+1 times, all at the SAME ts
+    # (total recency tie), each purchase value 10.0 (monetary ties
+    # within equal frequency).
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for _ in range(u % 3 + 1):
+            eid += 1
+            rows.append((eid, 0, u, "purchase", 10.0))
+    out = q_evt_rfm_segments(spark, _write_events(tmp_path, rows)).collect()
+    got = {(r["r"], r["f"], r["m"]): r["n_users"] for r in out}
+    # Hand-computed: recency all tied -> r = ntile over user_id order
+    # = [1,1,2,2,3,3,4,4] for users 1..8.  frequency: u%3+1 ->
+    # users (2,5,8)=3, (1,4,7)=2, (3,6)=1; order by freq DESC,user_id:
+    # [2,5,8,1,4,7,3,6] -> f tiles [1,1,2,2,3,3,4,4].  monetary =
+    # 10*freq, same ordering -> m == f.
+    f_of = {2: 1, 5: 1, 8: 2, 1: 2, 4: 3, 7: 3, 3: 4, 6: 4}
+    r_of = {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    expected = {}
+    for u in range(1, 9):
+        key = (r_of[u], f_of[u], f_of[u])
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+
+
+def test_anomaly_constant_series_excluded(spark, tmp_path):
+    """evt_anomaly's sigma>0 guard (ADVICE.md r7): a series with
+    IDENTICAL daily counts has sigma == 0 under the fixed-point
+    stddev; Spark's double x/0 would yield +-Infinity and emit every
+    day — the guard must exclude the whole series, matching DuckDB's
+    NULL-division semantics by construction."""
+    from event_stream_checkout_spark.operators.quality import q_evt_anomaly
+
+    day = 24 * 60
+    rows = []
+    eid = 0
+    # 'flat': exactly 2 events every day for 5 days -> sigma 0.
+    for d in range(5):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, d * day, 1, "flat", 1.0))
+    # 'spiky': 1/day for 9 days then 30 on day 10 -> clear outlier.
+    for d in range(9):
+        eid += 1
+        rows.append((eid, d * day, 2, "spiky", 1.0))
+    for _ in range(30):
+        eid += 1
+        rows.append((eid, 9 * day, 2, "spiky", 1.0))
+    out = q_evt_anomaly(spark, _write_events(tmp_path, rows)).collect()
+    types = {r["event_type"] for r in out}
+    assert "flat" not in types, "constant series leaked through sigma=0"
+    assert "spiky" in types

@@ -235,6 +235,26 @@ def test_domain_mix_weighted_no_corpus_shuffle(spark):
     assert n_scans <= 2, f"documents scanned {n_scans}x (cw unpinned?)"
 
 
+def test_rfm_no_partitionless_data_window(spark):
+    """E8 (r7 verdict item 1): the RFM quartiles must NOT come from
+    global ntile windows — each measure's tile is recovered from the
+    two-pass bucketed rank, so the executed plan contains no ntile at
+    all, every row_number window is partitioned by _pid, and the only
+    single-partition stages are the O(#buckets) prefix-count offset
+    windows plus the 1-row n-count agg (final plan: 3 + 1), never a
+    user-sized frame."""
+    plan = executed_plan(spark, "evt_rfm_segments")
+    assert "ntile" not in plan, "global ntile window reintroduced"
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, f"unpartitioned data window: {line[:160]}"
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= 4, f"unexpected single-partition stages: {n_single}"
+    # The user frame is pinned (localCheckpoint): no events parquet
+    # scan may survive into the plan.
+    assert "Scan parquet" not in plan, "events scanned in-plan (base unpinned)"
+
+
 def test_sort_sampled_no_single_partition_data_stage(spark):
     """O1b: the quantile-seeded rank keeps the two-pass contract —
     the only unpartitioned window runs over the O(#buckets) offsets
