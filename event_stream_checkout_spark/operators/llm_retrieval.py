@@ -532,3 +532,122 @@ def q_llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PPL_TOPK)
         .select("doc_id", "n_toks", F.round(xent, 6).alias("xent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X31b: bigram-LM cross-entropy (the n-gram upgrade path, proven)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_perplexity_bigram",
+    oracle="WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l "
+    "FROM documents), "
+    "pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM "
+    "(SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z "
+    "FROM docs WHERE len(l) >= 2)), "
+    "tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf "
+    "FROM pairs GROUP BY 1, 2, 3), "
+    "bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf "
+    "GROUP BY 1, 2), "
+    "cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1), "
+    "vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM "
+    "(SELECT w1 AS tok FROM bc UNION ALL SELECT w2 FROM bc)), "
+    "lp AS (SELECT bc.w1, bc.w2, "
+    "floor(ln(CAST(bc.c12 + 1 AS DOUBLE) / (cc.c1 + v.v)) * 1000000.0 "
+    "+ 0.5) / 1000000.0 AS logp FROM bc JOIN cc ON bc.w1 = cc.w1, vocab v), "
+    "doc AS (SELECT tf.doc_id, "
+    "CAST(SUM(tf.tf * CAST(floor(-lp.logp * 10000.0 + 0.5) AS DECIMAL(25,0)))"
+    " AS DOUBLE) / 10000.0 AS nll, CAST(sum(tf.tf) AS BIGINT) AS n_big "
+    "FROM tf JOIN lp ON tf.w1 = lp.w1 AND tf.w2 = lp.w2 GROUP BY 1) "
+    "SELECT doc_id, n_big, round(nll / n_big, 6) AS xent "
+    "FROM doc ORDER BY nll / n_big DESC, doc_id "
+    f"LIMIT {_PPL_TOPK}",
+    doc="Bigram-LM cross-entropy filter (X31b — r7 verdict item 2): "
+    "the llm_perplexity_proxy docstring claims the n-gram upgrade is "
+    "'same plan, different key'; this key PROVES it with an "
+    "add-1-smoothed bigram LM, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) — "
+    "integer-exact counts, ONE double division, ln quantized 1e-6 "
+    "(module policy), per-doc fixed-point sums, mean NLL over the "
+    "doc's transitions, top-40 most surprising docs by TakeOrdered "
+    "heaps. Distributed shape mirrors the unigram exactly, one level "
+    "up: bigrams are built SCAN-LOCALLY (zip_with over two slices of "
+    "the token array — no positional self-join), pre-collapsed to "
+    "(doc, w1, w2, tf) on the uniform composite key so a zipf-hot "
+    "bigram ('of the') crosses the model-keyed shuffle once per "
+    "CONTAINING DOC, not once per occurrence; the LM table (w1,w2,"
+    "c12) is distinct-bigram-sized and derives c(w1) and V from "
+    "ITSELF (pinned — three consumers, one corpus pass), never "
+    "broadcast (a 100 TB bigram table is zipf head + long tail, it "
+    "JOINS on its uniform composite key with AQE skew-split). "
+    "Single-token docs have no transitions and drop out in both "
+    "engines by construction. V = distinct tokens over both bigram "
+    "slots (identical definition both engines); smoothing means "
+    "unseen continuations cost ln(c1+V), so the score is defined for "
+    "every in-corpus bigram.",
+)
+def q_llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ", -1)
+    n = F.size(a)
+    pairs = F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("z")).select(
+        "doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")
+    )
+    # Pre-collapse BEFORE the model join (zipf-skew hardening, same
+    # policy as the unigram proxy): tf x floor-quantized term is exact.
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # The LM table: distinct-bigram-sized, pinned — it feeds the
+    # context counts, the vocabulary scalar, AND the probability join;
+    # unpinned, each consumer would re-run the corpus scan + explode.
+    c12 = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+        .localCheckpoint()
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        c12.select(F.col("w1").alias("tok"))
+        .union(c12.select(F.col("w2").alias("tok")))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("c12") + 1).cast("double")
+                        / (F.col("c1") + F.col("v"))
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("logp"),
+        )
+    )
+    nll_q = F.floor(-F.col("logp") * 10000.0 + 0.5).cast("decimal(25,0)")
+    doc = (
+        tf.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("tf") * nll_q).cast("double") / 10000.0).alias(
+                "nll"
+            ),
+            F.sum("tf").alias("n_big"),
+        )
+    )
+    xent = F.col("nll") / F.col("n_big")
+    return (
+        doc.orderBy(xent.desc(), "doc_id")
+        .limit(_PPL_TOPK)
+        .select("doc_id", "n_big", F.round(xent, 6).alias("xent"))
+    )

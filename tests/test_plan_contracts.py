@@ -426,6 +426,26 @@ def test_perplexity_no_corpus_sort(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_bigram_perplexity_same_plan_shape(spark):
+    """X31b must keep the unigram's plan contract one n-gram level up:
+    TakeOrdered ranking (no global sort), bigrams built scan-locally
+    (zip_with in a generator — no positional self-join: every join in
+    the plan keys on the model's (w1[, w2]) columns, never on a
+    position/index), and the documents scan reads ONLY (doc_id, text)
+    (column pruning through the explode)."""
+    plan = executed_plan(spark, "llm_perplexity_bigram", full=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # scan-local bigram construction: the generator explodes a
+    # zip_with expression, not a join result.
+    assert "zip_with" in plan or "Generate explode" in plan
+    # column pruning reaches the parquet scan.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "doc_id:bigint", "text:string"
+    }, f"unpruned scan: {m.group(1) if m else 'no scan?'}"
+
+
 def test_kmeans_assignment_no_dim_explode_join(spark):
     """X26 (r7 array-fold rewrite): the assignment distance frame folds
     per-dim terms in-expression against the broadcast centroid-array

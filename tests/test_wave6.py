@@ -249,3 +249,65 @@ def test_kmeans_refinement_does_not_increase_inertia(spark):
     d2, a2 = kmeans_refined(e, _KM_K)
     refined_inertia = a2.agg(F.sum("dq")).collect()[0][0]
     assert refined_inertia <= seed_inertia, (refined_inertia, seed_inertia)
+
+
+def test_bigram_perplexity_scores_and_zipf_hot_pair(spark):
+    """X31b on a crafted corpus: hand-computed add-1 bigram
+    cross-entropy, with one zipf-hot bigram ('of the' in every doc)
+    to pin the pre-collapse semantics — tf-weighted fixed-point sums
+    must equal the per-occurrence formulation exactly.
+
+    Corpus: doc 1 = 'of the of the of the' (5 transitions, all seen
+    often), doc 2 = 'of the qq zz' (rare continuations -> most
+    surprising), doc 3 = 'of the of the' (3 transitions), doc 4 =
+    'solo' (no transitions -> absent from the output)."""
+    import math
+    import tempfile
+
+    from event_stream_checkout_spark.operators.llm_retrieval import (
+        q_llm_perplexity_bigram,
+    )
+
+    rows = [
+        (1, "of the of the of the", "en", "s", 20),
+        (2, "of the qq zz", "en", "s", 12),
+        (3, "of the of the", "en", "s", 13),
+        (4, "solo", "en", "s", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: (r["n_big"], r["xent"])
+            for r in q_llm_perplexity_bigram(spark, d).collect()
+        }
+    # Model (docs 1-3 only contribute bigrams; doc 4 has none):
+    # c(of,the)=6, c(the,of)=3, c(the,qq)=1, c(qq,zz)=1
+    # c1: of=6, the=4, qq=1.  V = |{of, the, qq, zz}| = 4.
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    lp = {
+        ("of", "the"): q6(math.log(7 / 10)),
+        ("the", "of"): q6(math.log(4 / 8)),
+        ("the", "qq"): q6(math.log(2 / 8)),
+        ("qq", "zz"): q6(math.log(2 / 5)),
+    }
+
+    def q4(x):
+        return math.floor(x * 1e4 + 0.5)
+
+    def xent(pairs):
+        nll = sum(tf * q4(-lp[p]) for p, tf in pairs.items()) / 1e4
+        n = sum(pairs.values())
+        return n, round(nll / n, 6)
+
+    exp1 = xent({("of", "the"): 3, ("the", "of"): 2})
+    exp2 = xent({("of", "the"): 1, ("the", "qq"): 1, ("qq", "zz"): 1})
+    exp3 = xent({("of", "the"): 2, ("the", "of"): 1})
+    assert out == {1: exp1, 2: exp2, 3: exp3}
+    # doc 2 (rare continuations) must rank as the most surprising.
+    assert max(out.values(), key=lambda t: t[1]) == exp2
