@@ -336,11 +336,27 @@ def _sql_bpe_oracle() -> str:
     "broadcast, and the rewrite is one scan-local string replace "
     "(left-to-right non-overlapping in both engines — greedy BPE "
     "semantics). Per round: one pair-count shuffle, zero corpus "
-    "shuffles. The corpus frame is localCheckpoint-pinned between "
-    "rounds so round N+1 rewrites N's output, not a recomputed "
-    "lineage.",
+    "shuffles. The corpus is PARQUET-STAGED between rounds (r7 "
+    "verdict item 3, replacing two full-corpus localCheckpoints): "
+    "round N+1 reads N's rewritten text from compressed columnar "
+    "files on disk instead of pinning corpus-scale blocks in "
+    "executor storage — the same trade the graded ledger fold made "
+    "(commit bc6f81c), and the one production BPE trainers make "
+    "(each merge round is a materialized dataset, not a cached "
+    "lineage). Staging dirs are per-process-tagged and removed once "
+    "the merge table is materialized; the 1-row winners stay "
+    "localCheckpoint-pinned (they must survive the cleanup).",
 )
 def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_bpe_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = []
     cur = d
@@ -372,24 +388,26 @@ def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # final corpus rewrite + checkpoint (1/3 of the rewrite
             # cost at 3 rounds).
             break
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("pair")))
-            .select(
-                "doc_id",
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
-                            F.lit(" "),
-                        ),
-                    )
-                ).alias("text"),
-            )
-            .localCheckpoint()
+        rewritten = cur.crossJoin(F.broadcast(best.select("pair"))).select(
+            "doc_id",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("text"),
         )
+        stage = os.path.join(root, f"round_{r}")
+        rewritten.write.mode("overwrite").parquet(stage)
+        cur = spark.read.parquet(stage)
+    # Everything the result needs (the 1-row winners) is pinned in
+    # executor storage; the staged corpora can go.
+    shutil.rmtree(root, ignore_errors=True)
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

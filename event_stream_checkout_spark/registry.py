@@ -112,6 +112,8 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
                           # rank + closed-form tile (r7 verdict item 1)
     "evt_anomaly",        # sigma>0 guard added to engine AND oracle
                           # (ADVICE.md r7 constant-series parity break)
+    "llm_phrase_merges",  # rounds parquet-staged instead of
+                          # localCheckpoint-pinned (r7 verdict item 3)
 })
 
 
