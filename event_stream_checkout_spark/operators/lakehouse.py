@@ -145,20 +145,44 @@ def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-style pre-filtered shuffle join
 # ---------------------------------------------------------------------------
 
-# 4096-bit membership filter = 64 longs keyed by word index.  The
-# build side distinct-collapses to ≤64 (word, mask) rows — broadcast
-# for free — and the probe side evaluates (mask >> bit) & 1 scan-local,
-# BEFORE its shuffle for the exact join.  False-positive rate at 4096
-# bits is build-cardinality/4096 per probe row (single hash); the
-# EXACT join above removes every false positive, so the filter is a
-# pure plan optimization with zero semantic footprint — which is why
-# the oracle is the plain join.
-_BLOOM_BITS = 4096
+# Membership filter = bits/64 longs keyed by word index.  The build
+# side distinct-collapses to (word, mask) rows — broadcast — and the
+# probe side evaluates (mask >> bit) & 1 scan-local, BEFORE its
+# shuffle for the exact join.  False-positive rate is roughly
+# build-cardinality/bits per probe row (single hash); the EXACT join
+# above removes every false positive, so the filter is a pure plan
+# optimization with zero semantic footprint — which is why the oracle
+# is the plain join.
+#
+# Sizing (ADVICE.md r7): a FIXED bit count saturates once the build
+# side reaches a few thousand distinct keys (~every bit set, prune
+# passes everything) — so ``sized_bloom_bits`` derives the bit count
+# from the build-side cardinality with ``_BLOOM_HEADROOM``x headroom,
+# rounded up to a power of two (pmod stays cheap, word layout stays
+# aligned) and clamped to [_BLOOM_BITS_MIN, _BLOOM_BITS_MAX].  At the
+# max (2^22 bits = 64 Ki words = 512 KiB of longs) the broadcast is
+# still trivially small; beyond ~0.5 M build keys the expected prune
+# rate degrades gracefully (documented saturation, n/bits per row)
+# and Spark's own runtime bloom rewrite or a semi-join is the better
+# tool.
+_BLOOM_BITS_MIN = 4096
+_BLOOM_BITS_MAX = 1 << 22
+_BLOOM_HEADROOM = 8
 
 
-def membership_filter(keys: DataFrame, key_col: str) -> DataFrame:
-    """≤64-row (word, mask) bitmap of ``pmod(xxhash64(key), BITS)``."""
-    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_BLOOM_BITS))
+def sized_bloom_bits(n_keys: int) -> int:
+    bits = _BLOOM_BITS_MIN
+    while bits < n_keys * _BLOOM_HEADROOM and bits < _BLOOM_BITS_MAX:
+        bits <<= 1
+    return bits
+
+
+def membership_filter(
+    keys: DataFrame, key_col: str, bits: int = _BLOOM_BITS_MIN
+) -> DataFrame:
+    """(word, mask) bitmap of ``pmod(xxhash64(key), bits)`` —
+    ≤ bits/64 rows."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(bits))
     return (
         keys.select(bucket.alias("_bucket"))
         .distinct()
@@ -173,10 +197,16 @@ def membership_filter(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_prune(probe: DataFrame, probe_col: str, filt: DataFrame) -> DataFrame:
-    """Scan-local membership prefilter on ``probe`` (broadcast ≤64-row
-    bitmap join + bit test); keeps all true members plus ~1/64 noise."""
-    bucket = F.pmod(F.xxhash64(F.col(probe_col)), F.lit(_BLOOM_BITS))
+def bloom_prune(
+    probe: DataFrame,
+    probe_col: str,
+    filt: DataFrame,
+    bits: int = _BLOOM_BITS_MIN,
+) -> DataFrame:
+    """Scan-local membership prefilter on ``probe`` (broadcast bitmap
+    join + bit test); keeps all true members plus ~n_keys/bits noise.
+    ``bits`` must match the value the filter was built with."""
+    bucket = F.pmod(F.xxhash64(F.col(probe_col)), F.lit(bits))
     probed = probe.withColumn("_word", (bucket / 64).cast("long")).withColumn(
         "_bit", (bucket % 64).cast("int")
     )
@@ -196,16 +226,23 @@ def bloom_prune(probe: DataFrame, probe_col: str, filt: DataFrame) -> DataFrame:
     "FROM lineitem l JOIN elig e ON l.l_orderkey = e.o_orderkey "
     "GROUP BY 1",
     doc="Bloom-pruned shuffle join (J8): when BOTH join sides are too "
-    "big to broadcast, the selective side's keys are compressed into a "
-    "4096-bit membership bitmap (≤64 rows — broadcast for free) and "
-    "the big probe side is filtered scan-local BEFORE its exchange; "
-    "the exact join then removes the bitmap's false positives, so the "
+    "big to broadcast, the selective side's keys are compressed into "
+    "a membership bitmap (bits/64 rows — broadcast for free) and the "
+    "big probe side is filtered scan-local BEFORE its exchange; the "
+    "exact join then removes the bitmap's false positives, so the "
     "result is bit-identical to the plain join (the oracle IS the "
     "plain join). This is Spark's runtime-bloom-filter rewrite made "
     "explicit and portable: with orders filtered to >400k total price "
     "(~2% of keys), ~97% of lineitem rows never enter the shuffle. "
-    "Plan contract (tests/test_plan_contracts.py) pins the bit-test "
-    "filter below the exchange on the probe side.",
+    "The bitmap is SIZED from the build side's measured cardinality "
+    "(approx_count_distinct scalar — one column-pruned pass over the "
+    "small side) with 8x headroom, ADVICE.md r7: a fixed 4096-bit map "
+    "saturates at a few thousand build keys and prunes nothing; sized "
+    "bits keep the expected pass-through rate <=1/8 up to the 2^22 "
+    "clamp (512 KiB broadcast), beyond which saturation is gradual "
+    "and documented (n/bits per probe row). Plan contract "
+    "(tests/test_plan_contracts.py) pins the bit-test filter below "
+    "the exchange on the probe side.",
 )
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -213,9 +250,13 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     elig = o.filter(F.col("o_totalprice") > 400000).select(
         "o_orderkey", "o_orderpriority"
     )
-    filt = membership_filter(elig, "o_orderkey")
+    n_keys = elig.agg(
+        F.approx_count_distinct("o_orderkey").alias("n")
+    ).first()["n"]
+    bits = sized_bloom_bits(n_keys)
+    filt = membership_filter(elig, "o_orderkey", bits)
     pruned = bloom_prune(
-        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", filt
+        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", filt, bits
     )
     # Exact join: false positives from the 4096-bit filter die here.
     # hint("merge") pins a shuffle join so the contract "prefilter sits

@@ -186,7 +186,6 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Edit-distance near-dup with banded length blocking
 # ---------------------------------------------------------------------------
 
-_ED_PREFIX = 60      # compare the first 60 chars
 _ED_MAX_DIST = 8     # pair threshold
 _ED_BAND = 20        # n_chars // 20 length bands
 _ED_BLOCK_CAP = 50   # drop (lang, band) blocks bigger than this
@@ -203,27 +202,33 @@ _ED_BLOCK_CAP = 50   # drop (lang, band) blocks bigger than this
     "probes AS (SELECT doc_id, lang, text, band, "
     "  unnest([band - 1, band, band + 1]) AS probe FROM kept) "
     "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, "
-    f"CAST(levenshtein(substring(a.text, 1, {_ED_PREFIX}), "
-    f"  substring(b.text, 1, {_ED_PREFIX})) AS BIGINT) AS dist "
+    "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
     "FROM probes a JOIN kept b "
     "ON a.lang = b.lang AND a.probe = b.band AND a.doc_id < b.doc_id "
-    f"WHERE levenshtein(substring(a.text, 1, {_ED_PREFIX}), "
-    f"  substring(b.text, 1, {_ED_PREFIX})) <= {_ED_MAX_DIST}",
+    f"WHERE levenshtein(a.text, b.text) <= {_ED_MAX_DIST}",
     doc="Edit-distance near-dup detection (X25): pairs of same-"
-    "language documents whose 60-char prefixes are within Levenshtein "
+    "language documents whose FULL text is within Levenshtein "
     "distance 8 — the character-level near-dup class (typo edits, "
     "small insertions) that token-SET methods (minhash/simhash/"
     "jaccard) are blind to. Quadratic-pair blow-up is contained by "
     "banded length blocking: candidates must share (lang, "
     "n_chars÷20-band) with each left doc probing its own and both "
-    "adjacent bands (an edit moves length only a few chars, so true "
-    "pairs stay within ±1 band — each pair tested at most once since "
-    "the right side's band is fixed), and blocks larger than 50 docs "
-    "are dropped entirely (the jaccard/contamination df-cap stance: "
-    "an over-dense band is boilerplate, not near-duplication — "
-    "documented recall trade). Join output is O(Σ block²) with "
-    "block ≤ cap ⇒ O(corpus · cap), linear; the O(prefix²) DP runs "
-    "post-join inside codegen on the surviving candidates only.",
+    "adjacent bands — and because edit distance >= length difference "
+    "(pigeonhole), any true pair differs by <=8 chars < the 20-char "
+    "band width, so ±1 probing is COMPLETE: zero recall gap (r8, "
+    "ADVICE.md r7 — the prior prefix-60 scoring banded on full "
+    "length, silently missing prefix-equal/length-divergent pairs; "
+    "scoring the full string makes band and score the same metric). "
+    "Each pair is tested at most once since the right side's band is "
+    "fixed, and blocks larger than 50 docs are dropped entirely (the "
+    "jaccard/contamination df-cap stance: an over-dense band is "
+    "boilerplate, not near-duplication — documented trade). Join "
+    "output is O(Σ block²) with block ≤ cap ⇒ O(corpus · cap), "
+    "linear; the DP runs post-join on surviving candidates only, "
+    "THRESHOLD-BOUNDED on the engine side (Spark's 3-arg "
+    "levenshtein: O(threshold·len) banded DP, not O(len²)) — the "
+    "oracle's unbounded levenshtein agrees wherever dist <= 8 by "
+    "definition.",
 )
 def q_llm_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_pairs(load_table(spark, sf_dir, "documents"))
@@ -241,7 +246,7 @@ def editdist_pairs(d: DataFrame) -> DataFrame:
     banded = d.select(
         "doc_id",
         "lang",
-        F.substring("text", 1, _ED_PREFIX).alias("prefix"),
+        "text",
         (F.col("n_chars") / _ED_BAND).cast("long").alias("band"),
     )
     blocks = (
@@ -254,13 +259,16 @@ def editdist_pairs(d: DataFrame) -> DataFrame:
     probes = kept.select(
         "doc_id",
         "lang",
-        "prefix",
+        "text",
         F.explode(
             F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
         ).alias("probe"),
     )
     a, b = probes.alias("a"), kept.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # Threshold-bounded DP: O(threshold·len) per candidate, returns -1
+    # past the threshold — equal to the unbounded distance whenever it
+    # matters (dist <= _ED_MAX_DIST).
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), _ED_MAX_DIST)
     return (
         a.join(
             b,
@@ -268,7 +276,7 @@ def editdist_pairs(d: DataFrame) -> DataFrame:
             & (F.col("a.probe") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= _ED_MAX_DIST)
+        .filter(dist >= 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

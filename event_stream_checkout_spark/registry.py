@@ -114,6 +114,11 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
                           # (ADVICE.md r7 constant-series parity break)
     "llm_phrase_merges",  # rounds parquet-staged instead of
                           # localCheckpoint-pinned (r7 verdict item 3)
+    "join_bloom_prune",   # bitmap sized from build-side cardinality
+                          # (ADVICE.md r7 saturation finding)
+    "llm_editdist_dedup", # full-string threshold-bounded scoring makes
+                          # the length banding provably complete
+                          # (ADVICE.md r7 recall-gap finding)
 })
 
 

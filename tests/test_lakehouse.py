@@ -242,3 +242,57 @@ def test_bm25_matches_reference_implementation(spark):
     ]
     got = [r["doc_id"] for r in q_llm_bm25_topk(spark, SF_DIR).collect()]
     assert got == want
+
+
+def test_bloom_prune_rate_survives_large_build_side(spark):
+    """The saturation scenario from ADVICE.md r7: with ~5000 build
+    keys a FIXED 4096-bit map has ~every bit set and passes ~all
+    non-members; the sized map must keep the non-member pass-through
+    near the n/bits expectation (<=1/8 with 8x headroom, asserted
+    loosely at <=25%)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.lakehouse import (
+        bloom_prune,
+        membership_filter,
+        sized_bloom_bits,
+    )
+
+    build = spark.range(0, 5000).select(F.col("id").alias("k"))
+    # probe keys disjoint from the build side: every survivor is a
+    # false positive.
+    probe = spark.range(100000, 120000).select(F.col("id").alias("k"))
+    bits = sized_bloom_bits(5000)
+    assert bits >= 8 * 5000
+    filt = membership_filter(build, "k", bits)
+    passed = bloom_prune(probe, "k", filt, bits).count()
+    assert passed / 20000 <= 0.25, f"saturated filter: {passed}/20000 passed"
+    # and true members always pass (no false negatives)
+    members = bloom_prune(
+        spark.range(0, 5000).select(F.col("id").alias("k")), "k", filt, bits
+    ).count()
+    assert members == 5000
+
+
+def test_editdist_band_boundary_pair_found(spark):
+    """Blocking completeness (ADVICE.md r7): a true pair whose length
+    difference straddles a band boundary must still be found — edit
+    distance >= length difference, and max dist 8 < band width 20, so
+    +-1 band probing covers every true pair by pigeonhole.  Here doc A
+    (len 59, band 2) and doc B = A plus a 6-char suffix (len 65,
+    band 3) sit in adjacent bands with dist 6."""
+    base = "x" * 59
+    rows = [
+        (1, "en", base, 59),
+        (2, "en", base + "yyyyyy", 65),
+        # far-apart lengths, prefix-identical: dist 41 > 8 -> excluded
+        # under full-string scoring (the OLD prefix-60 scoring would
+        # have called this dist 0).
+        (3, "en", base + "z" * 41, 100),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    got = {(r["doc_a"], r["doc_b"], r["dist"]) for r in editdist_pairs(d).collect()}
+    assert (1, 2, 6) in got
+    assert not any(3 in (a, b) for a, b, _ in got)

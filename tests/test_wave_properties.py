@@ -94,3 +94,24 @@ def test_histogram_bucket_bounds(values, n_buckets):
     assert buckets[values.index(lo)] == 0
     if hi > lo:
         assert buckets[values.index(hi)] == n_buckets - 1
+
+
+@given(st.integers(0, 10**7))
+def test_sized_bloom_bits_headroom_and_clamps(n):
+    """Bitmap sizing (ADVICE.md r7): power-of-two, >=8x the build
+    cardinality until the 2^22 clamp, never below the 4096 floor —
+    so the expected pass-through rate n/bits stays <=1/8 for any
+    build side under ~0.5M keys and degrades gracefully past it."""
+    from event_stream_checkout_spark.operators.lakehouse import (
+        _BLOOM_BITS_MAX,
+        _BLOOM_BITS_MIN,
+        sized_bloom_bits,
+    )
+
+    bits = sized_bloom_bits(n)
+    assert _BLOOM_BITS_MIN <= bits <= _BLOOM_BITS_MAX
+    assert bits & (bits - 1) == 0  # power of two
+    if bits < _BLOOM_BITS_MAX:
+        assert bits >= 8 * n
+    # monotone in n
+    assert sized_bloom_bits(n + 1) >= bits
