@@ -346,6 +346,15 @@ def q_llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEM_THRESHOLD = 0.4  # same bar as the sign-bucket near-dup variant
+# Adversarial-clustering backstop (r7 verdict item 4, the
+# _LSH_BUCKET_CAP stance): a degenerate corpus (all vectors
+# identical, or k seeds that collapse) can put ~everything in ONE
+# cell, and cell² would be the all-pairs blow-up the cells exist to
+# prevent.  Cells bigger than the cap are dropped entirely — an
+# over-dense cell is a mass-duplication pathology better handled by
+# exact dedup than by O(cell²) cosine pairs.  Never triggers on
+# healthy clustering (k is sized for ~constant cell rows).
+_SEM_CELL_CAP = 1000
 
 _SQL_PAIR_COS = (
     "scoredp AS (SELECT p.vec_a, p.vec_b, p.cluster, "
@@ -373,8 +382,11 @@ _SQL_PAIR_COS = (
     "FROM ex JOIN a1 ON ex.vec_id = a1.vec_id GROUP BY 1, 2), "
     + _sql_assign("c1", "d2", "a2")
     + ", "
+    "cells AS (SELECT cluster FROM a2 GROUP BY 1 "
+    f"  HAVING count(*) <= {_SEM_CELL_CAP}), "
+    "a2k AS (SELECT a2.* FROM a2 JOIN cells USING (cluster)), "
     "prs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster "
-    "  FROM a2 x JOIN a2 y ON x.cluster = y.cluster "
+    "  FROM a2k x JOIN a2k y ON x.cluster = y.cluster "
     "  AND x.vec_id < y.vec_id), "
     + _SQL_PAIR_COS
     + " SELECT vec_a, vec_b, cluster, round(dot / (na * nb), 6) AS cosine "
@@ -395,11 +407,27 @@ _SQL_PAIR_COS = (
     "directly comparable. The pair join keys on the cell id (uniform "
     "after Lloyd balancing); per-pair cosine is the proven IEEE "
     "left-fold. At 100 TB, cells are the vector store's partitions — "
-    "the join is partition-local.",
+    "the join is partition-local. Adversarial clustering (everything "
+    "in one cell) is capped: cells over "
+    f"{_SEM_CELL_CAP} rows are dropped in BOTH engines (the LSH "
+    "bucket-cap stance), so O(cell²) is bounded even when Lloyd "
+    "degenerates; the k-scaling property (pair space ~constant per "
+    "cell when k grows with n) is pinned in tests/test_wave6.py.",
 )
 def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    _, a2 = kmeans_refined(e, _KM_K)
+    return semantic_pairs(e, _KM_K)
+
+
+def semantic_pairs(
+    e: DataFrame, k: int, cap: int = _SEM_CELL_CAP
+) -> DataFrame:
+    """The cell-local cosine pair plan over an embeddings frame —
+    factored out of the registered query so property tests can drive
+    it with adversarial corpora (one degenerate cell beyond ``cap``
+    must yield ZERO pairs, never O(cell²) join output) and scaled
+    (n, k) pairs."""
+    _, a2 = kmeans_refined(e, k)
 
     def dot(a, b):
         return F.aggregate(
@@ -408,6 +436,13 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # ≤k-row cell-size gate, broadcast back onto the assignment.
+    cells = (
+        a2.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .drop("_n")
+    )
     # Per-vector norm ONCE before the pair join (the same precompute
     # the sign-bucket variant uses): each pair then folds one dot, not
     # a dot plus two redundant norm folds — 3x less lambda work on the
@@ -415,6 +450,7 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double, so cosines are bit-unchanged.
     asg = (
         a2.select("vec_id", "cluster")
+        .join(F.broadcast(cells), "cluster")
         .join(e, "vec_id")
         .select(
             "vec_id",

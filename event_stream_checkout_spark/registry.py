@@ -119,6 +119,8 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "llm_editdist_dedup", # full-string threshold-bounded scoring makes
                           # the length banding provably complete
                           # (ADVICE.md r7 recall-gap finding)
+    "llm_semantic_dedup", # per-cell cap added to engine AND oracle
+                          # (r7 verdict item 4 adversarial backstop)
 })
 
 

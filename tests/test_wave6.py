@@ -311,3 +311,63 @@ def test_bigram_perplexity_scores_and_zipf_hot_pair(spark):
     assert out == {1: exp1, 2: exp2, 3: exp3}
     # doc 2 (rare continuations) must rank as the most surprising.
     assert max(out.values(), key=lambda t: t[1]) == exp2
+
+
+def test_semdedup_pair_space_constant_when_k_scales_with_n(spark):
+    """X32's scale claim, measured (r7 verdict item 4): with k sized
+    ~n/target-cell-rows, the per-cell pair space stays ~constant as
+    the corpus grows — (n=250, k=4) vs (n=500, k=8) must agree within
+    2x on pairs/cell, while keeping k FIXED at 4 for the doubled
+    corpus must blow pairs/cell up by >=3x (the quadratic the scaled
+    k prevents)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.clustering import (
+        kmeans_refined,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+
+    def pairs_per_cell(n, k):
+        sub = e.filter(F.col("vec_id") < n)
+        _, a2 = kmeans_refined(sub, k)
+        sizes = [
+            r["n"]
+            for r in a2.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return sum(s * (s - 1) // 2 for s in sizes) / k
+
+    small = pairs_per_cell(250, 4)
+    scaled = pairs_per_cell(500, 8)
+    unscaled = pairs_per_cell(500, 4)
+    assert 0.5 <= scaled / small <= 2.0, (small, scaled)
+    assert unscaled / small >= 3.0, (small, unscaled)
+
+
+def test_semdedup_oversized_cell_dropped(spark):
+    """Adversarial clustering backstop (r7 verdict item 4): a
+    degenerate corpus whose vectors all land in ONE cell beyond the
+    cap yields ZERO pairs from that cell — O(cell²) expansion is
+    structurally impossible — while a healthy small cell still
+    surfaces its near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.clustering import (
+        semantic_pairs,
+    )
+
+    # 30 near-identical vectors near (1, 0) -> one dense cell; 3 more
+    # near (-1, 0) -> a small healthy cell (k=2 seeds split them).
+    rows = [(i, [1.0, 0.001 * i]) for i in range(30)]
+    rows += [(100 + i, [-1.0, 0.001 * i]) for i in range(3)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cap 10: the 30-vector cell is dropped, the 3-vector cell kept.
+    got = semantic_pairs(e, 2, cap=10).collect()
+    ids = {v for r in got for v in (r["vec_a"], r["vec_b"])}
+    assert ids and ids <= {100, 101, 102}, ids
+    # sanity: uncapped, the dense cell would emit hundreds of pairs.
+    assert len(semantic_pairs(e, 2, cap=1000).collect()) > 100
