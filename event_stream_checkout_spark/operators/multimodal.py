@@ -83,13 +83,52 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
     )
 
 
+def decode_wav(content: bytes):
+    """REAL audio decode for RIFF/WAVE PCM via stdlib ``wave`` (r7
+    verdict item 5 — no new dependency class): returns (sample_rate,
+    n_channels, int64 numpy array of interleaved samples).  8-bit PCM
+    is unsigned-centered (−128), 16-bit is little-endian signed —
+    the two layouts the WAV spec mandates for integer PCM.  Other
+    sample widths / compressed codecs stay behind the contracted
+    NotImplementedError."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"only 8/16-bit integer PCM WAV is supported (got "
+            f"sampwidth={sw})"
+        )
+    return sr, ch, samples
+
+
+def is_wav(content: bytes) -> bool:
+    return content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+
+
 def decode_audio(content: bytes, fake: bool = False) -> float:
-    """Stub decoder: returns duration seconds."""
+    """Audio decode: duration in seconds.  Real path handles WAV PCM
+    (stdlib ``wave``); the deterministic fake remains the oracle path
+    for the synthetic text-payload corpus."""
     if fake:
         return len(content) / 1000.0
+    if is_wav(content):
+        sr, ch, samples = decode_wav(content)
+        return (len(samples) // ch) / float(sr)
     raise NotImplementedError(
-        "audio decoding requires an audio library — pass fake=True "
-        "for the deterministic test double"
+        "non-WAV audio decoding requires an audio library — pass "
+        "fake=True for the deterministic test double"
     )
 
 
@@ -311,21 +350,34 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_WINDOW = 256  # fake PCM samples (bytes) per analysis window
 
 
-def _audio_window_batches(batches):
-    """mapInPandas kernel: fake-PCM bytes → per-window RMS energy.
+def _audio_window_batches(batches, codec: str = "bytes"):
+    """mapInPandas kernel: PCM samples → per-window RMS energy.
 
-    The fake decode treats each payload byte as one unsigned 8-bit
-    sample (real audio swaps in a proper codec without touching the
-    plan).  RMS per window = sqrt(mean(sample²)) — integer sums, one
-    exact double division, one correctly-rounded sqrt, so the oracle
-    reproduces it bit-for-bit from the source characters."""
+    ``codec="bytes"`` is the deterministic fake (each payload byte is
+    one unsigned 8-bit sample) — the oracle path for the synthetic
+    text corpus.  ``codec="wav"`` is the REAL path: payloads are
+    RIFF/WAVE PCM parsed by stdlib ``wave`` (decode_wav; mono only —
+    windowed RMS of interleaved channels would mix channels within a
+    window).  Both paths feed the SAME windowing/RMS math: integer
+    sums, one exact double division, one correctly-rounded sqrt —
+    the codec swaps without touching the plan, which is the whole
+    point of the kernel contract."""
     import numpy as np
     import pandas as pd
 
     for pdf in batches:
         rows = []
         for media_id, content in zip(pdf["media_id"], pdf["content"]):
-            samples = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+            if codec == "wav":
+                _sr, ch, samples = decode_wav(bytes(content))
+                if ch != 1:
+                    raise NotImplementedError(
+                        "windowed RMS expects mono WAV (downmix first)"
+                    )
+            else:
+                samples = np.frombuffer(content, dtype=np.uint8).astype(
+                    np.int64
+                )
             for w in range(0, len(samples), AUDIO_WINDOW):
                 chunk = samples[w : w + AUDIO_WINDOW]
                 rms = math.sqrt(
@@ -340,6 +392,16 @@ def _audio_window_batches(batches):
 _AUDIO_SCHEMA = (
     "media_id long, window_idx long, n_samples long, rms double"
 )
+
+
+def audio_windows(media: DataFrame, codec: str = "bytes") -> DataFrame:
+    """Windowed-RMS over a (media_id, content) frame with a pluggable
+    codec — ``"bytes"`` (deterministic fake, oracle path) or ``"wav"``
+    (real RIFF/WAVE PCM via stdlib wave).  Same plan either way:
+    Arrow-batched mapInPandas, windows partition-local, no shuffle."""
+    return media.mapInPandas(
+        lambda it: _audio_window_batches(it, codec), _AUDIO_SCHEMA
+    )
 
 
 @register(
@@ -370,4 +432,4 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_df(spark, sf_dir).filter(F.col("meta.kind") == "audio").select(
         "media_id", "content"
     )
-    return m.mapInPandas(_audio_window_batches, _AUDIO_SCHEMA)
+    return audio_windows(m, codec="bytes")

@@ -121,6 +121,9 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
                           # (ADVICE.md r7 recall-gap finding)
     "llm_semantic_dedup", # per-cell cap added to engine AND oracle
                           # (r7 verdict item 4 adversarial backstop)
+    "multimodal_audio_windows",  # kernel gained the real-WAV codec
+                          # path (r7 verdict item 5); bytes path is
+                          # code-identical but routed via audio_windows
 })
 
 
