@@ -235,6 +235,29 @@ def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
+    paths = session_paths(e)
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+def session_paths(e: DataFrame) -> DataFrame:
+    """(user_id, sess_id, path) gap-sessionized frame — factored out
+    of the registered query so the streaming equivalence test can pin
+    the batch sessionizer row-identical to its ``session_window``
+    streaming twin (tests/test_streaming.py, the T9 pattern).
+    Boundary semantics: an event at EXACTLY prev_ts + gap stays in
+    the session here (strict > opens a new one), matching
+    ``session_window``'s half-open [start, last+gap) eviction only up
+    to that measure-zero boundary — the equivalence test runs on the
+    microsecond-timestamped corpus where exact-gap collisions don't
+    occur."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
     new_sess = (
@@ -249,7 +272,7 @@ def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = e.withColumn("sess_id", sess_id)
-    paths = sessions.groupBy("user_id", "sess_id").agg(
+    return sessions.groupBy("user_id", "sess_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -259,15 +282,6 @@ def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ">",
         ).alias("path")
-    )
-    return (
-        paths.groupBy("path")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-        .orderBy(F.col("n_sessions").desc(), "path")
-        .limit(_PATH_TOPK)
     )
 
 

@@ -124,6 +124,8 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "multimodal_audio_windows",  # kernel gained the real-WAV codec
                           # path (r7 verdict item 5); bytes path is
                           # code-identical but routed via audio_windows
+    "evt_session_paths",  # per-session frame factored into
+                          # session_paths for the streaming twin test
 })
 
 

@@ -813,3 +813,77 @@ def test_stream_stream_interval_join_matches_graded_batch(spark, tmp_path):
         for r in q_stream_interval_join(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_session_paths_batch_matches_session_window_stream(spark, tmp_path):
+    """E4's batch gap-sessionizer (lag + boundary prefix-sum) is
+    row-identical to its TRUE-streaming twin: a watermarked
+    ``session_window`` aggregation over a readStream of the same
+    events, drained with availableNow (the T9 two-form pattern, r7
+    verdict item 7).  A far-future sentinel event advances the global
+    watermark past every real session so append mode flushes them all;
+    the sentinel's own session is excluded from the compare.  This is
+    the contract that makes the batch grading transferable to a live
+    sessionization deployment."""
+    from collections import Counter
+
+    from event_stream_checkout_spark.operators.events_analytics import (
+        _SESSION_GAP_MIN,
+        session_paths,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "flush", max_ts + dt.timedelta(hours=10))],
+        "user_id long, event_id long, event_type string, ts timestamp_ntz",
+    )
+    events_dir = str(tmp_path / "events")
+    events.unionByName(sentinel).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        # Watermarks require TIMESTAMP (session tz pinned UTC -> the
+        # cast is a pure retag of the NTZ wall time).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", f"{_SESSION_GAP_MIN} minutes"),
+        "user_id",
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sesspaths")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = Counter(
+        (r["user_id"], r["path"])
+        for r in spark.sql(
+            "SELECT user_id, path FROM sesspaths WHERE user_id >= 0"
+        ).collect()
+    )
+    want = Counter(
+        (r["user_id"], r["path"]) for r in session_paths(events).collect()
+    )
+    assert got == want and len(want) > 0
