@@ -1,0 +1,205 @@
+"""Relational surface, wave 7: the three classic decision-support
+shapes the inventory still lacked — order-count distribution (TPC-H
+Q13 shape), correlated small-quantity revenue (Q17 shape), and the
+double-existential "only failing supplier" query (Q21 shape), each
+DECORRELATED into set-oriented aggregates + joins (the rewrite Catalyst
+cannot always do for you, and the one that matters at 100 TB: a
+correlated per-row subquery is a join in disguise — expressed as an
+explicit per-key aggregate it shuffles once and broadcasts nothing).
+
+These extend the reference's order-lifecycle analytics (the
+check-the-orders-table verification loop,
+/root/reference/src/order_processor/check_db.py:33-43) to the
+fleet-level questions an operator asks of the same tables: how are
+orders distributed per customer, which small orders bleed revenue,
+which supplier is the unique bottleneck on multi-supplier orders.
+
+Cross-engine policy: counts are BIGINT; revenue sums go through the
+dsum fixed-point policy; the Q17 threshold (0.2 x per-part avg) is the
+same quantized-avg expression tree on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A13: per-customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_custdist",
+    oracle="WITH per_cust AS (SELECT c.c_custkey, "
+    "CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "AND o.o_orderpriority <> '1-URGENT' GROUP BY 1) "
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+    "FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC",
+    doc="Order-count distribution (A13, TPC-H Q13 shape): how many "
+    "customers placed exactly N qualifying orders — INCLUDING the "
+    "zero-order customers, which is why the join is LEFT OUTER with "
+    "the priority predicate in the JOIN condition (in WHERE it would "
+    "silently turn the join inner and drop the zero bucket — the "
+    "classic Q13 trap). Two collapsing aggregates: per-customer "
+    "count (uniform c_custkey shuffle), then the tiny distinct-count "
+    "distribution; count(o_orderkey) counts non-null matches only. "
+    "Deterministic total order by (custdist, c_count) both DESC.",
+)
+def q_agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    j = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14: small-quantity-order revenue (TPC-H Q17 shape, decorrelated)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#13"
+
+
+@register(
+    "agg_small_qty_revenue",
+    oracle="WITH pa AS (SELECT l_partkey, "
+    f"{sql_davg('l_quantity')} AS avg_qty "
+    "FROM lineitem GROUP BY 1), "
+    "hits AS (SELECT l.l_extendedprice FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey "
+    f"AND p.p_brand = '{_Q17_BRAND}' "
+    "JOIN pa ON l.l_partkey = pa.l_partkey "
+    "WHERE l.l_quantity < 0.2 * pa.avg_qty) "
+    f"SELECT round({sql_dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly, "
+    "CAST(count(*) AS BIGINT) AS n_small FROM hits",
+    doc="Small-quantity-order revenue (A14, TPC-H Q17 shape): revenue "
+    "locked in orders below 20% of a part's own average quantity — "
+    "the canonical CORRELATED scalar subquery, implemented "
+    "DECORRELATED: the per-part average is ONE explicit aggregate "
+    "over lineitem (map-side partials on the uniform l_partkey), "
+    "joined back instead of re-evaluated per probe row; the brand "
+    "filter joins the dimension-sized part table (AQE picks the "
+    "strategy — no forced broadcast, part scales with the catalog). "
+    "The 0.2*avg threshold is the identical quantized-avg expression "
+    "tree on both engines, so the float comparison agrees bitwise. "
+    "At 100 TB this is two lineitem scans (avg leg column-pruned to "
+    "(partkey, quantity)) — the decorrelation price, vs a per-row "
+    "subquery that is quadratic or a rewrite you hope the optimizer "
+    "finds.",
+)
+def q_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    hits = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return hits.agg(
+        F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10: unique-bottleneck supplier (TPC-H Q21 shape, decorrelated)
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 60
+_Q21_TOPK = 20
+
+
+@register(
+    "join_waiting_supplier",
+    oracle="WITH lo AS (SELECT l.l_orderkey, l.l_suppkey, "
+    f"(l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY) AS late "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "per_order AS (SELECT l_orderkey, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, "
+    "CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT) "
+    "AS n_late_supp FROM lo GROUP BY 1), "
+    "blamed AS (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey FROM lo "
+    "JOIN per_order po ON lo.l_orderkey = po.l_orderkey "
+    "WHERE lo.late AND po.n_supp > 1 AND po.n_late_supp = 1) "
+    "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey "
+    f"GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT {_Q21_TOPK}",
+    doc="Unique-bottleneck supplier (J10, TPC-H Q21 shape): suppliers "
+    "who shipped late (> 60 days after the order date) on "
+    "multi-supplier orders where NO OTHER supplier was late — Q21's "
+    "EXISTS + NOT EXISTS pair, DECORRELATED into one per-order "
+    "aggregate (distinct suppliers, distinct LATE suppliers) joined "
+    "back: the double correlated existential becomes the predicate "
+    "n_supp > 1 AND n_late_supp = 1 on a #orders-sized frame. Plan: "
+    "the lineitem-orders join shuffles on the uniform orderkey and "
+    "that partitioning is REUSED by the per-order aggregate and the "
+    "blame join (co-located, no re-exchange); the supplier name join "
+    "is dimension-sized; final ranking is a TakeOrdered heap, no "
+    "global sort. The '+60 days' lateness stands in for TPC-H's "
+    "receipt-vs-commit dates, which this corpus does not carry.",
+)
+def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS)
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(_Q21_TOPK)
+    )

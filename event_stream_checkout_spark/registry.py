@@ -164,6 +164,7 @@ def load_all() -> dict[str, Query]:
         relational3,
         relational4,
         relational5,
+        relational6,
         scalar_fns,
         streaming_analogues,
         windows,

@@ -1,0 +1,105 @@
+"""Wave-7 decision-support semantics: the Q13 zero-bucket trap, Q17's
+correlated threshold, and Q21's double-existential blame rules — on
+crafted inputs where the right answer is computed by hand.  Oracle
+parity (tests/test_parity.py) pins cross-engine equality; these pin
+the SEMANTIC claims the docstrings make.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+
+from event_stream_checkout_spark.operators.relational6 import (
+    q_agg_custdist,
+    q_agg_small_qty_revenue,
+    q_join_waiting_supplier,
+)
+
+
+def _write(tmp_path, name, pdf):
+    sf_dir = str(tmp_path / "sfx")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return sf_dir
+
+
+def test_custdist_counts_zero_order_customers(spark, tmp_path):
+    """The Q13 trap: the priority predicate must live in the JOIN
+    condition so customers with no qualifying orders land in the
+    c_count=0 bucket instead of vanishing."""
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12],
+            "o_custkey": [1, 1, 2],
+            "o_orderpriority": ["2-HIGH", "3-MEDIUM", "1-URGENT"],
+        }
+    )
+    sf = _write(tmp_path, "customer", cust)
+    _write(tmp_path, "orders", orders)
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in q_agg_custdist(spark, sf).collect()
+    }
+    # cust 1: 2 qualifying; cust 2: only an URGENT order -> 0 bucket;
+    # cust 3, 4: no orders -> 0 bucket.
+    assert got == {2: 1, 0: 3}
+
+
+def test_small_qty_revenue_threshold_is_per_part(spark, tmp_path):
+    """Q17's correlated threshold: each lineitem compares against ITS
+    part's average quantity, not a global one."""
+    part = pd.DataFrame(
+        {"p_partkey": [1, 2], "p_brand": ["Brand#13", "Brand#13"]}
+    )
+    # part 1: quantities 10,10,10,50 -> avg 20, threshold 4 -> the
+    # qty-3 row qualifies (30.0 revenue).  part 2: avg 100 ->
+    # threshold 20 -> the qty-15 row qualifies (70.0).
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 1, 1, 2, 2, 2],
+            "l_quantity": [10.0, 10.0, 10.0, 47.0, 3.0, 185.0, 15.0, 100.0],
+            "l_extendedprice": [1.0, 1.0, 1.0, 1.0, 30.0, 1.0, 70.0, 1.0],
+        }
+    )
+    sf = _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", li)
+    row = q_agg_small_qty_revenue(spark, sf).collect()[0]
+    assert row["n_small"] == 2
+    assert row["avg_yearly"] == round((30.0 + 70.0) / 7.0, 6)
+
+
+def test_waiting_supplier_blame_rules(spark, tmp_path):
+    """Q21's double existential: blame requires (a) this supplier late,
+    (b) another supplier on the order, (c) NO other supplier late."""
+    d0 = dt.date(2024, 1, 1)
+    late = d0 + dt.timedelta(days=90)
+    ok = d0 + dt.timedelta(days=10)
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_orderdate": [d0] * 4}
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+            "l_suppkey": [101, 102, 101, 102, 101, 103, 103],
+            # order 1: supp 101 late, 102 on time -> 101 blamed.
+            # order 2: both late -> nobody blamed.
+            # order 3: single-supplier late -> not blamed (no peer).
+            # order 4: same supplier twice, late -> still single supp.
+            "l_shipdate": [late, ok, late, late, late, late, late],
+        }
+    )
+    supp = pd.DataFrame(
+        {"s_suppkey": [101, 102, 103], "s_name": ["s101", "s102", "s103"]}
+    )
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", supp)
+    got = {
+        (r["s_name"], r["numwait"])
+        for r in q_join_waiting_supplier(spark, sf).collect()
+    }
+    assert got == {("s101", 1)}
