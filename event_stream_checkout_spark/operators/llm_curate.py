@@ -458,3 +458,83 @@ def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     return pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id").select(
         "doc_id", "deg", "pr"
     )
+
+
+# ---------------------------------------------------------------------------
+# X33: duplicate-span coverage (verbatim cross-doc duplication signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # word-8-gram spans: long enough to mean verbatim reuse
+
+
+@register(
+    "llm_dup_span_coverage",
+    oracle="WITH spans AS (SELECT d.doc_id, "
+    f"unnest(list_transform(generate_series(1, "
+    f"len(string_split(d.text, ' ')) - {_SPAN_W - 1}), "
+    "i -> array_to_string(string_split(d.text, ' ')"
+    f"[i:i + {_SPAN_W - 1}], ' '))) AS gram "
+    f"FROM documents d WHERE len(string_split(d.text, ' ')) >= {_SPAN_W}), "
+    "tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf "
+    "FROM spans GROUP BY 1, 2), "
+    "df AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM tf GROUP BY 1), "
+    "doc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_spans, "
+    "CAST(sum(CASE WHEN df.n_docs >= 2 THEN tf.tf ELSE 0 END) AS BIGINT) "
+    "AS n_dup FROM tf JOIN df USING (gram) GROUP BY 1) "
+    "SELECT doc_id, n_spans, n_dup, "
+    "round(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_frac "
+    "FROM doc WHERE n_dup > 0",
+    doc="Duplicate-span coverage (X33): for every document, the "
+    "fraction of its word-8-gram POSITIONS whose exact span also "
+    "appears in at least one OTHER document — the verbatim-reuse "
+    "signal behind substring-level train-set dedup (Lee et al., "
+    "'Deduplicating Training Data Makes Language Models Better': "
+    "memorization tracks exact repeated spans, which document-level "
+    "minhash misses when only a paragraph is copied). Positions are "
+    "weighted (a doc that repeats a shared span 5x has 5 duplicated "
+    "positions), which is why the per-doc rollup sums tf, not "
+    "distinct grams. Distributed shape — three collapsing aggregates "
+    "and one 1:1 join, NO pair expansion anywhere: spans are built "
+    "scan-locally (transform over the token array), pre-collapsed to "
+    "(doc, gram, tf) on the uniform composite key (zipf hardening: a "
+    "boilerplate span crosses the gram shuffle once per containing "
+    "doc), gram document-frequency derives from THAT frame (gram-"
+    "keyed collapse), and the df table joins back on the gram hash — "
+    "per-row flag, bounded output, so no df cap is needed (contrast "
+    "llm_ngram_jaccard, whose gram join PAIRS docs and must cap). "
+    "Docs shorter than 8 words have no spans and drop out in both "
+    "engines; only docs with n_dup > 0 are emitted (the actionable "
+    "set).",
+)
+def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (_SPAN_W - 1)),
+        lambda i: F.array_join(
+            F.slice(F.col("_w"), i, _SPAN_W), " "
+        ),
+    )
+    spans = d.select("doc_id", F.explode(gram).alias("gram"))
+    tf = spans.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    doc = (
+        tf.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("tf")).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return doc.filter(F.col("n_dup") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_spans"), 6
+        ).alias("dup_frac"),
+    )

@@ -103,3 +103,41 @@ def test_waiting_supplier_blame_rules(spark, tmp_path):
         for r in q_join_waiting_supplier(spark, sf).collect()
     }
     assert got == {("s101", 1)}
+
+
+def test_dup_span_coverage_positions_and_cross_doc_rule(spark, tmp_path):
+    """X33 on a crafted corpus: only spans shared ACROSS docs count,
+    positions are tf-weighted (an in-doc repeat of a shared span adds
+    positions), an 8-word phrase repeated only WITHIN one doc does not
+    count, and short docs (<8 words) are absent."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        # doc 1: shared phrase + 2 extra words -> 3 spans, 1 dup.
+        (1, shared + " one two", "en", "s", 0),
+        # doc 2: shared phrase twice (16 words) -> 9 spans; the
+        # shared 8-gram occurs at positions 1 and 9 (tf=2), both
+        # duplicated cross-doc.
+        (2, shared + " " + shared, "en", "s", 0),
+        # doc 3: its own 8-word phrase repeated twice -> in-doc dup
+        # only, no OTHER doc has it -> absent (n_dup = 0).
+        (3, "p q r s t u v w p q r s t u v w", "en", "s", 0),
+        # doc 4: 7 words -> no spans at all.
+        (4, "a b c d e f g", "en", "s", 0),
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_dup_span_coverage,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup"], r["dup_frac"])
+        for r in q_llm_dup_span_coverage(spark, sf).collect()
+    }
+    assert got == {
+        1: (3, 1, round(1 / 3, 6)),
+        2: (9, 2, round(2 / 9, 6)),
+    }
