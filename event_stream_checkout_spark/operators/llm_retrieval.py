@@ -356,18 +356,42 @@ def _sql_bpe_oracle() -> str:
     "localCheckpoint-pinned (they must survive the cleanup).",
 )
 def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out, _ = bpe_rounds(spark, d, rewrite_last=False, tag="train")
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def bpe_rounds(
+    spark: SparkSession,
+    d: DataFrame,
+    rewrite_last: bool,
+    tag: str,
+) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE merge loop, shared by the trainer (X29 — merge table
+    only, last rewrite skipped) and the encoder (X34 — applies ALL
+    rounds and returns the rewritten corpus).  Returns ([per-round
+    1-row winner frames], final corpus frame).  Rounds are
+    parquet-staged (r8); when ``rewrite_last`` the final corpus stays
+    ON DISK in the last stage dir (pinned by the filesystem, not
+    executor storage) and earlier stages are cleaned."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_bpe_{tag}")
+    ptag = (
+        f"{hashlib.md5(repr(sorted(d.columns)).encode()).hexdigest()[:4]}"
+        f"_{os.getpid()}_{tag}"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"ecs_bpe_{ptag}")
     shutil.rmtree(root, ignore_errors=True)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = []
     cur = d
+    last_stage = None
     for r in range(1, _BPE_ROUNDS + 1):
         toks = F.split("text", " ", -1)
         n = F.size(toks)
@@ -391,11 +415,11 @@ def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         out.append(best.select(F.lit(r).alias("round"), "pair", "cnt"))
-        if r == _BPE_ROUNDS:
-            # The last round's merge result is never read — skip the
-            # final corpus rewrite + checkpoint (1/3 of the rewrite
-            # cost at 3 rounds).
+        if r == _BPE_ROUNDS and not rewrite_last:
+            # The trainer never reads the last round's merge result —
+            # skip the final corpus rewrite (1/3 of the rewrite cost).
             break
+        passthrough = [c for c in cur.columns if c not in ("doc_id", "text")]
         rewritten = cur.crossJoin(F.broadcast(best.select("pair"))).select(
             "doc_id",
             F.trim(
@@ -409,17 +433,19 @@ def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("text"),
+            *passthrough,
         )
         stage = os.path.join(root, f"round_{r}")
         rewritten.write.mode("overwrite").parquet(stage)
         cur = spark.read.parquet(stage)
-    # Everything the result needs (the 1-row winners) is pinned in
-    # executor storage; the staged corpora can go.
-    shutil.rmtree(root, ignore_errors=True)
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+        if last_stage:
+            shutil.rmtree(last_stage, ignore_errors=True)
+        last_stage = stage
+    if not rewrite_last:
+        # Everything the result needs (the 1-row winners) is pinned in
+        # executor storage; the staged corpora can go.
+        shutil.rmtree(root, ignore_errors=True)
+    return out, cur
 
 
 # ---------------------------------------------------------------------------
@@ -676,4 +702,74 @@ def q_llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.orderBy(xent.desc(), "doc_id")
         .limit(_PPL_TOPK)
         .select("doc_id", "n_big", F.round(xent, 6).alias("xent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X34: BPE encode — apply the learned merge table to the corpus
+# ---------------------------------------------------------------------------
+
+
+def _sql_bpe_encode_oracle() -> str:
+    """The trainer's unrolled CTE chain, extended through the FINAL
+    rewrite, with per-doc before/after token counts."""
+    parts = ["docs AS (SELECT doc_id, text FROM documents)"]
+    cur = "docs"
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"p{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT unnest(list_transform(generate_series(1, "
+            f"len(string_split(text, ' ')) - 1), "
+            f"i -> string_split(text, ' ')[i] || ' ' || "
+            f"string_split(text, ' ')[i + 1])) AS pair FROM {cur}) GROUP BY 1)"
+        )
+        parts.append(_sql_best(f"p{r}", f"b{r}"))
+        parts.append(
+            f"m{r} AS (SELECT d.doc_id, trim(replace(' ' || d.text || ' ', "
+            f"' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '_') || ' ')) "
+            f"AS text FROM {cur} d CROSS JOIN b{r} b)"
+        )
+        cur = f"m{r}"
+    return (
+        "WITH " + ", ".join(parts) + " SELECT d.doc_id, "
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_before, "
+        f"CAST(len(string_split(m.text, ' ')) AS BIGINT) AS n_after "
+        f"FROM docs d JOIN {cur} m USING (doc_id)"
+    )
+
+
+@register(
+    "llm_bpe_encode",
+    oracle=_sql_bpe_encode_oracle(),
+    doc="BPE encode (X34): the OTHER half of the X29 trainer — apply "
+    "the learned merge table to the corpus, all rounds in learned "
+    "order (merge order is load-bearing in BPE: round 2's pair may "
+    "contain round 1's merged unit), and report per-doc token counts "
+    "before/after. n_before − n_after = merged occurrences, the "
+    "compression the vocabulary actually buys per document — the "
+    "number a tokenization pipeline budgets context windows with. "
+    "Same distributed shape as the trainer (scan-local pair zip, one "
+    "pair-vocabulary shuffle per round, broadcast 1-row winner, "
+    "parquet-staged rounds — earlier stages deleted as later ones "
+    "land, so at most one corpus copy on scratch disk); the final "
+    "corpus stays in the last stage and the count compare is one "
+    "co-partitioned join of two slim (doc_id, n) frames. In a real "
+    "deployment the merge table is learned ONCE on a sample and this "
+    "encode pass is the only corpus-wide cost — which is why its "
+    "per-round shape (zero corpus shuffles) is what matters at "
+    "100 TB.",
+)
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "n_before", F.size(F.split("text", " ", -1)).cast("long")
+        )
+    )
+    _, final = bpe_rounds(spark, d, rewrite_last=True, tag="encode")
+    return final.select(
+        "doc_id",
+        "n_before",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_after"),
     )

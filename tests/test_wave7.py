@@ -141,3 +141,31 @@ def test_dup_span_coverage_positions_and_cross_doc_rule(spark, tmp_path):
         1: (3, 1, round(1 / 3, 6)),
         2: (9, 2, round(2 / 9, 6)),
     }
+
+
+def test_bpe_encode_counts_and_merge_order(spark, tmp_path):
+    """X34 on the trainer's crafted corpus: counts reflect ALL 3
+    learned merges applied in order (round 2 merges 'b_c d', which
+    contains round 1's unit — order is load-bearing), and every doc's
+    n_before − n_after equals its merged-occurrence count."""
+    from event_stream_checkout_spark.operators.llm_retrieval import (
+        q_llm_bpe_encode,
+    )
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),    # b c -> b_c; b_c d -> b_c_d
+        (2, "b c d e", "en", "s", 7),    # both merges apply
+        (3, "x b c y", "en", "s", 7),    # only round 1 applies
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+    got = {
+        r["doc_id"]: (r["n_before"], r["n_after"])
+        for r in q_llm_bpe_encode(spark, sf).collect()
+    }
+    # round 1 merges 'b c' (3x); round 2 merges 'b_c d' (2x); round 3
+    # merges one of the remaining 1-count pairs (lexicographic best) —
+    # 'a b_c_d' from doc 1.
+    assert got == {1: (4, 1), 2: (4, 2), 3: (4, 3)}
