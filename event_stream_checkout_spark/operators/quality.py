@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dstddev, sql_dstddev
+from ..functions.numeric import davg, dstddev, sql_davg, sql_dstddev
 from ..registry import register
 from ..tables import load_table
 
@@ -137,4 +137,146 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(F.broadcast(stats), "event_type")
         .filter((F.col("sigma") > 0) & (F.abs(z) > _Z_THRESHOLD))
         .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2: schema/profile drift between ingest slices
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUTOFF = "TIMESTAMP '2001-06-01 00:00:00'"
+
+
+@register(
+    "dq_schema_drift",
+    oracle="WITH w AS (SELECT "
+    f"CAST(count(*) FILTER (o_orderdate < {_DRIFT_CUTOFF}) AS DOUBLE) "
+    "AS rows_pre, "
+    f"CAST(count(*) FILTER (o_orderdate >= {_DRIFT_CUTOFF}) AS DOUBLE) "
+    "AS rows_post, "
+    "CAST(count(*) FILTER (o_totalprice IS NULL AND "
+    f"o_orderdate < {_DRIFT_CUTOFF}) AS DOUBLE) AS nulls_pre, "
+    "CAST(count(*) FILTER (o_totalprice IS NULL AND "
+    f"o_orderdate >= {_DRIFT_CUTOFF}) AS DOUBLE) AS nulls_post, "
+    + "{pre_mean} AS mean_pre, {post_mean} AS mean_post, ".format(
+        pre_mean=sql_davg(
+            f"CASE WHEN o_orderdate < {_DRIFT_CUTOFF} "
+            "THEN o_totalprice END"
+        ),
+        post_mean=sql_davg(
+            f"CASE WHEN o_orderdate >= {_DRIFT_CUTOFF} "
+            "THEN o_totalprice END"
+        ),
+    )
+    + "CAST(count(*) FILTER (o_orderpriority = '1-URGENT' AND "
+    f"o_orderdate < {_DRIFT_CUTOFF}) AS DOUBLE) AS urg_pre, "
+    "CAST(count(*) FILTER (o_orderpriority = '1-URGENT' AND "
+    f"o_orderdate >= {_DRIFT_CUTOFF}) AS DOUBLE) AS urg_post, "
+    "CAST(count(*) FILTER (o_orderstatus = 'O' AND "
+    f"o_orderdate < {_DRIFT_CUTOFF}) AS DOUBLE) AS open_pre, "
+    "CAST(count(*) FILTER (o_orderstatus = 'O' AND "
+    f"o_orderdate >= {_DRIFT_CUTOFF}) AS DOUBLE) AS open_post "
+    "FROM orders), "
+    "long AS ("
+    "SELECT 'rows' AS metric, rows_pre AS pre, rows_post AS post FROM w "
+    "UNION ALL SELECT 'totalprice_null_rate', "
+    "round(nulls_pre / rows_pre, 6), round(nulls_post / rows_post, 6) FROM w "
+    "UNION ALL SELECT 'totalprice_mean', round(mean_pre, 6), "
+    "round(mean_post, 6) FROM w "
+    "UNION ALL SELECT 'priority_urgent_share', "
+    "round(urg_pre / rows_pre, 6), round(urg_post / rows_post, 6) FROM w "
+    "UNION ALL SELECT 'status_open_share', "
+    "round(open_pre / rows_pre, 6), round(open_post / rows_post, 6) FROM w) "
+    "SELECT metric, pre, post, "
+    "CASE WHEN pre <> 0 THEN round((post - pre) / pre, 6) END AS rel_change "
+    "FROM long",
+    doc="Schema/profile drift monitor (V2): compare the column "
+    "profile of the post-cutoff ingest slice against the standing "
+    "pre-cutoff profile — row volume, null rate, numeric mean, and "
+    "two categorical shares — as (metric, pre, post, rel_change) "
+    "long-form rows. This is the drift detection a lake runs before "
+    "promoting a day's ingest (volume collapse, null explosion, "
+    "distribution shift all surface as rel_change outliers), the "
+    "table-level sibling of dq_constraints' invariant gate. Scale "
+    "shape: ALL ten slice-measures fuse into ONE aggregate over ONE "
+    "column-pruned scan (conditional aggregates, map-side partials, "
+    "one row crosses the network) — never one scan per metric — and "
+    "the long form is a scan-local unpivot of that single row. At "
+    "100 TB the pre-slice profile would be a standing aggregate "
+    "(incremental-MV pattern, agg_incremental_mv) and only the delta "
+    "slice is scanned; the fused-single-pass shape is identical. "
+    "Means use the engine-stable davg policy; shares are exact "
+    "count ratios; rel_change guards pre=0 with NULL (engine/oracle "
+    "identical).",
+)
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pre = F.expr(f"o_orderdate < {_DRIFT_CUTOFF}")
+    post = F.expr(f"o_orderdate >= {_DRIFT_CUTOFF}")
+    w = o.agg(
+        F.count(F.when(pre, 1)).cast("double").alias("rows_pre"),
+        F.count(F.when(post, 1)).cast("double").alias("rows_post"),
+        F.count(F.when(pre & F.col("o_totalprice").isNull(), 1))
+        .cast("double")
+        .alias("nulls_pre"),
+        F.count(F.when(post & F.col("o_totalprice").isNull(), 1))
+        .cast("double")
+        .alias("nulls_post"),
+        davg(F.when(pre, F.col("o_totalprice"))).alias("mean_pre"),
+        davg(F.when(post, F.col("o_totalprice"))).alias("mean_post"),
+        F.count(F.when(pre & (F.col("o_orderpriority") == "1-URGENT"), 1))
+        .cast("double")
+        .alias("urg_pre"),
+        F.count(F.when(post & (F.col("o_orderpriority") == "1-URGENT"), 1))
+        .cast("double")
+        .alias("urg_post"),
+        F.count(F.when(pre & (F.col("o_orderstatus") == "O"), 1))
+        .cast("double")
+        .alias("open_pre"),
+        F.count(F.when(post & (F.col("o_orderstatus") == "O"), 1))
+        .cast("double")
+        .alias("open_post"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("rows").alias("metric"),
+            F.col("rows_pre").alias("pre"),
+            F.col("rows_post").alias("post"),
+        ),
+        F.struct(
+            F.lit("totalprice_null_rate").alias("metric"),
+            F.round(F.col("nulls_pre") / F.col("rows_pre"), 6).alias("pre"),
+            F.round(F.col("nulls_post") / F.col("rows_post"), 6).alias(
+                "post"
+            ),
+        ),
+        F.struct(
+            F.lit("totalprice_mean").alias("metric"),
+            F.round(F.col("mean_pre"), 6).alias("pre"),
+            F.round(F.col("mean_post"), 6).alias("post"),
+        ),
+        F.struct(
+            F.lit("priority_urgent_share").alias("metric"),
+            F.round(F.col("urg_pre") / F.col("rows_pre"), 6).alias("pre"),
+            F.round(F.col("urg_post") / F.col("rows_post"), 6).alias("post"),
+        ),
+        F.struct(
+            F.lit("status_open_share").alias("metric"),
+            F.round(F.col("open_pre") / F.col("rows_pre"), 6).alias("pre"),
+            F.round(F.col("open_post") / F.col("rows_post"), 6).alias(
+                "post"
+            ),
+        ),
+    )
+    long = w.select(F.explode(rows).alias("m")).select(
+        "m.metric", "m.pre", "m.post"
+    )
+    return long.select(
+        "metric",
+        "pre",
+        "post",
+        F.when(
+            F.col("pre") != 0,
+            F.round((F.col("post") - F.col("pre")) / F.col("pre"), 6),
+        ).alias("rel_change"),
     )

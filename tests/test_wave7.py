@@ -169,3 +169,60 @@ def test_bpe_encode_counts_and_merge_order(spark, tmp_path):
     # merges one of the remaining 1-count pairs (lexicographic best) —
     # 'a b_c_d' from doc 1.
     assert got == {1: (4, 1), 2: (4, 2), 3: (4, 3)}
+
+
+def test_schema_drift_one_fused_scan(spark):
+    """V2's scale claim: all ten slice-measures compute in ONE
+    aggregate over ONE column-pruned orders scan — the executed plan
+    has exactly one parquet scan and one (partial+final) aggregate
+    exchange; the long form is a scan-local explode, not a union of
+    per-metric subqueries."""
+    import re
+
+    from tests.test_plan_contracts import executed_plan
+
+    plan = executed_plan(spark, "dq_schema_drift")
+    assert plan.count("Scan parquet") == 1, "per-metric rescans"
+    n_single = plan.count("Exchange SinglePartition")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_single <= 1 and n_hash == 0, (n_single, n_hash)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")} if m else set()
+    assert cols <= {
+        "o_orderdate", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    }, cols
+
+
+def test_schema_drift_values_and_zero_guard(spark, tmp_path):
+    """Crafted slices: hand-computed drift metrics, and a pre-slice
+    metric of exactly 0 yields NULL rel_change (no division blowup)."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_schema_drift,
+    )
+
+    pre_d = dt.datetime(2001, 1, 1)
+    post_d = dt.datetime(2001, 7, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderdate": pd.Series(
+                [pre_d, pre_d, post_d, post_d], dtype="datetime64[us]"
+            ),
+            "o_totalprice": [100.0, 200.0, 300.0, None],
+            # pre slice has ZERO urgent orders -> rel_change NULL.
+            "o_orderpriority": ["2-HIGH", "3-MEDIUM", "1-URGENT", "2-HIGH"],
+            "o_orderstatus": ["O", "F", "O", "O"],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    got = {
+        r["metric"]: (r["pre"], r["post"], r["rel_change"])
+        for r in q_dq_schema_drift(spark, sf).collect()
+    }
+    assert got["rows"] == (2.0, 2.0, 0.0)
+    assert got["totalprice_null_rate"] == (0.0, 0.5, None)
+    assert got["totalprice_mean"] == (150.0, 300.0, 1.0)
+    assert got["priority_urgent_share"] == (0.0, 0.5, None)
+    assert got["status_open_share"] == (0.5, 1.0, 1.0)
