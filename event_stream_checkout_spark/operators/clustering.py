@@ -487,3 +487,91 @@ def semantic_pairs(
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X35: product quantization (PQ) — the IVF-PQ coding half
+# ---------------------------------------------------------------------------
+
+_PQ_K = 4  # codewords per subspace (2 subspaces -> 16 composite codes)
+
+
+def _sql_pq_assign(ex: str, cent: str, dname: str, aname: str) -> str:
+    """_sql_assign parameterized by the (sub)space CTE name."""
+    return (
+        f"{dname} AS (SELECT {ex}.vec_id, c.cluster, SUM({_SQL_D2.replace('ex.', ex + '.')}) AS dq "
+        f"FROM {ex} JOIN {cent} c USING (dim) GROUP BY 1, 2), "
+        f"{aname} AS (SELECT vec_id, cluster, dq FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY dq, cluster) AS rn FROM {dname}) WHERE rn = 1)"
+    )
+
+
+def _sql_pq_half(tag: str, pred: str) -> str:
+    """Seeds → assign → recompute → reassign for one subspace, global
+    dim indices kept (both sides key centroids on the same dims)."""
+    return (
+        f"ex{tag} AS (SELECT * FROM ex WHERE {pred}), "
+        f"seeds{tag} AS (SELECT vec_id AS cluster, dim, val AS cval "
+        f"FROM ex{tag} WHERE vec_id < {_PQ_K}), "
+        + _sql_pq_assign(f"ex{tag}", f"seeds{tag}", f"d1{tag}", f"a1{tag}")
+        + f", c1{tag} AS (SELECT a.cluster, x.dim, {sql_davg('x.val')} AS cval "
+        f"FROM ex{tag} x JOIN a1{tag} a ON x.vec_id = a.vec_id GROUP BY 1, 2), "
+        + _sql_pq_assign(f"ex{tag}", f"c1{tag}", f"d2{tag}", f"a2{tag}")
+    )
+
+
+@register(
+    "llm_pq_code",
+    oracle=f"WITH {_SQL_EX}, "
+    "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
+    + _sql_pq_half("a", "dim < (SELECT h FROM h)")
+    + ", "
+    + _sql_pq_half("b", "dim >= (SELECT h FROM h)")
+    + " SELECT a.vec_id, a.cluster AS code_a, b.cluster AS code_b, "
+    "round((CAST(a.dq AS DOUBLE) + CAST(b.dq AS DOUBLE)) / 10000.0, 6) "
+    "AS sq_err FROM a2a a JOIN a2b b ON a.vec_id = b.vec_id",
+    doc="Product-quantization coding (X35): split each vector into 2 "
+    "subspaces, learn a 4-codeword codebook per subspace (the SAME "
+    "deterministic seeded-Lloyd round as X26, run on the half-"
+    "vectors), and code every vector as its per-subspace nearest "
+    "codewords — 16 composite codes from 2x4 centroids, the "
+    "compression that makes IVF-PQ indexes hold billion-vector "
+    "stores in RAM (Jegou et al., 'Product Quantization for Nearest "
+    "Neighbor Search': quantize subspaces independently, the "
+    "composite codebook is their cartesian product). sq_err is the "
+    "exact fixed-point reconstruction error (sum of the two "
+    "subspace distances — order-independent DECIMAL sums, engine-"
+    "exact). Distributed shape inherits X26's: per subspace the "
+    "corpus never shuffles for assignment (broadcast codebook "
+    "arrays, in-expression folds), and the final code join keys "
+    "vec_id against vec_id — two slim n-row frames. Completes the "
+    "ANN story: IVF cells (X27) partition, PQ codes compress, int8 "
+    "(X28) is the scalar alternative.",
+)
+def q_llm_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+    sub_a = e.select("vec_id", F.slice("embedding", F.lit(1), h).alias("embedding"))
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+    )
+    _, aa = kmeans_refined(sub_a, _PQ_K)
+    _, ab = kmeans_refined(sub_b, _PQ_K)
+    aa = aa.select(
+        "vec_id", F.col("cluster").alias("code_a"), F.col("dq").alias("dqa")
+    )
+    ab = ab.select(
+        "vec_id", F.col("cluster").alias("code_b"), F.col("dq").alias("dqb")
+    )
+    return aa.join(ab, "vec_id").select(
+        "vec_id",
+        "code_a",
+        "code_b",
+        F.round(
+            (F.col("dqa").cast("double") + F.col("dqb").cast("double"))
+            / F.lit(SCALE),
+            6,
+        ).alias("sq_err"),
+    )

@@ -226,3 +226,50 @@ def test_schema_drift_values_and_zero_guard(spark, tmp_path):
     assert got["totalprice_mean"] == (150.0, 300.0, 1.0)
     assert got["priority_urgent_share"] == (0.0, 0.5, None)
     assert got["status_open_share"] == (0.5, 1.0, 1.0)
+
+
+def test_pq_codes_follow_subspace_blobs(spark):
+    """X35 on crafted geometry: 4 clean blob corners per 2-dim
+    subspace, seeds exactly at the corners; every vector's code pair
+    must name its (subspace-A blob, subspace-B blob), independently
+    chosen per subspace - the defining property of product
+    quantization - and reconstruction error stays noise-sized (the
+    blob spread), orders of magnitude below the inter-blob
+    distance."""
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_pq_code,
+    )
+
+    corners = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+    rows = []
+    # seeds: vec_id 0..3 at (corner i | corner i).
+    for i, (x, y) in enumerate(corners):
+        rows.append((i, [x, y, x, y]))
+    # members: (corner i | corner (i+1)%4) with +-1 noise.
+    vid = 4
+    expected = {}
+    for i in range(4):
+        j = (i + 1) % 4
+        for n in range(3):
+            ax, ay = corners[i]
+            bx, by = corners[j]
+            noise = (n - 1) * 1.0
+            rows.append((vid, [ax + noise, ay, bx + noise, by]))
+            expected[vid] = (i, j)
+            vid += 1
+    import tempfile
+
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            f"{d}/embeddings.parquet"
+        )
+        got = {
+            r["vec_id"]: (r["code_a"], r["code_b"], r["sq_err"])
+            for r in q_llm_pq_code(spark, d).collect()
+        }
+    for vid, (ca, cb) in expected.items():
+        ga, gb, err = got[vid]
+        assert (ga, gb) == (ca, cb), (vid, got[vid])
+        assert err < 20.0, (vid, err)
