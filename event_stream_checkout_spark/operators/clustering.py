@@ -575,3 +575,194 @@ def q_llm_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X36: asymmetric-distance (ADC) top-k search over PQ codes
+# ---------------------------------------------------------------------------
+
+_ADC_TOPK = 10
+
+
+@register(
+    "llm_pq_adc_topk",
+    oracle=f"WITH {_SQL_EX}, "
+    "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
+    + _sql_pq_half("a", "dim < (SELECT h FROM h)")
+    + ", "
+    + _sql_pq_half("b", "dim >= (SELECT h FROM h)")
+    + ", luta AS (SELECT cluster, dq FROM d2a WHERE vec_id = 0), "
+    "lutb AS (SELECT cluster, dq FROM d2b WHERE vec_id = 0) "
+    "SELECT a.vec_id, "
+    "round((CAST(la.dq AS DOUBLE) + CAST(lb.dq AS DOUBLE)) / 10000.0, 6) "
+    "AS adc_dist "
+    "FROM a2a a JOIN a2b b ON a.vec_id = b.vec_id "
+    "JOIN luta la ON a.cluster = la.cluster "
+    "JOIN lutb lb ON b.cluster = lb.cluster "
+    "WHERE a.vec_id <> 0 "
+    f"ORDER BY la.dq + lb.dq, a.vec_id LIMIT {_ADC_TOPK}",
+    doc="Asymmetric-distance top-k search over PQ codes (X36): the "
+    "query half of IVF-PQ — the query vector stays EXACT while the "
+    "corpus is represented only by its X35 codes, and distance is "
+    "looked up, not computed: d(q, v) ≈ Σ_subspace "
+    "LUT_m[code_m(v)], where LUT_m holds the query's fixed-point "
+    "distance to each of the 4 codewords (2×4 = 8 scalars — the "
+    "whole per-query cost at ANY corpus size; that lookup-table "
+    "trick is why PQ search is memory-bandwidth-bound, Jegou et "
+    "al.). Engine shape: the LUTs fall out of the refiner's final "
+    "distance frame for free (the query row's 4 per-codeword "
+    "distances), broadcast onto the n-row code frame; scoring is "
+    "two broadcast-hash lookups + one integer add per vector, and "
+    "the top-k is a TakeOrdered heap — no corpus shuffle, no "
+    "per-vector float fold at query time (contrast the exact "
+    "llm_similarity_topk, which folds all d dims per vector). "
+    "Fixed-point dq sums make the ADC ranking engine-exact, "
+    "tie-broken by vec_id.",
+)
+def q_llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+    sub_a = e.select(
+        "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
+    )
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+    )
+    d2a, aa = kmeans_refined(sub_a, _PQ_K)
+    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    luta = d2a.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("la")
+    )
+    lutb = d2b.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("lb")
+    )
+    scored = (
+        aa.filter(F.col("vec_id") != 0)
+        .select("vec_id", "cluster")
+        .join(F.broadcast(luta), "cluster")
+        .select("vec_id", "la")
+        .join(
+            ab.select("vec_id", "cluster")
+            .join(F.broadcast(lutb), "cluster")
+            .select("vec_id", "lb"),
+            "vec_id",
+        )
+    )
+    return (
+        scored.orderBy((F.col("la") + F.col("lb")).asc(), "vec_id")
+        .limit(_ADC_TOPK)
+        .select(
+            "vec_id",
+            F.round(
+                (F.col("la").cast("double") + F.col("lb").cast("double"))
+                / F.lit(SCALE),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X37: ADC shortlist + exact rerank — the full IVF-PQ query path
+# ---------------------------------------------------------------------------
+
+_ADC_SHORTLIST = 50
+
+
+@register(
+    "llm_pq_rerank_topk",
+    oracle=f"WITH {_SQL_EX}, "
+    "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
+    + _sql_pq_half("a", "dim < (SELECT h FROM h)")
+    + ", "
+    + _sql_pq_half("b", "dim >= (SELECT h FROM h)")
+    + ", luta AS (SELECT cluster, dq FROM d2a WHERE vec_id = 0), "
+    "lutb AS (SELECT cluster, dq FROM d2b WHERE vec_id = 0), "
+    "short AS (SELECT a.vec_id FROM a2a a "
+    "JOIN a2b b ON a.vec_id = b.vec_id "
+    "JOIN luta la ON a.cluster = la.cluster "
+    "JOIN lutb lb ON b.cluster = lb.cluster "
+    "WHERE a.vec_id <> 0 "
+    f"ORDER BY la.dq + lb.dq, a.vec_id LIMIT {_ADC_SHORTLIST}), "
+    "exq AS (SELECT dim, val FROM ex WHERE vec_id = 0), "
+    "rr AS (SELECT x.vec_id, "
+    f"SUM({sql_quant('(x.val - qq.val) * (x.val - qq.val)')}) AS dq "
+    "FROM ex x JOIN short s ON x.vec_id = s.vec_id "
+    "JOIN exq qq ON x.dim = qq.dim GROUP BY 1) "
+    "SELECT vec_id, round(CAST(dq AS DOUBLE) / 10000.0, 6) AS dist "
+    f"FROM rr ORDER BY dq, vec_id LIMIT {_ADC_TOPK}",
+    doc="ADC shortlist + exact rerank (X37): the COMPLETE IVF-PQ "
+    "query path — the coded ADC pass (X36) surfaces a 50-candidate "
+    "shortlist at lookup-table cost, then EXACT fixed-point L2 "
+    "reranks only those 50 against the raw query vector and returns "
+    "the top 10. This split is the whole economics of PQ search "
+    "(Jegou et al. §IV): the cheap coded scan touches every vector "
+    "but reads only its 1-byte-scale codes; the expensive exact "
+    "distance touches 50 raw vectors regardless of corpus size. "
+    "Recall is governed by codebook arity (the 4-codeword toy "
+    "codebooks here bound shortlist recall exactly as nprobe bounds "
+    "IVF recall — measured in tests/test_wave7.py); production sizes "
+    "(K=256 per subspace) push it to ~1. Engine shape: the shortlist "
+    "is a TakeOrdered over the broadcast-LUT-scored code frame (no "
+    "corpus shuffle), and the rerank joins 50 vec_ids back against "
+    "the embeddings scan — a broadcast semi-join — then folds exact "
+    "per-dim quantized terms in-expression. Tie-broken by vec_id at "
+    "both stages, engine-exact end to end.",
+)
+def q_llm_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+    sub_a = e.select(
+        "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
+    )
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+    )
+    d2a, aa = kmeans_refined(sub_a, _PQ_K)
+    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    luta = d2a.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("la")
+    )
+    lutb = d2b.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("lb")
+    )
+    short = (
+        aa.filter(F.col("vec_id") != 0)
+        .select("vec_id", "cluster")
+        .join(F.broadcast(luta), "cluster")
+        .select("vec_id", "la")
+        .join(
+            ab.select("vec_id", "cluster")
+            .join(F.broadcast(lutb), "cluster")
+            .select("vec_id", "lb"),
+            "vec_id",
+        )
+        .orderBy((F.col("la") + F.col("lb")).asc(), "vec_id")
+        .limit(_ADC_SHORTLIST)
+        .select("vec_id")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    term = lambda v, c: quant(  # noqa: E731
+        (v.cast("double") - c.cast("double"))
+        * (v.cast("double") - c.cast("double"))
+    ).cast("long")
+    dq = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qv"), term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dq.alias("dq"))
+        .orderBy("dq", "vec_id")
+        .limit(_ADC_TOPK)
+        .select(
+            "vec_id",
+            F.round(F.col("dq").cast("double") / F.lit(SCALE), 6).alias(
+                "dist"
+            ),
+        )
+    )

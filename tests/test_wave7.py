@@ -273,3 +273,53 @@ def test_pq_codes_follow_subspace_blobs(spark):
         ga, gb, err = got[vid]
         assert (ga, gb) == (ca, cb), (vid, got[vid])
         assert err < 20.0, (vid, err)
+
+
+def test_pq_adc_codes_and_rerank_recall(spark):
+    """X36/X37: the coded ADC pass can only distinguish 16 composite
+    codes, so its top-10 must (a) all carry the query's own composite
+    code when >=10 vectors share it (the minimal LUT sum) and (b)
+    still touch the true L2 top-10 (>=1 — the coded pass is a
+    shortlist generator, not the answer).  The RERANK stage is where
+    recall comes from: its exact-distance top-10 over the ADC
+    shortlist must overlap the true top-10 substantially (>=3 at the
+    deliberately tiny 4-codeword codebooks; governed by codebook
+    arity exactly as IVF recall is by nprobe)."""
+    import numpy as np
+
+    from event_stream_checkout_spark.operators.clustering import (
+        _ADC_TOPK,
+        q_llm_pq_adc_topk,
+        q_llm_pq_code,
+        q_llm_pq_rerank_topk,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    q = vecs[0]
+    exact = sorted(
+        ((np.sum((v - q) ** 2), vid) for vid, v in vecs.items() if vid != 0),
+    )[:_ADC_TOPK]
+    exact_ids = {vid for _, vid in exact}
+
+    codes = {
+        r["vec_id"]: (r["code_a"], r["code_b"])
+        for r in q_llm_pq_code(spark, SF_DIR).collect()
+    }
+    adc_ids = {
+        r["vec_id"] for r in q_llm_pq_adc_topk(spark, SF_DIR).collect()
+    }
+    assert len(adc_ids) == _ADC_TOPK
+    same_code = {v for v, c in codes.items() if c == codes[0] and v != 0}
+    if len(same_code) >= _ADC_TOPK:
+        assert adc_ids <= same_code
+    assert len(adc_ids & exact_ids) >= 1
+
+    rerank_ids = {
+        r["vec_id"] for r in q_llm_pq_rerank_topk(spark, SF_DIR).collect()
+    }
+    assert len(rerank_ids & exact_ids) >= 3, (
+        f"rerank recall@10 too low: {len(rerank_ids & exact_ids)}/10"
+    )
