@@ -280,3 +280,180 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("post") - F.col("pre")) / F.col("pre"), 6),
         ).alias("rel_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V3: two-sample Kolmogorov-Smirnov drift on a numeric column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_ks_drift",
+    oracle="WITH vals AS (SELECT "
+    "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents, "
+    f"CAST(count(*) FILTER (o_orderdate < {_DRIFT_CUTOFF}) AS BIGINT) "
+    "AS n_pre, "
+    f"CAST(count(*) FILTER (o_orderdate >= {_DRIFT_CUTOFF}) AS BIGINT) "
+    "AS n_post FROM orders GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tp, "
+    "CAST(sum(n_post) AS BIGINT) AS tq FROM vals), "
+    "c AS (SELECT cents, "
+    "CAST(sum(n_pre) OVER (ORDER BY cents) AS BIGINT) AS cum_pre, "
+    "CAST(sum(n_post) OVER (ORDER BY cents) AS BIGINT) AS cum_post "
+    "FROM vals), "
+    "d AS (SELECT c.cents, c.cum_pre, c.cum_post, "
+    "abs(CAST(c.cum_pre AS HUGEINT) * t.tq - "
+    "CAST(c.cum_post AS HUGEINT) * t.tp) AS diff, t.tp, t.tq "
+    "FROM c, tot t) "
+    "SELECT round(CAST(diff AS DOUBLE) / (CAST(tp AS DOUBLE) * tq), 6) "
+    "AS d_stat, round(cents / 100.0, 2) AS at_value, tp AS n_pre, "
+    "tq AS n_post FROM d ORDER BY diff DESC, cents LIMIT 1",
+    doc="Two-sample Kolmogorov-Smirnov drift statistic (V3): the "
+    "EXACT sup-distance between the pre- and post-cutoff empirical "
+    "CDFs of o_totalprice (integer cents — the step function "
+    "evaluated at every observed value), plus the value where the "
+    "distributions diverge most. This is the distribution-shift "
+    "test behind dq_schema_drift's point metrics: a mean can stay "
+    "flat while the shape drifts; D catches it. Engine-exactness: "
+    "the sup is an INTEGER argmax — |cum_pre·N_post − cum_post·"
+    "N_pre| in DECIMAL cross-multiplication (no float CDFs until "
+    "the final rounded report), ties broken toward the smallest "
+    "value — so both engines agree bit-for-bit. Scale shape: one "
+    "scan collapses to the distinct-cents frame (uniform groupBy); "
+    "the running CDFs use the TWO-PASS bucketed prefix-sum "
+    "(quantile-seeded buckets + _cumsum_from_buckets — the only "
+    "partition-less window runs over O(#buckets) totals, never the "
+    "value frame, same contract as sort_orders); the argmax is a "
+    "TakeOrdered heap. The distinct-value frame is bounded by the "
+    "value DOMAIN (cents), not row count — the reason KS-on-"
+    "distinct-values scales where KS-on-sorted-rows would not.",
+)
+def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    pre = F.expr(f"o_orderdate < {_DRIFT_CUTOFF}")
+    vals = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100.0)
+            .cast("long")
+            .alias("cents"),
+            pre.alias("_pre"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.count(F.when(F.col("_pre"), 1)).alias("n_pre"),
+            F.count(F.when(~F.col("_pre"), 1)).alias("n_post"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq")
+    )
+    # ASCENDING bucket ids: quantile_bucketed emits descending-quantile
+    # ids (built for DESC sorts); flip so bucket order matches the
+    # ascending cents ordering the CDF needs.
+    bucketed = quantile_bucketed(vals, "cents", nb=32).withColumn(
+        "_pid", F.lit(31) - F.col("_pid")
+    )
+    c1 = (
+        _cumsum_from_buckets(
+            bucketed, [], [F.col("cents")], F.col("n_pre"), "cum_pre"
+        )
+        .drop("_run", "_off")
+        .localCheckpoint()
+    )
+    c2 = _cumsum_from_buckets(
+        c1, [], [F.col("cents")], F.col("n_post"), "cum_post"
+    )
+    d = c2.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.abs(
+            F.col("cum_pre").cast("decimal(19,0)") * F.col("tq")
+            - F.col("cum_post").cast("decimal(19,0)") * F.col("tp")
+        ).alias("diff"),
+        "tp",
+        "tq",
+    )
+    return (
+        d.orderBy(F.col("diff").desc(), "cents")
+        .limit(1)
+        .select(
+            F.round(
+                F.col("diff").cast("double")
+                / (F.col("tp").cast("double") * F.col("tq")),
+                6,
+            ).alias("d_stat"),
+            F.round(F.col("cents") / 100.0, 2).alias("at_value"),
+            F.col("tp").alias("n_pre"),
+            F.col("tq").alias("n_post"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4: chi-square homogeneity drift on a categorical column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_chi2_drift",
+    oracle="WITH cat AS (SELECT o_orderpriority AS category, "
+    f"CAST(count(*) FILTER (o_orderdate < {_DRIFT_CUTOFF}) AS BIGINT) "
+    "AS n_pre, "
+    f"CAST(count(*) FILTER (o_orderdate >= {_DRIFT_CUTOFF}) AS BIGINT) "
+    "AS n_post FROM orders GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tp, "
+    "CAST(sum(n_post) AS BIGINT) AS tq FROM cat) "
+    "SELECT c.category, c.n_pre, c.n_post, "
+    "round(("
+    "  (c.n_pre - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
+    "  * (c.n_pre - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
+    "  / (CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
+    "  + "
+    "  (c.n_post - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
+    "  * (c.n_post - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
+    "  / (CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
+    "), 6) AS contrib "
+    "FROM cat c, tot t",
+    doc="Chi-square homogeneity drift (V4): per-category contribution "
+    "to the two-sample chi-square statistic over o_orderpriority's "
+    "pre/post-cutoff distributions — expected counts from the pooled "
+    "marginals (E_ij = row_i x col_j / N), contribution "
+    "(O-E)^2/E summed over both slices per category. The categorical "
+    "sibling of the KS test (V3): KS sees shape drift in numerics, "
+    "chi-square sees share drift in categories, and per-category "
+    "contributions localize WHICH category moved (the total "
+    "statistic is their sum; df = #categories - 1). Scale: one scan "
+    "collapses to the #categories-row frame with two conditional "
+    "counts (map-side partials); the pooled totals are a broadcast "
+    "1-row cross join; everything after is scan-local arithmetic on "
+    "a dimension-sized frame. Determinism: counts are exact "
+    "integers, the float expression is the IDENTICAL tree on both "
+    "engines, rounded 1e-6.",
+)
+def q_dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pre = F.expr(f"o_orderdate < {_DRIFT_CUTOFF}")
+    cat = (
+        o.select(F.col("o_orderpriority").alias("category"), pre.alias("_p"))
+        .groupBy("category")
+        .agg(
+            F.count(F.when(F.col("_p"), 1)).alias("n_pre"),
+            F.count(F.when(~F.col("_p"), 1)).alias("n_post"),
+        )
+    )
+    tot = cat.agg(F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq"))
+    j = cat.crossJoin(F.broadcast(tot))
+    row_tot = (F.col("n_pre") + F.col("n_post")).cast("double")
+    n = F.col("tp") + F.col("tq")
+    e_pre = row_tot * F.col("tp") / n
+    e_post = row_tot * F.col("tq") / n
+    contrib = (F.col("n_pre") - e_pre) * (
+        F.col("n_pre") - e_pre
+    ) / e_pre + (F.col("n_post") - e_post) * (
+        F.col("n_post") - e_post
+    ) / e_post
+    return j.select(
+        "category", "n_pre", "n_post", F.round(contrib, 6).alias("contrib")
+    )

@@ -323,3 +323,78 @@ def test_pq_adc_codes_and_rerank_recall(spark):
     assert len(rerank_ids & exact_ids) >= 3, (
         f"rerank recall@10 too low: {len(rerank_ids & exact_ids)}/10"
     )
+
+
+def test_ks_drift_hand_computed(spark, tmp_path):
+    """V3 on crafted slices: pre = {1.00, 2.00, 3.00}, post = {2.00,
+    4.00} -> the empirical CDFs diverge most at value 3.00 where
+    F_pre = 1 and F_post = 1/2: D = 1/2, reported at the smallest
+    value achieving it."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.quality import q_dq_ks_drift
+
+    pre_d = dt.datetime(2001, 1, 1)
+    post_d = dt.datetime(2001, 7, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(5),
+            "o_orderdate": pd.Series(
+                [pre_d] * 3 + [post_d] * 2, dtype="datetime64[us]"
+            ),
+            "o_totalprice": [1.0, 2.0, 3.0, 2.0, 4.0],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    row = q_dq_ks_drift(spark, sf).collect()[0]
+    # cum at 1.00: |1*2-0*3|=2; 2.00: |2*2-1*3|=1; 3.00: |3*2-1*3|=3;
+    # 4.00: |3*2-2*3|=0.  max=3 at 3.00 -> D = 3/6 = 0.5.
+    assert (row["d_stat"], row["at_value"]) == (0.5, 3.0)
+    assert (row["n_pre"], row["n_post"]) == (3, 2)
+
+
+def test_ks_drift_no_partitionless_data_window(spark):
+    """V3 keeps the two-pass contract: the running CDFs come from
+    bucketed prefix-sums, so every sum-window over the value frame is
+    partitioned by _pid and the only partition-less windows run over
+    O(#buckets) totals."""
+    from tests.test_plan_contracts import executed_plan
+
+    plan = executed_plan(spark, "dq_ks_drift", full=True)
+    for line in plan.splitlines():
+        if "Window" in line and "cents" in line and "sum(" in line:
+            assert "_pid" in line, f"unpartitioned CDF window: {line[:160]}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chi2_drift_hand_computed(spark, tmp_path):
+    """V4 on crafted slices: category A pre-heavy, B post-heavy;
+    contributions match the (O-E)^2/E homogeneity formula computed by
+    hand from pooled marginals."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_chi2_drift,
+    )
+
+    pre_d = dt.datetime(2001, 1, 1)
+    post_d = dt.datetime(2001, 7, 1)
+    # A: 6 pre, 2 post; B: 2 pre, 6 post.  tp=8, tq=8, N=16.
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(16),
+            "o_orderdate": pd.Series(
+                [pre_d] * 6 + [post_d] * 2 + [pre_d] * 2 + [post_d] * 6,
+                dtype="datetime64[us]",
+            ),
+            "o_orderpriority": ["A"] * 8 + ["B"] * 8,
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    got = {
+        r["category"]: (r["n_pre"], r["n_post"], r["contrib"])
+        for r in q_dq_chi2_drift(spark, sf).collect()
+    }
+    # E = 8*8/16 = 4 per cell; contrib per category = (6-4)^2/4 +
+    # (2-4)^2/4 = 2.0.
+    assert got == {"A": (6, 2, 2.0), "B": (2, 6, 2.0)}
