@@ -203,3 +203,106 @@ def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(_Q21_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A15: large-volume orders (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+_Q18_TOPK = 20
+
+
+@register(
+    "agg_large_volume_orders",
+    oracle="WITH big AS (SELECT l_orderkey, "
+    f"{sql_dsum('l_quantity')} AS total_qty FROM lineitem GROUP BY 1 "
+    f"HAVING {sql_dsum('l_quantity')} > {_Q18_QTY}) "
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, b.total_qty "
+    "FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    f"ORDER BY b.total_qty DESC, o.o_orderkey LIMIT {_Q18_TOPK}",
+    doc="Large-volume orders (A15, TPC-H Q18 shape): orders whose "
+    "total lineitem quantity exceeds 250, joined out to their "
+    "customers, top-20 by volume — the classic grouped-HAVING-"
+    "feeding-IN-subquery, decorrelated the only scalable way: the "
+    "HAVING aggregate IS the driving table (ordkey-collapsed, "
+    "~2% selectivity here) so the orders/customer joins touch only "
+    "qualifying keys, never the reverse. Stable-sum quantities make "
+    "the HAVING cut and the ranking engine-exact; TakeOrdered heap, "
+    "no global sort. At 100 TB the agg shuffles lineitem once on its "
+    "natural key and everything downstream is qualifying-keys-sized.",
+)
+def q_agg_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(_Q18_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: dormant high-balance customers (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dormant_customers",
+    oracle="WITH avg_bal AS (SELECT "
+    f"{sql_davg('CASE WHEN c_acctbal > 0 THEN c_acctbal END')} AS ab "
+    "FROM customer) "
+    "SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
+    f"{sql_dsum('c.c_acctbal')} AS total_bal "
+    "FROM customer c, avg_bal a "
+    "WHERE c.c_acctbal > a.ab AND NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT') "
+    "GROUP BY 1 ORDER BY 1",
+    doc="Dormant high-balance customers (A16, TPC-H Q22 shape): "
+    "customers holding above-average positive balances who never "
+    "placed an urgent order, grouped by nation — the NOT EXISTS + "
+    "global-scalar-subquery pair. Decorrelated: the average balance "
+    "is ONE conditional aggregate broadcast as a scalar (the "
+    "correlated form re-evaluates it per row); the NOT EXISTS is a "
+    "LEFT ANTI join against the column-pruned filtered orders leg "
+    "(hash anti-join, AQE-owned strategy — at 100 TB the filtered "
+    "leg is priority-pruned before the exchange). Stable avg/sum "
+    "policy makes the threshold and totals engine-exact. (TPC-H's "
+    "original no-orders-at-all predicate is degenerate on this "
+    "corpus — every customer has orders — so the anti leg filters "
+    "to urgent orders, same shape, non-empty answer.)",
+)
+def q_agg_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = c.agg(
+        davg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))).alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

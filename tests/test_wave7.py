@@ -398,3 +398,78 @@ def test_chi2_drift_hand_computed(spark, tmp_path):
     # E = 8*8/16 = 4 per cell; contrib per category = (6-4)^2/4 +
     # (2-4)^2/4 = 2.0.
     assert got == {"A": (6, 2, 2.0), "B": (2, 6, 2.0)}
+
+
+def test_large_volume_orders_having_cut(spark, tmp_path):
+    """A15: the HAVING aggregate drives the joins — only orders above
+    the 250-qty cut appear, ranked by volume."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_large_volume_orders,
+    )
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1] * 6 + [2] * 2 + [3] * 6,
+            "l_quantity": [50.0] * 6 + [100.0] * 2 + [45.0] * 6,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [7, 8, 9],
+            "o_totalprice": [10.0, 20.0, 30.0],
+        }
+    )
+    cust = pd.DataFrame({"c_custkey": [7, 8, 9]})
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "customer", cust)
+    got = [
+        (r["o_orderkey"], r["total_qty"])
+        for r in q_agg_large_volume_orders(spark, sf).collect()
+    ]
+    # order 1: 300 > 250; order 2: 200 cut; order 3: 270 > 250.
+    assert got == [(1, 300.0), (3, 270.0)]
+
+
+def test_dormant_customers_threshold_and_anti_join(spark, tmp_path):
+    """A16: the global positive-balance average gates, the anti-join
+    removes customers with urgent orders."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_dormant_customers,
+    )
+
+    # positive balances: 100, 300 -> avg 200.  (-50 excluded from avg.)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_nationkey": [10, 10, 20],
+            "c_acctbal": [100.0, 300.0, -50.0],
+        }
+    )
+    # cust 2 is above avg but has an URGENT order -> anti-joined away?
+    # no: give the urgent order to nobody relevant first; craft: cust 2
+    # above avg, no urgent -> kept; add cust 4 above avg WITH urgent.
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_nationkey": [10, 10, 20, 20],
+            "c_acctbal": [100.0, 300.0, -50.0, 400.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [4, 2],
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    )
+    sf = _write(tmp_path, "customer", cust)
+    _write(tmp_path, "orders", orders)
+    got = {
+        r["c_nationkey"]: (r["n_cust"], r["total_bal"])
+        for r in q_agg_dormant_customers(spark, sf).collect()
+    }
+    # avg of positive balances = (100+300+400)/3 = 266.67; above it:
+    # cust 2 (300, kept - non-urgent order only) and cust 4 (400,
+    # anti-joined away by its urgent order).
+    assert got == {10: (1, 300.0)}
