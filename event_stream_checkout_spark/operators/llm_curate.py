@@ -538,3 +538,129 @@ def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup").cast("double") / F.col("n_spans"), 6
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X38: boilerplate-segment stripping (C4-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+_BP_W = 10   # aligned segment width (words)
+_BP_DF = 2   # segments in >= this many docs are boilerplate
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle="WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "FROM documents), "
+    f"base AS (SELECT doc_id, w, len(w) // {_BP_W} AS nch, "
+    f"array_to_string(w[len(w) // {_BP_W} * {_BP_W} + 1:len(w)], ' ') "
+    "AS tail FROM docs), "
+    "ch AS (SELECT doc_id, t.i, "
+    f"array_to_string(w[(t.i - 1) * {_BP_W} + 1:t.i * {_BP_W}], ' ') "
+    "AS chunk FROM base, UNNEST(generate_series(1, nch)) AS t(i)), "
+    "df AS (SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd "
+    "FROM ch GROUP BY 1), "
+    "fl AS (SELECT ch.doc_id, ch.i, ch.chunk, "
+    f"df.nd < {_BP_DF} AS kept FROM ch JOIN df USING (chunk)), "
+    "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+    "CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_stripped, "
+    "list_transform(list_sort(array_agg(struct_pack(i := i, c := chunk)) "
+    "FILTER (kept)), s -> s['c']) AS kept_arr FROM fl GROUP BY 1) "
+    "SELECT b.doc_id, COALESCE(pd.n_chunks, 0) AS n_chunks, "
+    "COALESCE(pd.n_stripped, 0) AS n_stripped, "
+    "md5(COALESCE(array_to_string(list_filter("
+    "list_concat(COALESCE(pd.kept_arr, []), [b.tail]), "
+    "x -> x <> ''), ' '), '')) AS clean_md5 "
+    "FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id",
+    doc="Boilerplate-segment stripping (X38, the C4 cleaning move): "
+    "cut every document into aligned 10-word segments, call a "
+    "segment boilerplate when it appears VERBATIM in >= 2 distinct "
+    "documents (navigation chrome, terms-of-service, cookie "
+    "banners — the lines C4 strips by three-sentence-dedup), and "
+    "emit each doc with those segments removed (graded as the "
+    "cleaned text's md5 plus chunk/strip counts; the sub-segment "
+    "tail is never stripped). The REMOVAL composition is what X33's "
+    "dup-span COVERAGE only measures. Distributed shape: "
+    "segmentation is scan-local (transform over the token array), "
+    "segment document-frequency is two collapsing aggregates, the "
+    "flag joins back 1:1 on the segment hash (no pair expansion — "
+    "the df table carries counts, not doc lists), and reassembly is "
+    "one doc_id-keyed collect of the doc's own kept segments "
+    "(bounded by doc length — the same per-doc-array stance as "
+    "evt_session_paths). Docs shorter than one segment pass through "
+    "untouched via the left join.",
+)
+def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ", -1)
+    nch = (F.size(w) / _BP_W).cast("int")
+    base = d.select(
+        "doc_id",
+        w.alias("_w"),
+        nch.alias("_nch"),
+    ).withColumn(
+        "_tail",
+        F.array_join(
+            F.slice(
+                F.col("_w"),
+                F.col("_nch") * _BP_W + 1,
+                F.size(F.col("_w")) - F.col("_nch") * _BP_W,
+            ),
+            " ",
+        ),
+    )
+    seg = F.when(
+        F.col("_nch") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_nch")),
+            lambda i: F.array_join(
+                F.slice(F.col("_w"), (i - 1) * _BP_W + 1, _BP_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = base.select(
+        "doc_id", F.posexplode(seg).alias("i", "chunk")
+    )
+    df = (
+        ch.select("doc_id", "chunk")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    fl = ch.join(df, "chunk").withColumn("kept", F.col("nd") < _BP_DF)
+    pd_ = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_stripped"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kept"),
+                        F.struct(
+                            F.col("i").alias("i"),
+                            F.col("chunk").alias("c"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("kept_arr"),
+    )
+    out = base.join(pd_, "doc_id", "left")
+    parts = F.filter(
+        F.concat(
+            F.coalesce(F.col("kept_arr"), F.array().cast("array<string>")),
+            F.array(F.col("_tail")),
+        ),
+        lambda x: x != "",
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")).alias(
+            "n_chunks"
+        ),
+        F.coalesce(F.col("n_stripped"), F.lit(0).cast("long")).alias(
+            "n_stripped"
+        ),
+        F.md5(F.array_join(parts, " ")).alias("clean_md5"),
+    )

@@ -473,3 +473,44 @@ def test_dormant_customers_threshold_and_anti_join(spark, tmp_path):
     # cust 2 (300, kept - non-urgent order only) and cust 4 (400,
     # anti-joined away by its urgent order).
     assert got == {10: (1, 300.0)}
+
+
+def test_boilerplate_strip_semantics(spark, tmp_path):
+    """X38 on a crafted corpus: a 10-word segment shared by two docs is
+    stripped from BOTH, doc-unique segments survive, the sub-segment
+    tail is never stripped (even when identical across docs), short
+    docs pass through untouched, and a fully-boilerplate doc cleans to
+    the empty string (md5(''))."""
+    import hashlib
+
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_boilerplate_strip,
+    )
+
+    bp = "one two three four five six seven eight nine ten"  # 10 words
+    uniq1 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    uniq2 = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    rows = [
+        (1, bp + " " + uniq1 + " tail tail", "en", "s", 0),
+        (2, bp + " " + uniq2 + " tail tail", "en", "s", 0),
+        (3, "short doc", "en", "s", 0),
+        (4, bp, "en", "s", 0),  # fully boilerplate, no tail
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_stripped"], r["clean_md5"])
+        for r in q_llm_boilerplate_strip(spark, sf).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == {
+        1: (2, 1, h(uniq1 + " tail tail")),
+        2: (2, 1, h(uniq2 + " tail tail")),
+        3: (0, 0, h("short doc")),
+        4: (1, 1, h("")),
+    }
