@@ -513,3 +513,77 @@ def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# E9: EWMA-smoothed daily series
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "evt_ewma_daily",
+    oracle="WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type "
+    "ORDER BY day) AS BIGINT) AS rn FROM daily), "
+    "terms AS (SELECT a.event_type, a.day, a.n, a.rn, "
+    "CASE WHEN b.rn = 1 THEN "
+    f"pow({1 - _EWMA_ALPHA}, a.rn - 1) * b.n "
+    f"ELSE {_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, a.rn - b.rn) * b.n END "
+    "AS term FROM ranked a JOIN ranked b "
+    "ON a.event_type = b.event_type AND b.rn <= a.rn) "
+    "SELECT event_type, day, n, "
+    f"round({sql_dsum('term')}, 6) AS ewma "
+    "FROM terms GROUP BY 1, 2, 3",
+    doc="EWMA-smoothed daily event series (E9): the exponentially "
+    "weighted moving average s_t = α·x_t + (1−α)·s_{t−1} (α=0.2, "
+    "s_1 = x_1) over each event type's daily counts — the smoothed "
+    "baseline ops teams alert against (the recursive complement of "
+    "evt_anomaly's global z-score: EWMA adapts to level shifts, "
+    "z-scores don't). The recursion is EXPANDED to its closed form "
+    "— s_t = (1−α)^(t−1)·x_1 + α·Σ_j (1−α)^(t−j)·x_j — because SQL "
+    "window frames cannot express feedback; each term is an "
+    "identical pow()/multiply tree on both engines and the per-day "
+    "sum goes through the fixed-point policy, so order of summation "
+    "cannot break the hash. Shape: the daily rollup collapses "
+    "map-side; the rank window partitions by event_type (never "
+    "partition-less); the closed form joins the series to itself "
+    "WITHIN each type — O(len²) pairs where len is bounded by the "
+    "TIME DOMAIN (a decade is 3.6k days ⇒ ~13M slim pairs per "
+    "type), not by event volume; a longer-horizon deployment chunks "
+    "the series and carries one boundary state per chunk (the "
+    "incremental-MV merge stance).",
+)
+def q_evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(w).cast("long"))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    term = F.when(
+        F.col("b.rn") == 1,
+        F.pow(decay, F.col("a.rn") - 1) * F.col("b.n"),
+    ).otherwise(
+        F.lit(_EWMA_ALPHA)
+        * F.pow(decay, F.col("a.rn") - F.col("b.rn"))
+        * F.col("b.n")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rn") <= F.col("a.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.col("a.n").alias("n"),
+        term.alias("term"),
+    )
+    return pairs.groupBy("event_type", "day", "n").agg(
+        F.round(dsum("term"), 6).alias("ewma")
+    )

@@ -301,3 +301,49 @@ def test_anomaly_constant_series_excluded(spark, tmp_path):
     types = {r["event_type"] for r in out}
     assert "flat" not in types, "constant series leaked through sigma=0"
     assert "spiky" in types
+
+
+def test_ewma_matches_recursive_reference(spark, tmp_path):
+    """E9's closed form must equal the textbook recursion
+    s_t = a*x_t + (1-a)*s_{t-1}, s_1 = x_1 (up to the fixed-point
+    term quantization, <= 0.5e-4 per term) — checked on a crafted
+    two-series stream with gaps."""
+    from event_stream_checkout_spark.operators.events_analytics import (
+        _EWMA_ALPHA,
+        q_evt_ewma_daily,
+    )
+
+    day = 24 * 60
+    # series A: counts 4, 2, 8 on days 0, 1, 3 (gap at day 2 — EWMA
+    # runs over OBSERVED days).  series B: single day.
+    counts = {("A", 0): 4, ("A", 1): 2, ("A", 3): 8, ("B", 5): 3}
+    rows = []
+    eid = 0
+    for (etype, d), n in counts.items():
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, d * day, 1, etype, 1.0))
+    out = {
+        (r["event_type"], str(r["day"])): r["ewma"]
+        for r in q_evt_ewma_daily(spark, _write_events(tmp_path, rows)).collect()
+    }
+    a = _EWMA_ALPHA
+
+    def rec(series):
+        s = None
+        res = []
+        for x in series:
+            s = x if s is None else a * x + (1 - a) * s
+            res.append(s)
+        return res
+
+    exp_a = rec([4, 2, 8])
+    exp_b = rec([3])
+    got_a = [
+        out[("A", "2024-03-01")],
+        out[("A", "2024-03-02")],
+        out[("A", "2024-03-04")],
+    ]
+    got_b = [out[("B", "2024-03-06")]]
+    for got, exp in zip(got_a + got_b, exp_a + exp_b):
+        assert abs(got - exp) < 1e-3, (got, exp)
