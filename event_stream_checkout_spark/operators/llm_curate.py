@@ -664,3 +664,42 @@ def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.array_join(parts, " ")).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X39: exact-k deterministic per-group sample
+# ---------------------------------------------------------------------------
+
+_GS_K = 20
+
+
+@register(
+    "llm_per_source_sample",
+    oracle="WITH r AS (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    f"SELECT doc_id, source FROM r WHERE rn <= {_GS_K}",
+    doc="Exact-k per-group sample (X39): exactly 20 documents per "
+    "source, chosen by hash rank — the fixed-quota complement of "
+    "llm_sample_hash's Bernoulli rates (a rate sample's per-group "
+    "size VARIES; eval sets and per-domain audits need exact "
+    "quotas). md5-ranking makes the quota reproducible across runs, "
+    "engines, and partitionings AND uniformly random in the hash's "
+    "sense — rand() is neither; doc_id breaks (impossible) hash "
+    "ties. Shape: one window partitioned by source (uniform — "
+    "sources are the partition key of a curated lake) with an "
+    "early rank<=k filter; at 100 TB each source's window is "
+    "per-partition work after the source shuffle, and a TakeOrdered-"
+    "per-group rewrite (win_topk_per_group) applies when k is small "
+    "relative to group size — same contract, heap-bounded.",
+)
+def q_llm_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GS_K)
+        .select("doc_id", "source")
+    )

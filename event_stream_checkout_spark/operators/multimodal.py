@@ -70,17 +70,47 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_image_dims(content: bytes) -> tuple[str, int, int]:
+    """REAL container-header parse for the three formats whose
+    dimensions live at fixed offsets (r8 — pure stdlib, no image
+    library): returns (format, width, height).
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian u32 at offsets 16/20 (PNG spec §11.2.2).
+    - GIF: 'GIF87a'/'GIF89a', logical-screen w/h little-endian u16
+      at offsets 6/8.
+    - BMP: 'BM', BITMAPINFOHEADER w/h little-endian i32 at 18/22.
+
+    Pixel DECODING still needs a codec library and stays behind the
+    NotImplementedError contract — but dimension extraction, the
+    metadata a curation pipeline filters on (min-resolution gates,
+    aspect-ratio buckets), is real."""
+    import struct
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return ("png", w, h)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return ("gif", w, h)
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    raise NotImplementedError(
+        "unrecognized image container (PNG/GIF/BMP headers supported; "
+        "full decode requires an image library)"
+    )
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
-    """Stub decoder: returns (width, height). Real implementation needs
-    an image library not present in this container."""
+    """Image decode: (width, height).  Real path parses PNG/GIF/BMP
+    container headers (decode_image_dims); the deterministic fake
+    remains the oracle path for the synthetic text-payload corpus."""
     if fake:
         h = hashlib.md5(content).digest()
         return (h[0] % 64 + 1, h[1] % 64 + 1)
-    raise NotImplementedError(
-        "image decoding requires an image library (PIL/opencv) — "
-        "not available in this environment; pass fake=True for the "
-        "deterministic test double"
-    )
+    _, w, h = decode_image_dims(content)
+    return (w, h)
 
 
 def decode_wav(content: bytes):
