@@ -21,7 +21,7 @@ same quantized-avg expression tree on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
@@ -305,4 +305,79 @@ def q_agg_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17: winsorized robust statistics per group (exact rank percentiles)
+# ---------------------------------------------------------------------------
+
+_WINS_LO_PCT = 5
+_WINS_HI_PCT = 95
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, "
+    "CAST(row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn, "
+    "CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n "
+    "FROM customer), "
+    "lo AS (SELECT c_nationkey, c_acctbal AS lo FROM r "
+    f"WHERE rn = greatest(1, ({_WINS_LO_PCT} * n + 99) // 100)), "
+    "hi AS (SELECT c_nationkey, c_acctbal AS hi FROM r "
+    f"WHERE rn = greatest(1, ({_WINS_HI_PCT} * n + 99) // 100)) "
+    "SELECT r.c_nationkey, CAST(max(r.n) AS BIGINT) AS n, "
+    "max(lo.lo) AS p05, max(hi.hi) AS p95, "
+    + sql_davg("greatest(lo.lo, least(hi.hi, r.c_acctbal))")
+    + " AS wins_mean "
+    "FROM r JOIN lo ON r.c_nationkey = lo.c_nationkey "
+    "JOIN hi ON r.c_nationkey = hi.c_nationkey GROUP BY 1",
+    doc="Winsorized robust statistics per group (A17): per-nation "
+    "account-balance mean with both tails clipped at the EXACT 5th/"
+    "95th percentiles — robust location estimation, the outlier-"
+    "resistant sibling of agg_stats (a handful of extreme balances "
+    "move a plain mean arbitrarily; the winsorized mean is bounded). "
+    "Percentiles are EXACT rank statistics, not sketches: the value "
+    "at ceil(p·n/100) in (value, custkey) order — integer rank "
+    "arithmetic, so both engines pick the identical row and the "
+    "whole result hash-matches (approx sketches like "
+    "percentile_approx differ across engines by design, which is "
+    "why agg_approx_percentile grades error BOUNDS instead). Shape: "
+    "one rank window PARTITIONED by nation (parallel across groups; "
+    "a giant group upgrades to the grouped bucketed prefix-sum, "
+    "llm_curate._cumsum_from_buckets with part_cols, same "
+    "contract), boundary rows join back dimension-sized, clipping "
+    "and the stable mean are scan-local.",
+)
+def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    r = c.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+
+    def at_pct(pct: int, name: str) -> DataFrame:
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            ((F.lit(pct) * F.col("n") + 99) / 100).cast("long"),
+        )
+        return r.filter(F.col("rn") == target).select(
+            "c_nationkey", F.col("c_acctbal").alias(name)
+        )
+
+    lo = at_pct(_WINS_LO_PCT, "lo")
+    hi = at_pct(_WINS_HI_PCT, "hi")
+    j = r.join(F.broadcast(lo), "c_nationkey").join(
+        F.broadcast(hi), "c_nationkey"
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
+    return j.groupBy("c_nationkey").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("p05"),
+        F.max("hi").alias("p95"),
+        davg(clipped).alias("wins_mean"),
     )

@@ -514,3 +514,27 @@ def test_boilerplate_strip_semantics(spark, tmp_path):
         3: (0, 0, h("short doc")),
         4: (1, 1, h("")),
     }
+
+
+def test_winsorized_mean_resists_outliers(spark, tmp_path):
+    """A17: one absurd outlier must move the winsorized mean by at
+    most the clip bound, and the exact rank percentiles pick real
+    data values (hand-computed on a 20-row group)."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_winsorized_stats,
+    )
+
+    vals = [float(i) for i in range(1, 20)] + [10_000_000.0]
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(1, 21),
+            "c_nationkey": [1] * 20,
+            "c_acctbal": vals,
+        }
+    )
+    sf = _write(tmp_path, "customer", cust)
+    row = q_agg_winsorized_stats(spark, sf).collect()[0]
+    # n=20: p05 rank = ceil(100/100)=1 -> 1.0; p95 rank = ceil(1900/
+    # 100)=19 -> 19.0.  Clipped values: 1..19 and the outlier -> 19.
+    assert (row["n"], row["p05"], row["p95"]) == (20, 1.0, 19.0)
+    assert row["wins_mean"] == (sum(range(1, 20)) + 19) / 20
