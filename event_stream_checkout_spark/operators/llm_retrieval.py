@@ -773,3 +773,180 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         F.size(F.split("text", " ", -1)).cast("long").alias("n_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X40: maximal-marginal-relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_SQL_NRM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _sql_mmr_oracle() -> str:
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    dot_q = _SQL_DOT.format(a="e.embedding", b="q.qv")
+    parts = [
+        "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        "scored AS (SELECT e.vec_id, e.embedding, "
+        f"{dot_q} / ({_SQL_NRM.format(a='e.embedding')} * "
+        f"{_SQL_NRM.format(a='q.qv')}) AS sim "
+        "FROM embeddings e, qv q WHERE e.vec_id <> 0)",
+        f"cand AS (SELECT * FROM scored ORDER BY sim DESC, vec_id "
+        f"LIMIT {_MMR_POOL})",
+        "prs AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
+        f"{_SQL_DOT.format(a='a.embedding', b='b.embedding')} / "
+        f"({_SQL_NRM.format(a='a.embedding')} * "
+        f"{_SQL_NRM.format(a='b.embedding')}) AS psim "
+        "FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)",
+        f"s1 AS (SELECT vec_id, {lam} * sim AS mmr FROM cand "
+        f"ORDER BY {lam} * sim DESC, vec_id LIMIT 1)",
+    ]
+    sel = "SELECT vec_id FROM s1"
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"r{r} AS (SELECT c.vec_id, "
+            f"{lam} * c.sim - {mu} * max(p.psim) AS mmr "
+            f"FROM cand c JOIN prs p ON p.va = c.vec_id "
+            f"AND p.vb IN ({sel}) "
+            f"WHERE c.vec_id NOT IN ({sel}) GROUP BY c.vec_id, c.sim)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT vec_id, mmr FROM r{r} "
+            f"ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+        sel += f" UNION ALL SELECT vec_id FROM s{r}"
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, round(mmr, 6) AS mmr FROM s{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + final
+
+
+@register(
+    "llm_mmr_topk",
+    oracle=_sql_mmr_oracle(),
+    doc="Maximal-marginal-relevance diversified retrieval (X40, "
+    "Carbonell & Goldstein): greedily pick k=5 results maximizing "
+    "λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — relevance minus "
+    "redundancy against what is already selected — the de-dup "
+    "retrieval standard (pure top-k returns five copies of the same "
+    "answer; MMR forces coverage). Inherently SEQUENTIAL (each pick "
+    "changes the penalty landscape), so like PageRank/BPE/Lloyd it "
+    "runs as a fixed-k driver loop of DataFrame ops: the candidate "
+    "pool is a TakeOrdered top-20 by exact cosine (one corpus pass), "
+    "the 20×20 pairwise-similarity frame is computed ONCE and "
+    "pinned, and each round is an anti-join + broadcast penalty "
+    "max + 1-row TakeOrdered — all on pool-sized frames; the corpus "
+    "is touched exactly once regardless of k. Scores are identical "
+    "IEEE expression trees on both engines (the semantic-dedup "
+    "cosine stance), rounded 1e-6 at the output; vec_id breaks "
+    "ties at every pick so the greedy trajectory is deterministic. "
+    "Oracle: the greedy unrolled as k CTE rounds (the BPE-oracle "
+    "technique).",
+)
+def q_llm_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def nrm(a):
+        return F.sqrt(dot(a, a))
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (nrm(F.col("embedding")) * nrm(F.col("qv")))
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    prs = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (nrm(F.col("ea")) * nrm(F.col("eb")))
+            ).alias("psim"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    selected = None
+    out = []
+    for r in range(1, _MMR_K + 1):
+        if selected is None:
+            scores = cand.select(
+                "vec_id", (F.lit(lam) * F.col("sim")).alias("mmr")
+            )
+        else:
+            pens = (
+                prs.join(
+                    F.broadcast(selected.withColumnRenamed("vec_id", "vb")),
+                    "vb",
+                )
+                .groupBy("va")
+                .agg(F.max("psim").alias("pen"))
+            )
+            scores = (
+                cand.join(selected, "vec_id", "left_anti")
+                .join(
+                    F.broadcast(pens.withColumnRenamed("va", "vec_id")),
+                    "vec_id",
+                )
+                .select(
+                    "vec_id",
+                    (
+                        F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("pen")
+                    ).alias("mmr"),
+                )
+            )
+        best = (
+            scores.orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        out.append(
+            best.select(
+                F.lit(r).alias("rank"),
+                "vec_id",
+                F.round("mmr", 6).alias("mmr"),
+            )
+        )
+        sel_new = best.select("vec_id")
+        selected = (
+            sel_new if selected is None else selected.union(sel_new)
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -538,3 +538,52 @@ def test_winsorized_mean_resists_outliers(spark, tmp_path):
     # 100)=19 -> 19.0.  Clipped values: 1..19 and the outlier -> 19.
     assert (row["n"], row["p05"], row["p95"]) == (20, 1.0, 19.0)
     assert row["wins_mean"] == (sum(range(1, 20)) + 19) / 20
+
+
+def test_mmr_first_pick_and_diversity(spark):
+    """X40: the first MMR pick is the plain cosine top-1, and the
+    5-pick MMR set is strictly more diverse (lower mean pairwise
+    cosine) than the plain top-5 whenever the two sets differ — the
+    defining trade MMR makes."""
+    import numpy as np
+
+    from event_stream_checkout_spark.operators.llm import (
+        q_llm_similarity_topk,
+    )
+    from event_stream_checkout_spark.operators.llm_retrieval import (
+        q_llm_mmr_topk,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    mmr = [
+        (r["rank"], r["vec_id"])
+        for r in q_llm_mmr_topk(spark, SF_DIR).collect()
+    ]
+    plain = [
+        r["vec_id"] for r in q_llm_similarity_topk(spark, SF_DIR).collect()
+    ][:5]
+    assert sorted(r for r, _ in mmr) == [1, 2, 3, 4, 5]
+    assert mmr[0][1] == plain[0], "first MMR pick must be cosine top-1"
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def mean_pairwise_cos(ids):
+        sims = []
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                a, b = vecs[x], vecs[y]
+                sims.append(
+                    float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                )
+        return sum(sims) / len(sims)
+
+    mmr_ids = [v for _, v in mmr]
+    if set(mmr_ids) != set(plain):
+        assert mean_pairwise_cos(mmr_ids) < mean_pairwise_cos(plain), (
+            mean_pairwise_cos(mmr_ids),
+            mean_pairwise_cos(plain),
+        )
