@@ -87,6 +87,15 @@ EXTRA = [
     "llm_perplexity_proxy",
     "llm_semantic_dedup",
     "agg_hll_union",
+    # r8 heavies: the bigram LM (one n-gram level up from the unigram),
+    # the encode pass (3 staged rewrites), span-dedup + boilerplate
+    # removal (two corpus gram shuffles each), and the KS drift's
+    # bucketed-CDF machinery.
+    "llm_perplexity_bigram",
+    "llm_bpe_encode",
+    "llm_dup_span_coverage",
+    "llm_boilerplate_strip",
+    "dq_ks_drift",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

@@ -147,6 +147,15 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_CUTOFF = "TIMESTAMP '2001-06-01 00:00:00'"
 
 
+def _rate(num: str, den: str):
+    """x/denominator with the ANSI zero-guard: an EMPTY slice has no
+    rates — NULL, exactly what DuckDB's x/0 yields (so engine and
+    oracle agree on degenerate slices without disabling ANSI)."""
+    return F.when(
+        F.col(den) != 0, F.round(F.col(num) / F.col(den), 6)
+    )
+
+
 @register(
     "dq_schema_drift",
     oracle="WITH w AS (SELECT "
@@ -245,10 +254,8 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.struct(
             F.lit("totalprice_null_rate").alias("metric"),
-            F.round(F.col("nulls_pre") / F.col("rows_pre"), 6).alias("pre"),
-            F.round(F.col("nulls_post") / F.col("rows_post"), 6).alias(
-                "post"
-            ),
+            _rate("nulls_pre", "rows_pre").alias("pre"),
+            _rate("nulls_post", "rows_post").alias("post"),
         ),
         F.struct(
             F.lit("totalprice_mean").alias("metric"),
@@ -257,15 +264,13 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.struct(
             F.lit("priority_urgent_share").alias("metric"),
-            F.round(F.col("urg_pre") / F.col("rows_pre"), 6).alias("pre"),
-            F.round(F.col("urg_post") / F.col("rows_post"), 6).alias("post"),
+            _rate("urg_pre", "rows_pre").alias("pre"),
+            _rate("urg_post", "rows_post").alias("post"),
         ),
         F.struct(
             F.lit("status_open_share").alias("metric"),
-            F.round(F.col("open_pre") / F.col("rows_pre"), 6).alias("pre"),
-            F.round(F.col("open_post") / F.col("rows_post"), 6).alias(
-                "post"
-            ),
+            _rate("open_pre", "rows_pre").alias("pre"),
+            _rate("open_post", "rows_post").alias("post"),
         ),
     )
     long = w.select(F.explode(rows).alias("m")).select(
