@@ -703,3 +703,108 @@ def q_llm_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _GS_K)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X41: simhash near-dup pairs via Manku pigeonhole banding
+# ---------------------------------------------------------------------------
+
+_SH_MAX_DIST = 1     # hamming radius
+_SH_BAND_BITS = 8    # 2 bands of 8 bits over the 16-bit sketch
+_SH_BUCKET_CAP = 1000
+
+
+@register(
+    "llm_simhash_near_dup",
+    oracle="WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok FROM documents), "
+    "hashed AS (SELECT doc_id, md5(tok) AS h FROM toks), "
+    "bits AS (SELECT doc_id, i, "
+    "CASE WHEN (strpos('0123456789abcdef', substring(h, i, 1)) - 1) % 2 = 1 "
+    "THEN 1 ELSE -1 END AS vote "
+    "FROM hashed, UNNEST(generate_series(1, 16)) AS t(i)), "
+    "votes AS (SELECT doc_id, i, sum(vote) AS v FROM bits GROUP BY 1, 2), "
+    "sk AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN power(2, i - 1) "
+    "ELSE 0 END) AS BIGINT) AS s FROM votes GROUP BY doc_id), "
+    "bands AS (SELECT doc_id, s, b.band_id, "
+    f"CASE WHEN b.band_id = 0 THEN s % {1 << _SH_BAND_BITS} "
+    f"ELSE s // {1 << _SH_BAND_BITS} END AS band_val "
+    "FROM sk, (SELECT unnest([0, 1]) AS band_id) b), "
+    "ok AS (SELECT band_id, band_val FROM bands GROUP BY 1, 2 "
+    f"HAVING count(*) <= {_SH_BUCKET_CAP}), "
+    "kept AS (SELECT bands.* FROM bands JOIN ok USING (band_id, band_val)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "a.s AS sa, b.s AS sb FROM kept a JOIN kept b "
+    "ON a.band_id = b.band_id AND a.band_val = b.band_val "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist "
+    f"FROM cand WHERE bit_count(xor(sa, sb)) <= {_SH_MAX_DIST}",
+    doc="SimHash near-duplicate pairs (X41, the Manku/Jain/Sarma "
+    "web-dedup scheme): document pairs whose 16-bit simhash sketches "
+    "(X2, llm_simhash) differ by at most 1 bit, found WITHOUT an "
+    "all-pairs scan by pigeonhole banding — split the sketch into "
+    "d+1 = 2 bands; a pair within hamming distance 1 must match "
+    "EXACTLY in at least one band, so candidates are band-equality "
+    "join hits and the exact bit_count(xor) check runs on candidates "
+    "only. This is the hamming-space sibling of minhash-LSH (set "
+    "space) and SemDeDup cells (cosine space) — the dedup family's "
+    "third candidate generator, each with the same "
+    "generate-cheap/verify-exact composition. Buckets over "
+    f"{_SH_BUCKET_CAP} members are dropped (the LSH cap stance). "
+    "Scale note: 8-bit bands are sized to the graded 16-bit sketch; "
+    "a production 64-bit simhash uses 16-bit bands (4 bands, d<=3) "
+    "whose 65536-value space keeps buckets ~n/65536 — same plan, "
+    "wider types. Pairs matching in BOTH bands dedup through the "
+    "DISTINCT before verification, so each pair is scored once.",
+)
+def q_llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_advanced import q_llm_simhash
+
+    sk = q_llm_simhash(spark, sf_dir)
+    mask = (1 << _SH_BAND_BITS) - 1
+    bands = sk.select(
+        "doc_id",
+        F.col("simhash").alias("s"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    (F.col("simhash") % (mask + 1)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    (F.col("simhash") / (mask + 1))
+                    .cast("long")
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "s", "b.band_id", "b.band_val")
+    ok = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= _SH_BUCKET_CAP)
+        .drop("_n")
+    )
+    kept = bands.join(ok, ["band_id", "band_val"])
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(dist <= _SH_MAX_DIST).select(
+        "doc_a", "doc_b", dist.cast("long").alias("dist")
+    )

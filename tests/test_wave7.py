@@ -587,3 +587,33 @@ def test_mmr_first_pick_and_diversity(spark):
             mean_pairwise_cos(mmr_ids),
             mean_pairwise_cos(plain),
         )
+
+
+def test_simhash_banding_is_complete_for_d1(spark):
+    """X41's pigeonhole claim, verified exhaustively: the banded
+    candidate join finds EVERY pair within hamming distance 1 — the
+    operator's output equals a brute-force all-pairs sweep over the
+    sketches (which the plan never runs)."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        q_llm_simhash,
+    )
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_simhash_near_dup,
+    )
+    from tests.conftest import SF_DIR
+
+    sk = {
+        r["doc_id"]: r["simhash"]
+        for r in q_llm_simhash(spark, SF_DIR).collect()
+    }
+    brute = set()
+    ids = sorted(sk)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sk[a] ^ sk[b]).count("1") <= 1:
+                brute.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_llm_simhash_near_dup(spark, SF_DIR).collect()
+    }
+    assert got == brute and len(brute) > 0

@@ -76,6 +76,25 @@ QUERIES = [
     "multimodal_audio_windows",  # r7w11: Arrow fan-out, no shuffle
     "llm_kmeans_refine",       # r7: array-fold assignment (no n·d·k join)
     "agg_hll_union",           # r7: mergeable sketch rollup
+    "evt_rfm_segments",        # r8: bucketed-rank quartiles, no global ntile
+    "llm_perplexity_bigram",   # r8: joined bigram LM, scan-local pairs
+    "agg_custdist",            # r8: Q13 left-outer zero bucket
+    "agg_small_qty_revenue",   # r8: decorrelated Q17 threshold
+    "join_waiting_supplier",   # r8: decorrelated Q21 double existential
+    "agg_large_volume_orders", # r8: Q18 agg-driven join
+    "agg_dormant_customers",   # r8: Q22 broadcast scalar + anti-join
+    "llm_dup_span_coverage",   # r8: tf-weighted span dup, 1:1 gram join
+    "llm_bpe_encode",          # r8: staged merge application
+    "llm_boilerplate_strip",   # r8: segment-df strip + reassembly
+    "dq_schema_drift",         # r8: fused one-scan slice profile
+    "dq_ks_drift",             # r8: bucketed-CDF KS argmax
+    "dq_chi2_drift",           # r8: pooled-marginal contributions
+    "llm_pq_code",             # r8: per-subspace codebooks, broadcast folds
+    "llm_pq_rerank_topk",      # r8: LUT shortlist + exact rerank
+    "llm_mmr_topk",            # r8: greedy rounds on pool-sized frames
+    "agg_winsorized_stats",    # r8: exact rank percentiles + clip
+    "llm_per_source_sample",   # r8: hash-ranked exact-k quota
+    "evt_ewma_daily",          # r8: closed-form EWMA, domain-bounded join
 ]
 
 
