@@ -808,3 +808,74 @@ def q_llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= _SH_MAX_DIST).select(
         "doc_a", "doc_b", dist.cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# X42: out-of-vocabulary rate against the learned top-k vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "llm_oov_rate",
+    oracle="WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "freq AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf "
+    "GROUP BY 1), "
+    f"vocab AS (SELECT tok FROM freq ORDER BY cnt DESC, tok "
+    f"LIMIT {_OOV_VOCAB_K}), "
+    "doc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN v.tok IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) "
+    "AS n_oov FROM tf LEFT JOIN vocab v ON tf.tok = v.tok GROUP BY 1) "
+    "SELECT doc_id, n_tokens, n_oov, "
+    "round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate FROM doc",
+    doc="Out-of-vocabulary rate (X42): per-document share of token "
+    "POSITIONS falling outside the corpus's own top-1000 vocabulary "
+    "— the coverage metric that decides a tokenizer's vocab size "
+    "and flags domain-mismatched documents (a doc that is mostly "
+    "OOV against the corpus vocabulary is foreign to the corpus; "
+    "composes with llm_vocabulary, which BUILDS the ranked vocab). "
+    "Shape: (doc, token, tf) pre-collapse (zipf hardening — the "
+    "'the'-row ships once per doc), corpus frequencies derive from "
+    "that frame, the vocabulary is a TakeOrdered top-k (count desc, "
+    "token tiebreak — deterministic at the boundary), and membership "
+    "is a BROADCAST left join of the k-row vocab onto the tf frame "
+    "— per-row flag, no pair expansion, one doc-keyed rollup. At "
+    "100 TB: vocab stays driver-bounded (k rows), everything else "
+    "is two collapsing shuffles on uniform keys.",
+)
+def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), "tok")
+        .limit(_OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    doc = (
+        tf.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_rate"),
+    )

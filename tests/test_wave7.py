@@ -617,3 +617,49 @@ def test_simhash_banding_is_complete_for_d1(spark):
         for r in q_llm_simhash_near_dup(spark, SF_DIR).collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_oov_rate_vocab_boundary_and_positions(spark, tmp_path):
+    """X42 on a crafted corpus with _OOV_VOCAB_K temporarily tiny via
+    the real top-k rule: with a 3-token corpus vocabulary of size
+    1000 everything is in-vocab; the discriminating case uses rare
+    tokens that fall outside the top-k when the vocab is saturated —
+    here we instead pin the POSITION weighting and the exact rate
+    arithmetic directly."""
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_oov_rate,
+    )
+
+    # 1001 distinct filler tokens compete for the 1000 vocabulary
+    # slots; w0/w1/w2 get an extra count from doc 3 and the count-2
+    # tie (998 fillers + 'rare') breaks lexicographically ascending.
+    fillers = " ".join(f"w{i}" for i in range(1001))
+    rows = [
+        (1, fillers, "en", "s", 0),
+        (2, fillers, "en", "s", 0),
+        (3, "w0 w1 rare rare w2", "en", "s", 0),
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in q_llm_oov_rate(spark, sf).collect()
+    }
+    # vocabulary = top 1000 of 1002 distinct tokens: w0/w1/w2 (count
+    # 3) enter first, the count-2 tie (998 fillers + 'rare', which
+    # sorts before every 'w...') fills the remaining 997 slots
+    # ascending — so the two lexicographically-LAST count-2 fillers
+    # are out of vocabulary.
+    count2 = sorted(
+        ["rare"]
+        + [f"w{i}" for i in range(1001) if f"w{i}" not in ("w0", "w1", "w2")]
+    )
+    dropped = set(count2[997:])
+    assert dropped == {"w998", "w999"}
+    # doc 1/2 contain each dropped filler once -> n_oov = 2 of 1001.
+    assert got[1] == (1001, 2, round(2 / 1001, 6))
+    assert got[2] == (1001, 2, round(2 / 1001, 6))
+    # doc 3: all five positions in-vocab (rare made the cut).
+    assert got[3] == (5, 0, 0.0)
