@@ -472,16 +472,16 @@ _SPAN_W = 8  # word-8-gram spans: long enough to mean verbatim reuse
     oracle="WITH spans AS (SELECT d.doc_id, "
     f"unnest(list_transform(generate_series(1, "
     f"len(string_split(d.text, ' ')) - {_SPAN_W - 1}), "
-    "i -> array_to_string(string_split(d.text, ' ')"
-    f"[i:i + {_SPAN_W - 1}], ' '))) AS gram "
+    "i -> substring(md5(array_to_string(string_split(d.text, ' ')"
+    f"[i:i + {_SPAN_W - 1}], ' ')), 1, 16))) AS g "
     f"FROM documents d WHERE len(string_split(d.text, ' ')) >= {_SPAN_W}), "
-    "tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf "
+    "tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf "
     "FROM spans GROUP BY 1, 2), "
-    "df AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs "
+    "df AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs "
     "FROM tf GROUP BY 1), "
     "doc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_spans, "
     "CAST(sum(CASE WHEN df.n_docs >= 2 THEN tf.tf ELSE 0 END) AS BIGINT) "
-    "AS n_dup FROM tf JOIN df USING (gram) GROUP BY 1) "
+    "AS n_dup FROM tf JOIN df USING (g) GROUP BY 1) "
     "SELECT doc_id, n_spans, n_dup, "
     "round(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_frac "
     "FROM doc WHERE n_dup > 0",
@@ -513,15 +513,17 @@ def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
     gram = F.transform(
         F.sequence(F.lit(1), F.size("_w") - (_SPAN_W - 1)),
-        lambda i: F.array_join(
-            F.slice(F.col("_w"), i, _SPAN_W), " "
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")),
+            1,
+            16,
         ),
     )
-    spans = d.select("doc_id", F.explode(gram).alias("gram"))
-    tf = spans.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    spans = d.select("doc_id", F.explode(gram).alias("g"))
+    tf = spans.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     doc = (
-        tf.join(df, "gram")
+        tf.join(df, "g")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_spans"),

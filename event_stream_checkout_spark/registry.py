@@ -126,6 +126,9 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
                           # code-identical but routed via audio_windows
     "evt_session_paths",  # per-session frame factored into
                           # session_paths for the streaming twin test
+    "llm_dup_span_coverage",  # spans fingerprinted to md5-16 before
+                          # the shuffle in engine AND oracle (r8
+                          # re-bench: 1.6x at sf1)
 })
 
 
