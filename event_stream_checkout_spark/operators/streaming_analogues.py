@@ -344,3 +344,150 @@ def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "product_id", "event_seq", "quantity", "item_ok", "remaining"
     )
+
+
+# ---------------------------------------------------------------------------
+# T10: timer-closed gap sessionization on transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+_TWS_SESSION_GAP_MIN = 30
+
+
+def _ntz_micros(col: str):
+    """Exact tz-free micros-since-epoch for an NTZ timestamp column
+    (same recode as evt_rfm_segments: an NTZ->TZ cast would route
+    through the session timezone)."""
+    return (
+        F.unix_date(F.col(col).cast("date")).cast("long") * 86400
+        + F.hour(col).cast("long") * 3600
+        + F.minute(col).cast("long") * 60
+    ) * 1_000_000 + (
+        F.expr(f"extract(second from {col})") * 1_000_000
+    ).cast("long")
+
+
+@register(
+    "stream_session_tws",
+    oracle="WITH seq AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_TWS_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM seq) "
+    "SELECT user_id, CAST(min(ts_us) AS BIGINT) AS sess_start_us, "
+    "CAST(max(ts_us) AS BIGINT) AS sess_end_us, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM sess GROUP BY user_id, sid",
+    doc="Timer-closed gap sessionization on transformWithStateInPandas "
+    "(T10/U5, r8): every user's event stream is cut at 30-minute "
+    "inactivity gaps by a TWS StatefulProcessor holding ONE open-"
+    "session ValueState per key and an EVENT-TIME TIMER at "
+    "last_event + gap — the state+timers composition the TWS API "
+    "exists for, and the capability applyInPandasWithState lacks: a "
+    "timer closes a silent key's session when TIME passes, not when "
+    "its next record happens to arrive. In-batch gap rollovers emit "
+    "from handleInputRows; each key's FINAL session emits from "
+    "handleExpiredTimer once the watermark passes its expiry (a "
+    "far-future sentinel key advances the global watermark so the "
+    "availableNow drain flushes everything — the deployment analogue "
+    "is the ever-advancing live watermark). All session arithmetic "
+    "runs on tz-free microsecond longs (the TIMESTAMP column exists "
+    "only for the watermark), so the graded output is integer-exact "
+    "against the batch gap-sessionizer oracle — the same lag+prefix-"
+    "sum SQL evt_session_paths grades against, proving the "
+    "TIMER path computes the identical partition. RocksDB state "
+    "store; stale-timer guard (a rolled-over session re-arms its "
+    "expiry, the old timer must not truncate it) is exercised "
+    "whenever a batch closes one session and opens another. "
+    "Degrades to the batch sessionizer (identical results by the "
+    "oracle's own construction) only where no protobuf runtime "
+    "exists.",
+)
+def q_stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import session_stream_tws, tws_available
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    gap_us = _TWS_SESSION_GAP_MIN * 60 * 1_000_000
+
+    if not tws_available():  # pragma: no cover - vendored runtime
+        import warnings
+
+        warnings.warn(
+            "stream_session_tws: no usable google.protobuf — degrading "
+            "to the batch gap sessionizer (identical results)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        seq = e.withColumn("ts_us", _ntz_micros("ts")).withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts_us").over(w).isNull()
+                | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        sid = F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            seq.withColumn("sid", sid)
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts_us").alias("sess_start_us"),
+                F.max("ts_us").alias("sess_end_us"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("sid")
+        )
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_sess_tws_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    events_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+
+    staged = e.select(
+        "user_id",
+        "event_id",
+        _ntz_micros("ts").alias("ts_us"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    max_ts = staged.agg(F.max("ts").alias("m")).first()["m"]
+    import datetime as dt
+
+    sentinel = spark.createDataFrame(
+        [(-1, -1, 0, max_ts + dt.timedelta(hours=10))],
+        "user_id long, event_id long, ts_us long, ts timestamp",
+    )
+    (
+        staged.unionByName(sentinel)
+        .repartition(F.col("user_id"))
+        .write.mode("overwrite")
+        .parquet(events_dir)
+    )
+    q = (
+        session_stream_tws(
+            spark, events_dir, _TWS_SESSION_GAP_MIN * 60
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+    )

@@ -324,3 +324,148 @@ def inventory_ledger_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Timer-based gap sessionizer (r8): event-time timers + ValueState
+# ---------------------------------------------------------------------------
+
+SESSION_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start_us", T.LongType()),
+        T.StructField("sess_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class GapSessionizer(StatefulProcessor):
+    """Per-user open-session ValueState + an EVENT-TIME TIMER that
+    closes the session when the watermark passes last_event + gap —
+    the state+timers composition transformWithStateInPandas exists
+    for (applyInPandasWithState can only close sessions when the
+    next batch for that key arrives; a timer closes them when TIME
+    passes, key silent or not).
+
+    All session arithmetic runs on microsecond longs carried in the
+    `ts_us` column (timezone-proof; the TIMESTAMP `ts` column exists
+    only for the watermark).  Sessions whose gap closes INSIDE a
+    batch are emitted from handleInputRows; the final open session of
+    each key is emitted by handleExpiredTimer when the watermark
+    passes its expiry."""
+
+    def __init__(self, gap_seconds: int):
+        self._gap_us = gap_seconds * 1_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._open = handle.getValueState(
+            "open",
+            T.StructType(
+                [
+                    T.StructField("start_us", T.LongType()),
+                    T.StructField("last_us", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                ]
+            ),
+        )
+
+    def _timer_ms(self, last_us: int) -> int:
+        # ceil to the next ms so the timer never fires before the
+        # exact microsecond expiry.
+        return (last_us + self._gap_us + 999) // 1000
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._open.exists():
+            start_us, last_us, n = (int(v) for v in self._open.get())
+            state = (start_us, last_us, n)
+        else:
+            state = None
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        closed = []
+        for ts_us in pdf["ts_us"]:
+            ts_us = int(ts_us)
+            if state is None:
+                state = (ts_us, ts_us, 1)
+            elif ts_us - state[1] > self._gap_us:
+                closed.append((user_id, state[0], state[1], state[2]))
+                state = (ts_us, ts_us, 1)
+            else:
+                state = (state[0], ts_us, state[2] + 1)
+        self._open.update(state)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(self._timer_ms(state[1]))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "sess_start_us", "sess_end_us", "n_events"
+                ],
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if not self._open.exists():
+            return
+        start_us, last_us, n = (int(v) for v in self._open.get())
+        # Only close if this timer is the CURRENT session's expiry (a
+        # stale timer from a session already rolled over in-batch
+        # would otherwise truncate the newer session).
+        if expiredTimerInfo.getExpiryTimeInMs() < self._timer_ms(last_us):
+            return
+        self._open.clear()
+        yield pd.DataFrame(
+            [(user_id, start_us, last_us, n)],
+            columns=["user_id", "sess_start_us", "sess_end_us", "n_events"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_stream_tws(
+    spark: SparkSession,
+    events_dir: str,
+    gap_seconds: int,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Wire a staged (user_id, event_id, ts_us, ts) parquet stream
+    through the timer-based sessionizer on RocksDB state."""
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "usable copy could be bootstrapped"
+        )
+    configure(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(SESSION_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=GapSessionizer(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -887,3 +887,60 @@ def test_session_paths_batch_matches_session_window_stream(spark, tmp_path):
         (r["user_id"], r["path"]) for r in session_paths(events).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_tws_timer_sessionizer_paths(spark, tmp_path):
+    """T10's two emission paths on a crafted stream: user 1's first
+    session closes IN-BATCH (gap rollover inside handleInputRows) and
+    its second closes by TIMER; user 2 has a single session that only
+    a timer can close (no later record for that key ever arrives) —
+    the case applyInPandasWithState cannot express.  The stale-timer
+    guard is exercised by user 1's rollover (the first session's
+    timer must not truncate the re-armed second session)."""
+    import pandas as pd
+
+    from event_stream_checkout_spark.operators.streaming_analogues import (
+        q_stream_session_tws,
+    )
+    from event_stream_checkout_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        import pytest as _pytest
+
+        _pytest.skip("no protobuf runtime for TWS")
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "click", 1.0, "{}"),   # same session
+        (3, m(50), 1, "view", 1.0, "{}"),    # 40-min gap -> new session
+        (4, m(60), 1, "click", 1.0, "{}"),
+        (5, m(5), 2, "view", 1.0, "{}"),     # single-event session
+    ]
+    pdf = pd.DataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v, _ in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def us(minutes):
+        return int((m(minutes) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    got = {
+        (r["user_id"], r["sess_start_us"], r["sess_end_us"], r["n_events"])
+        for r in q_stream_session_tws(spark, sf_dir).collect()
+    }
+    assert got == {
+        (1, us(0), us(10), 2),    # closed in-batch by the rollover
+        (1, us(50), us(60), 2),   # closed by the timer
+        (2, us(5), us(5), 1),     # timer-only close (silent key)
+    }
