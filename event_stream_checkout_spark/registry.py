@@ -98,6 +98,23 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "llm_pseudonymize", "agg_approx_percentile",
     # round 6 (CORRECTNESS_r06.json) — first-time greens.
     "llm_incremental_dedup_indexed", "state_ledger_tws",
+    # round 7 (CORRECTNESS_r07.json) — the 44 first-time greens of
+    # the r7 window (re-grades were already members).  Added in r8
+    # so they do not crowd the r8 window ahead of this round's new
+    # keys (load_all buckets non-members as never-graded).
+    "agg_freq_items", "agg_histogram", "agg_hll_union", "agg_incremental_mv",
+    "cdc_apply", "dq_constraints", "evt_activity_streaks", "evt_anomaly",
+    "evt_attribution", "evt_funnel", "evt_markov_transitions", "evt_retention",
+    "evt_rfm_segments", "evt_session_paths", "fn_unpivot", "graph_pagerank",
+    "join_bloom_prune", "join_skew_salted", "llm_bm25_topk", "llm_dataset_split",
+    "llm_domain_mix_weighted", "llm_editdist_dedup", "llm_embedding_quantize",
+    "llm_incremental_index_compact", "llm_incremental_index_refresh",
+    "llm_kmeans_refine", "llm_ngram_jaccard_lsh", "llm_perplexity_proxy",
+    "llm_phrase_merges", "llm_pii_scrub", "llm_quality_stratified", "llm_semantic_dedup",
+    "llm_similarity_ivf_kmeans", "llm_token_budget_sample", "llm_weighted_sample",
+    "multimodal_audio_windows", "snapshot_diff", "snk_bucketed_reuse",
+    "snk_orders_scd2", "snk_partitioned_compact", "snk_zorder", "sort_orders_sampled",
+    "stream_interval_join", "win_rolling_time",
 })
 
 
