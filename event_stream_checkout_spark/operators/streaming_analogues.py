@@ -462,6 +462,14 @@ def q_stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
     )
     max_ts = staged.agg(F.max("ts").alias("m")).first()["m"]
+    if max_ts is None:
+        # Empty source: no sessions, and no sentinel to anchor a
+        # watermark on — return the empty result directly.
+        return spark.createDataFrame(
+            [],
+            "user_id long, sess_start_us long, sess_end_us long, "
+            "n_events long",
+        )
     import datetime as dt
 
     sentinel = spark.createDataFrame(

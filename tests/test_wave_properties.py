@@ -92,8 +92,16 @@ def test_histogram_bucket_bounds(values, n_buckets):
     ]
     assert all(0 <= b < n_buckets for b in buckets)
     assert buckets[values.index(lo)] == 0
-    if hi > lo:
+    # max lands in the last bucket ONLY when the integer range can
+    # actually fill all buckets (range >= n_buckets); a 2-value range
+    # under 3 buckets tops out at bucket (hi-lo)*k // (hi-lo+1) —
+    # hypothesis found the counterexample (values=[0,1], k=3) in r8.
+    if hi - lo + 1 >= n_buckets:
         assert buckets[values.index(hi)] == n_buckets - 1
+    elif hi > lo:
+        assert buckets[values.index(hi)] == (
+            (hi - lo) * n_buckets // (hi - lo + 1)
+        )
 
 
 @given(st.integers(0, 10**7))
