@@ -381,3 +381,95 @@ def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi").alias("p95"),
         davg(clipped).alias("wins_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A18: important-value parts (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.0007
+
+
+@register(
+    "agg_important_parts",
+    oracle="WITH pv AS (SELECT l_partkey, "
+    f"{sql_dsum('l_extendedprice')} AS v FROM lineitem GROUP BY 1), "
+    f"t AS (SELECT {sql_dsum('v')} AS g FROM pv) "
+    "SELECT pv.l_partkey, pv.v AS part_value "
+    f"FROM pv, t WHERE pv.v > {_Q11_FRACTION} * t.g "
+    "ORDER BY pv.v DESC, pv.l_partkey",
+    doc="Important-value parts (A18, TPC-H Q11 shape): parts whose "
+    "total lineitem value exceeds a fixed fraction of the GLOBAL "
+    "total — the HAVING-against-a-global-scalar-subquery pattern "
+    "(Q11's partsupp value share, expressed over lineitem since this "
+    "corpus carries no partsupp). Decorrelated: the global total is "
+    "ONE aggregate over the per-part frame (not a rescan of "
+    "lineitem) broadcast as a scalar; the share comparison is "
+    "scan-local on the #parts-sized frame. Both sums ride the "
+    "fixed-point policy and the threshold multiply is the identical "
+    "tree on both engines. Output ordered by (value DESC, partkey) — "
+    "a total deterministic order on a dimension-sized result (plain "
+    "sort, not TakeOrdered: Q11 returns ALL qualifying parts).",
+)
+def q_agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("v"))
+    t = pv.agg(dsum("v").alias("g"))
+    return (
+        pv.crossJoin(F.broadcast(t))
+        .filter(F.col("v") > _Q11_FRACTION * F.col("g"))
+        .select("l_partkey", F.col("v").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11: top-revenue supplier (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_Q15_START = "DATE '1996-01-01'"
+_Q15_END = "DATE '1996-04-01'"
+
+
+@register(
+    "join_top_supplier",
+    oracle="WITH sr AS (SELECT l_suppkey, "
+    + sql_dsum("l_extendedprice * (1 - l_discount)")
+    + " AS total_revenue FROM lineitem "
+    f"WHERE l_shipdate >= {_Q15_START} AND l_shipdate < {_Q15_END} "
+    "GROUP BY 1), "
+    "mx AS (SELECT max(total_revenue) AS m FROM sr) "
+    "SELECT s.s_suppkey, s.s_name, sr.total_revenue "
+    "FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey, mx "
+    "WHERE sr.total_revenue = mx.m ORDER BY s.s_suppkey",
+    doc="Top-revenue supplier (J11, TPC-H Q15 shape): the supplier(s) "
+    "whose quarterly revenue equals the maximum — Q15's revenue VIEW "
+    "joined against its own MAX, the argmax-against-an-aggregate "
+    "pattern. The quarter predicate pushes to the lineitem scan "
+    "(date pushdown); the revenue rollup shuffles once on the "
+    "uniform supplier key; the max is a 1-row broadcast scalar and "
+    "the equality filter runs scan-local — no window, no sort of the "
+    "revenue frame. Revenue goes through the fixed-point policy, so "
+    "the max-equality comparison (notoriously float-fragile in Q15) "
+    "is engine-exact by construction; ties ALL surface, ordered by "
+    "supplier key, exactly as the TPC-H spec requires.",
+)
+def q_join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr(_Q15_START))
+        & (F.col("l_shipdate") < F.expr(_Q15_END))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sr = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = sr.agg(F.max("total_revenue").alias("m"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(s, sr.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

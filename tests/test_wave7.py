@@ -663,3 +663,55 @@ def test_oov_rate_vocab_boundary_and_positions(spark, tmp_path):
     assert got[2] == (1001, 2, round(2 / 1001, 6))
     # doc 3: all five positions in-vocab (rare made the cut).
     assert got[3] == (5, 0, 0.0)
+
+
+def test_important_parts_share_of_global(spark, tmp_path):
+    """A18: the threshold is a share of the GLOBAL total, so shifting
+    value between parts changes membership even at constant total."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_important_parts,
+    )
+
+    li = pd.DataFrame(
+        {
+            # total = 10000; threshold share 0.0007 -> cut at 7.0.
+            "l_partkey": [1] * 2 + [2] + [3],
+            "l_extendedprice": [5000.0, 4990.0, 6.0, 4.0],
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    got = {
+        r["l_partkey"]: r["part_value"]
+        for r in q_agg_important_parts(spark, sf).collect()
+    }
+    assert got == {1: 9990.0}
+
+
+def test_top_supplier_ties_all_surface(spark, tmp_path):
+    """J11: max-equality with fixed-point revenue — exact ties ALL
+    surface (the float-fragility Q15 is famous for)."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_join_top_supplier,
+    )
+
+    d = dt.date(1996, 2, 1)
+    li = pd.DataFrame(
+        {
+            "l_suppkey": [1, 1, 2, 3],
+            "l_extendedprice": [100.0, 50.0, 150.0, 10.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": [d] * 4,
+        }
+    )
+    supp = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["a", "b", "c"]}
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", supp)
+    got = [
+        (r["s_suppkey"], r["total_revenue"])
+        for r in q_join_top_supplier(spark, sf).collect()
+    ]
+    assert got == [(1, 150.0), (2, 150.0)]
