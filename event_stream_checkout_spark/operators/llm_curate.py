@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..tables import load_table
 from .llm_advanced import (
@@ -881,3 +882,79 @@ def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("double") / F.col("n_tokens"), 6
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X43: Zipf-slope fit per source (corpus health statistic)
+# ---------------------------------------------------------------------------
+
+_ZIPF_HEAD = 200  # fit the head of the rank-frequency curve
+
+_SQL_Q6 = "floor(ln({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+@register(
+    "llm_zipf_fit",
+    oracle="WITH tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f "
+    "FROM (SELECT source, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents) GROUP BY 1, 2), "
+    "rk AS (SELECT source, f, CAST(row_number() OVER "
+    "(PARTITION BY source ORDER BY f DESC, tok) AS BIGINT) AS r FROM tf), "
+    "head AS (SELECT source, "
+    + _SQL_Q6.format(x="r") + " AS x, "
+    + _SQL_Q6.format(x="f") + " AS y "
+    f"FROM rk WHERE r <= {_ZIPF_HEAD}), "
+    "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    f"{sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy, "
+    f"{sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx "
+    "FROM head GROUP BY 1) "
+    "SELECT source, n, "
+    "round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope "
+    "FROM s ORDER BY source",
+    doc="Zipf-slope fit per source (X43): least-squares slope of "
+    "ln(frequency) against ln(rank) over each source's top-200 token "
+    "types — the corpus-health statistic data teams monitor per "
+    "ingest source (natural language sits near −1; a slope far from "
+    "it flags machine-generated text, key-value dumps, or a broken "
+    "extractor — the distributional sibling of the per-doc quality "
+    "score). Closed-form regression from FIVE sums, so the whole fit "
+    "is one aggregate over the 200-row-per-source head: the (source, "
+    "token) counts collapse map-side, the per-source rank window "
+    "partitions by source (never partition-less) with an early "
+    "rank<=200 cut, each ln is quantized 1e-6 (module ln policy) and "
+    "every sum rides the fixed-point policy — the slope division is "
+    "then the identical tree on both engines, rounded 1e-6. At "
+    "100 TB the only corpus-scale stage is the token-count collapse; "
+    "everything after is 200 x #sources rows.",
+)
+def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ", -1)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("f").desc(), "tok")
+    q6 = lambda c: F.floor(F.log(c) * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    head = (
+        tf.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= _ZIPF_HEAD)
+        .select(
+            "source",
+            q6(F.col("r").cast("double")).alias("x"),
+            q6(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    s = head.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        "source", "n", F.round(slope, 6).alias("zipf_slope")
+    ).orderBy("source")

@@ -715,3 +715,38 @@ def test_top_supplier_ties_all_surface(spark, tmp_path):
         for r in q_join_top_supplier(spark, sf).collect()
     ]
     assert got == [(1, 150.0), (2, 150.0)]
+
+
+def test_zipf_fit_recovers_known_slope(spark, tmp_path):
+    """X43 on a crafted corpus with an EXACT power law: token w_r
+    appears round(1000 * r^-1) times -> the fitted slope must recover
+    ~-1.0; a uniform-frequency source must fit ~0.0."""
+    rows = []
+    doc_id = 0
+    zipf_words = []
+    for r in range(1, 51):
+        zipf_words += [f"z{r:03d}"] * round(1000 * r ** -1.0)
+    uniform_words = [f"u{r:03d}" for r in range(1, 51)] * 20
+    for source, words in (("zipf", zipf_words), ("uniform", uniform_words)):
+        # split into 10 docs
+        chunk = len(words) // 10 + 1
+        for i in range(0, len(words), chunk):
+            doc_id += 1
+            rows.append(
+                (doc_id, " ".join(words[i:i + chunk]), "en", source, 0)
+            )
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_zipf_fit,
+    )
+
+    got = {
+        r["source"]: r["zipf_slope"]
+        for r in q_llm_zipf_fit(spark, sf).collect()
+    }
+    assert -1.1 < got["zipf"] < -0.9, got
+    assert abs(got["uniform"]) < 0.05, got
