@@ -473,3 +473,77 @@ def q_join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# J12: as-of join with staleness tolerance
+# ---------------------------------------------------------------------------
+
+_ASOF_TOLERANCE_DAYS = 7
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="WITH tagged AS ("
+    "  SELECT user_id, ts, event_type, value, "
+    "    CASE WHEN event_type = 'signup' THEN ts END AS signup_ts "
+    "  FROM events WHERE event_type IN ('signup', 'purchase')), "
+    "enriched AS ("
+    "  SELECT user_id, ts, event_type, value, "
+    "    max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts"
+    "  FROM tagged) "
+    "SELECT user_id, ts, value, "
+    "CASE WHEN last_signup_ts IS NOT NULL AND "
+    f"ts <= last_signup_ts + INTERVAL {_ASOF_TOLERANCE_DAYS} DAY "
+    "THEN last_signup_ts END AS signup_within_tolerance "
+    "FROM enriched WHERE event_type = 'purchase'",
+    doc="As-of join with staleness tolerance (J12, the pandas "
+    "merge_asof(tolerance=...) semantic): each purchase gets its "
+    "latest preceding signup ONLY if that signup is at most 7 days "
+    "old — stale matches become NULL instead of silently joining "
+    "(feature-store correctness: a feature older than its freshness "
+    "SLA must not enrich the event; the plain as-of join, J7, would "
+    "happily attach a year-old value). Same scalable plan as J7 — "
+    "union + running-max over ONE per-key shuffle, no per-row range "
+    "probing — with the tolerance applied as a scan-local predicate "
+    "AFTER the carry (the match must first be the latest-preceding "
+    "one; filtering signups by age beforehand would wrongly promote "
+    "an even older signup into range... there is none older in "
+    "range, but the two-step form also keeps the carried column "
+    "available for freshness auditing). Timestamps exact, interval "
+    "arithmetic integer — hash-stable.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias(
+            "signup_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tol = F.expr(f"INTERVAL {_ASOF_TOLERANCE_DAYS} DAYS")
+    return (
+        tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.when(
+                F.col("last_signup_ts").isNotNull()
+                & (F.col("ts") <= F.col("last_signup_ts") + tol),
+                F.col("last_signup_ts"),
+            ).alias("signup_within_tolerance"),
+        )
+    )

@@ -750,3 +750,42 @@ def test_zipf_fit_recovers_known_slope(spark, tmp_path):
     }
     assert -1.1 < got["zipf"] < -0.9, got
     assert abs(got["uniform"]) < 0.05, got
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    """J12: a purchase 8 days after its latest signup gets NULL (not
+    the stale value, and not an older in-range one — none can exist);
+    a purchase 6 days after gets the signup."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_join_asof_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def d(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = [
+        (1, d(0), 1, "signup", 0.0, "{}"),
+        (2, d(6), 1, "purchase", 9.0, "{}"),    # 6d -> in tolerance
+        (3, d(10), 1, "purchase", 5.0, "{}"),   # 10d -> stale -> NULL
+        (4, d(12), 1, "signup", 0.0, "{}"),
+        (5, d(13), 1, "purchase", 7.0, "{}"),   # 1d after NEW signup
+        (6, d(1), 2, "purchase", 3.0, "{}"),    # never signed up
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", pdf)
+    got = {
+        (r["user_id"], r["value"]): r["signup_within_tolerance"]
+        for r in q_join_asof_tolerance(spark, sf).collect()
+    }
+    assert got[(1, 9.0)] == d(0)
+    assert got[(1, 5.0)] is None
+    assert got[(1, 7.0)] == d(12)
+    assert got[(2, 3.0)] is None
