@@ -156,15 +156,24 @@ _Q21_TOPK = 20
     "who shipped late (> 60 days after the order date) on "
     "multi-supplier orders where NO OTHER supplier was late — Q21's "
     "EXISTS + NOT EXISTS pair, DECORRELATED into one per-order "
-    "aggregate (distinct suppliers, distinct LATE suppliers) joined "
-    "back: the double correlated existential becomes the predicate "
-    "n_supp > 1 AND n_late_supp = 1 on a #orders-sized frame. Plan: "
-    "the lineitem-orders join shuffles on the uniform orderkey and "
-    "that partitioning is REUSED by the per-order aggregate and the "
-    "blame join (co-located, no re-exchange); the supplier name join "
-    "is dimension-sized; final ranking is a TakeOrdered heap, no "
-    "global sort. The '+60 days' lateness stands in for TPC-H's "
-    "receipt-vs-commit dates, which this corpus does not carry.",
+    "aggregate joined back: the double correlated existential "
+    "becomes the predicate n_supp > 1 AND n_late_supp = 1 on a "
+    "#orders-sized frame. Plan (r8 rework — the first cut claimed "
+    "partition reuse it did not get: count_distinct's Expand plus a "
+    "two-consumer diamond re-exchanged l_orderkey 7x in the executed "
+    "plan): ONE explicit repartition on l_orderkey, a partition-"
+    "local collapse to distinct (order, supplier, late) rows "
+    "(hash(ok) satisfies the (ok, sk) clustering by the subset "
+    "rule — no exchange), and the per-order counts as WINDOW "
+    "aggregates over the same partitioning instead of a groupBy "
+    "joined back — no second consumer, no diamond, no Expand: the "
+    "whole existential evaluates on one orderkey exchange (plan "
+    "contract pins exactly that). Window groups are per-order "
+    "distinct-supplier sets — bounded by order fan-out, never by "
+    "history. Supplier name join is dimension-sized; final ranking "
+    "is a TakeOrdered heap. The '+60 days' lateness stands in for "
+    "TPC-H's receipt-vs-commit dates, which this corpus does not "
+    "carry.",
 )
 def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -172,29 +181,38 @@ def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS)
-        ).alias("late"),
-    )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    blamed = (
-        lo.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
             "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate"), _LATE_DAYS)
+            ).alias("late"),
         )
+        .repartition(F.col("l_orderkey"))
+    )
+    # Partition-local collapse: hash(l_orderkey) satisfies the
+    # (l_orderkey, l_suppkey) clustering (subset rule) — no exchange.
+    los = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    # Per-order existentials as WINDOW aggregates on the SAME
+    # partitioning — no groupBy-and-join-back diamond.
+    wo = Window.partitionBy("l_orderkey")
+    blamed = (
+        los.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late_supp",
+            F.count(F.when(F.col("late"), 1)).over(wo),
+        )
+        .filter(
+            F.col("late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         blamed.join(s, blamed.l_suppkey == s.s_suppkey)

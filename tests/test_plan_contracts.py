@@ -476,3 +476,44 @@ def test_kmeans_assignment_no_dim_explode_join(spark):
     assert "BroadcastNestedLoopJoin" in plan, "centroid frame not broadcast-crossed"
     assert "Generate" not in plan, "corpus exploded in the assignment leg"
     assert not re.search(r"HashJoin \[dim#", plan), "joined on the dim key"
+
+
+def test_waiting_supplier_reuses_orderkey_partitioning(spark):
+    """J10: the lineitem-orders join, the per-order aggregate, and the
+    blame join all key on l_orderkey — the executed plan must reuse
+    that partitioning (ReusedExchange or AQE shuffle reuse) rather
+    than re-exchanging the same data, and the final ranking is a
+    TakeOrdered heap, never a global sort."""
+    plan = executed_plan(spark, "join_waiting_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # The whole existential evaluates on ONE orderkey exchange: the
+    # (ok, sk) collapse rides it via the subset-partitioning rule and
+    # the per-order counts are window aggregates over the same
+    # partitioning — no groupBy-and-join-back diamond.
+    n_ok = len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan))
+    assert n_ok <= 1, f"orderkey re-exchanged: {n_ok}"
+    # count_distinct would reintroduce an Expand — banned.
+    assert "Expand" not in plan
+
+
+def test_winsorized_windows_are_partitioned(spark):
+    """A17: every window over the customer frame partitions by
+    c_nationkey — no partition-less rank/count window anywhere."""
+    plan = executed_plan(spark, "agg_winsorized_stats", full=True)
+    for line in plan.splitlines():
+        if "Window" in line and (
+            "row_number" in line or "count(1)" in line
+        ):
+            assert "c_nationkey" in line, (
+                f"unpartitioned window: {line[:160]}"
+            )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    """X42: the k-row vocabulary must reach the tf frame as a
+    BROADCAST join (a shuffle membership join would re-exchange the
+    corpus-scale tf frame for a 1000-row table)."""
+    plan = executed_plan(spark, "llm_oov_rate", full=True)
+    assert "BroadcastHashJoin" in plan
