@@ -565,3 +565,149 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("signup_within_tolerance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S17: schema-evolution sink + merged read
+# ---------------------------------------------------------------------------
+
+_EVO_CUTOFF = "DATE '2001-06-01'"
+
+
+@register(
+    "snk_schema_evolution",
+    oracle="WITH d1 AS (SELECT o_orderkey, o_totalprice, "
+    "CAST(NULL AS VARCHAR) AS o_channel FROM orders "
+    f"WHERE o_orderdate < {_EVO_CUTOFF}), "
+    "d2 AS (SELECT o_orderkey, o_totalprice, "
+    "CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel "
+    f"FROM orders WHERE o_orderdate >= {_EVO_CUTOFF}), "
+    "u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2) "
+    "SELECT coalesce(o_channel, '(pre-evolution)') AS channel, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    f"{sql_dsum('o_totalprice')} AS revenue FROM u GROUP BY 1",
+    doc="Schema-evolution sink + merged read (S17): day-1 writes "
+    "orders WITHOUT the o_channel column, day-2's batch arrives WITH "
+    "it (the additive-column evolution every long-lived dataset "
+    "hits), and the read-back uses mergeSchema so day-1 rows surface "
+    "the new column as NULL instead of failing or silently dropping "
+    "it — parquet's append-only answer to ALTER TABLE ADD COLUMN. "
+    "The graded aggregate rolls revenue up by channel with the "
+    "pre-evolution rows in an explicit '(pre-evolution)' bucket, so "
+    "the hash proves BOTH that old rows survive the merge with NULLs "
+    "and that new rows carry their values. Scale note: mergeSchema "
+    "reconciles footers at planning time (cost scales with #files, "
+    "not bytes — a production lake pins the merged schema in a "
+    "catalog instead of re-deriving it per query, which is what "
+    "snk_bucketed_reuse's metadata-only re-registration models); "
+    "the data path is an ordinary pruned scan.",
+)
+def q_snk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_evo_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    o = _t(spark, sf_dir, "orders")
+    pre = F.expr(f"o_orderdate < {_EVO_CUTOFF}")
+    d1 = o.filter(pre).select("o_orderkey", "o_totalprice")
+    d2 = o.filter(~pre).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("o_channel"),
+    )
+    d1.write.mode("overwrite").parquet(root)
+    d2.write.mode("append").parquet(root)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        F.coalesce(F.col("o_channel"), F.lit("(pre-evolution)")).alias(
+            "channel"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S18: CSV ingest with explicit schema + corrupt-record channel
+# ---------------------------------------------------------------------------
+
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "src_csv_events",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    f"{sql_dsum('value')} AS sum_value, "
+    "CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us, "
+    "CAST(0 AS BIGINT) AS n_corrupt "
+    "FROM events GROUP BY 1",
+    doc="CSV ingest with explicit schema and corrupt-record channel "
+    "(S18): the events table round-trips through CSV — written with "
+    "an explicit microsecond timestamp format and proper quoting "
+    "(the props column holds JSON with commas: the quote/escape "
+    "handling IS the test), read back with a DECLARED schema (never "
+    "inferSchema: a 100 TB inference pass reads everything twice and "
+    "types by luck), PERMISSIVE mode, and a _corrupt_record column "
+    "so malformed lines land in an auditable channel instead of "
+    "killing the job (the reference's malformed-payload branch, "
+    "src/ingest_order/app.py:64-68, as a source-format concern). "
+    "Graded as per-type counts + stable value sums + max event-time "
+    "micros + the corrupt count (zero on a clean round-trip): the "
+    "hash proves values, timestamps to the microsecond, and "
+    "row-counts all survive serialization. Scale: CSV is the "
+    "interchange format of last resort — unsplittable only when "
+    "compressed, schema-on-read, no pushdown — which is exactly why "
+    "the op exists: land CSV once, validate, convert to parquet "
+    "(every other operator in this engine).",
+)
+def q_src_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_csv_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    e = _t(spark, sf_dir, "events")
+    (
+        e.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", _CSV_TS_FMT)
+        .csv(root)
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string, "
+        "_corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", _CSV_TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(root)
+    )
+    us = (
+        F.unix_date(F.col("ts").cast("date")).cast("long") * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+    ) * 1_000_000 + (
+        F.expr("extract(second from ts)") * 1_000_000
+    ).cast("long")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.max(us).alias("max_ts_us"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
