@@ -499,3 +499,74 @@ def q_stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "sess_start_us", "sess_end_us", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# T11: per-key secondary-dimension counters on MapState
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_type_counts_tws",
+    oracle="SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2",
+    doc="Per-user event-type counters on transformWithStateInPandas "
+    "MapState (T11/U5, r8 — completing the state-type coverage: "
+    "ValueState = the ledgers, timers = the sessionizer T10, "
+    "MapState = this): each user's keyed state is a MAP from event "
+    "type to running count — the live per-entity feature-store shape "
+    "(counters keyed by a secondary dimension INSIDE the keyed "
+    "state; a ValueState would re-serialize the whole dict per "
+    "update, a ListState would scan O(n) to find the counter — "
+    "MapState gives per-subkey point reads/writes against RocksDB). "
+    "Each key emits its full current map per batch; the per-key "
+    "staged availableNow drain (every key's rows in exactly one "
+    "file, the ledger discipline) makes that one emission per key = "
+    "the final count table, graded integer-exact against the plain "
+    "groupBy oracle — the stateful streaming path and the batch "
+    "aggregate must be indistinguishable by results. Degrades to "
+    "the batch groupBy only where no protobuf runtime exists.",
+)
+def q_stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import type_counts_stream_tws, tws_available
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+
+    if not tws_available():  # pragma: no cover - vendored runtime
+        import warnings
+
+        warnings.warn(
+            "stream_type_counts_tws: no usable google.protobuf — "
+            "degrading to the batch groupBy (identical results)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return e.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_typecnt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    events_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+
+    e.repartition(F.col("user_id")).write.mode("overwrite").parquet(
+        events_dir
+    )
+    q = (
+        type_counts_stream_tws(spark, events_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("user_id", "event_type", "n")

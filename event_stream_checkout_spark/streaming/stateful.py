@@ -469,3 +469,87 @@ def session_stream_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# MapState per-key counters (r8): the live feature-store shape
+# ---------------------------------------------------------------------------
+
+TYPE_COUNT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+TYPE_COUNT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+class TypeCounter(StatefulProcessor):
+    """Per-user MapState(event_type -> count): the live per-entity
+    feature map (counters keyed by a SECONDARY dimension inside the
+    keyed state — what MapState exists for; a ValueState would need
+    the whole dict serialized per update, a ListState an O(n) scan).
+    Emits each key's FULL current map per batch; with an availableNow
+    drain the last batch's emission is the final count table."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts",
+            userKeySchema=T.StructType(
+                [T.StructField("event_type", T.StringType())]
+            ),
+            valueSchema=T.StructType([T.StructField("n", T.LongType())]),
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True)
+        for et, cnt in pdf["event_type"].value_counts().items():
+            k = (et,)
+            prev = (
+                int(self._counts.getValue(k)[0])
+                if self._counts.containsKey(k)
+                else 0
+            )
+            self._counts.updateValue(k, (prev + int(cnt),))
+        out = [
+            (user_id, k[0], int(v[0]))
+            for k, v in self._counts.iterator()
+        ]
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+    def close(self) -> None:
+        pass
+
+
+def type_counts_stream_tws(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Wire a staged (user_id, event_type) parquet stream through the
+    MapState counter on RocksDB state."""
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "usable copy could be bootstrapped"
+        )
+    configure(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(TYPE_COUNT_STREAM_SCHEMA).parquet(
+        events_dir
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounter(),
+        outputStructType=TYPE_COUNT_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

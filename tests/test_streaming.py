@@ -944,3 +944,75 @@ def test_tws_timer_sessionizer_paths(spark, tmp_path):
         (1, us(50), us(60), 2),   # closed by the timer
         (2, us(5), us(5), 1),     # timer-only close (silent key)
     }
+
+
+def test_tws_mapstate_counters_accumulate_across_batches(spark, tmp_path):
+    """T11's MapState must ACCUMULATE across micro-batches (point
+    read-modify-write per subkey), not reset: two files drained with
+    maxFilesPerTrigger=1 put the same user in two batches; the final
+    emission must carry batch-1 counts + batch-2 increments."""
+    import os
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.streaming.stateful import (
+        TYPE_COUNT_STREAM_SCHEMA,
+        TypeCounter,
+        ensure_protobuf,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime for TWS")
+    ensure_protobuf(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_type": ["view", "view", "click"]}
+    ).to_parquet(os.path.join(events_dir, "a.parquet"))
+    pd.DataFrame(
+        {"user_id": [1, 2], "event_type": ["view", "buy"]}
+    ).to_parquet(os.path.join(events_dir, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(TYPE_COUNT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    from event_stream_checkout_spark.streaming.stateful import (
+        TYPE_COUNT_OUTPUT_SCHEMA,
+    )
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounter(),
+        outputStructType=TYPE_COUNT_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("typecnt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM typecnt").collect()
+    # LAST emission per (user, type) = the accumulated count.  File
+    # order within availableNow is deterministic (listing order), but
+    # to stay order-proof take the MAX per key — counts only grow.
+    final = {}
+    for r in rows:
+        k = (r["user_id"], r["event_type"])
+        final[k] = max(final.get(k, 0), r["n"])
+    assert final == {
+        (1, "view"): 3,   # 2 in one batch + 1 in the other
+        (1, "click"): 1,
+        (2, "buy"): 1,
+    }
