@@ -1,22 +1,29 @@
-"""Relational surface, wave 7: the three classic decision-support
-shapes the inventory still lacked — order-count distribution (TPC-H
-Q13 shape), correlated small-quantity revenue (Q17 shape), and the
-double-existential "only failing supplier" query (Q21 shape), each
-DECORRELATED into set-oriented aggregates + joins (the rewrite Catalyst
-cannot always do for you, and the one that matters at 100 TB: a
-correlated per-row subquery is a join in disguise — expressed as an
-explicit per-key aggregate it shuffles once and broadcasts nothing).
+"""Relational surface, wave 7 (r8): the classic decision-support
+shapes the inventory still lacked — Q13 (order-count distribution
+with the zero bucket), Q17 (correlated small-quantity revenue), Q21
+(the double-existential "only failing supplier"), Q18 (agg-driven
+large-volume orders), Q22 (global-scalar + anti-join dormant
+customers), Q11 (share of a global total), and Q15 (argmax against an
+aggregate) — each DECORRELATED into set-oriented aggregates + joins
+(the rewrite Catalyst cannot always do for you, and the one that
+matters at 100 TB: a correlated per-row subquery is a join in
+disguise — expressed as an explicit per-key aggregate it shuffles
+once and broadcasts nothing).  Plus the robust-statistics and
+storage-lifecycle members that round out the families: winsorized
+means on exact rank percentiles (A17), the staleness-tolerance as-of
+join (J12), the schema-evolution sink + mergeSchema read (S17), and
+CSV ingest with a corrupt-record channel (S18).
 
 These extend the reference's order-lifecycle analytics (the
 check-the-orders-table verification loop,
 /root/reference/src/order_processor/check_db.py:33-43) to the
-fleet-level questions an operator asks of the same tables: how are
-orders distributed per customer, which small orders bleed revenue,
-which supplier is the unique bottleneck on multi-supplier orders.
+fleet-level questions an operator asks of the same tables.
 
 Cross-engine policy: counts are BIGINT; revenue sums go through the
-dsum fixed-point policy; the Q17 threshold (0.2 x per-part avg) is the
-same quantized-avg expression tree on both engines.
+dsum fixed-point policy; correlated thresholds (0.2 x per-part avg,
+the global balance average, the value-share fraction) are the same
+quantized expression trees on both engines; percentiles are exact
+rank statistics, never sketches.
 """
 
 from __future__ import annotations

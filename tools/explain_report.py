@@ -95,6 +95,17 @@ QUERIES = [
     "agg_winsorized_stats",    # r8: exact rank percentiles + clip
     "llm_per_source_sample",   # r8: hash-ranked exact-k quota
     "evt_ewma_daily",          # r8: closed-form EWMA, domain-bounded join
+    "llm_simhash_near_dup",    # r8: Manku pigeonhole banding
+    "llm_oov_rate",            # r8: broadcast vocab membership
+    "llm_zipf_fit",            # r8: five-sum closed-form regression
+    "llm_per_source_sample",   # r8: hash-ranked exact-k quota
+    "join_asof_tolerance",     # r8: carry + freshness predicate
+    "agg_important_parts",     # r8: Q11 broadcast global scalar
+    "join_top_supplier",       # r8: Q15 broadcast argmax
+    "agg_large_volume_orders", # r8: Q18 agg-driven join
+    "agg_dormant_customers",   # r8: Q22 anti-join
+    "snk_schema_evolution",    # r8: mergeSchema append lifecycle
+    "src_csv_events",          # r8: schema-on-read + corrupt channel
 ]
 
 
