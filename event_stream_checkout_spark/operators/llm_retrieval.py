@@ -300,9 +300,11 @@ def _sql_best(pairs: str, name: str) -> str:
     )
 
 
-def _sql_bpe_oracle() -> str:
+def _sql_bpe_oracle(sample_pred: str = "TRUE") -> str:
     # docs0 .. docs3: text after 0..3 merges; bestN picked from docsN-1.
-    parts = ["docs AS (SELECT doc_id, text FROM documents)"]
+    parts = [
+        f"docs AS (SELECT doc_id, text FROM documents WHERE {sample_pred})"
+    ]
     sel = []
     cur = "docs"
     for r in range(1, _BPE_ROUNDS + 1):
@@ -946,6 +948,47 @@ def q_llm_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected = (
             sel_new if selected is None else selected.union(sel_new)
         )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# X29b: BPE training on a deterministic sample (the production stance)
+# ---------------------------------------------------------------------------
+
+_BPE_SAMPLE_HI = "8000"  # md5-prefix < 0x8000 ≈ half the corpus
+
+
+@register(
+    "llm_phrase_merges_sampled",
+    oracle=_sql_bpe_oracle(
+        sample_pred="substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"'{_BPE_SAMPLE_HI}'"
+    ),
+    doc="BPE training on a deterministic sample (X29b — the r9-queue "
+    "item closed early): production BPE trainers never count pairs "
+    "over the full corpus — merge statistics converge on a sample "
+    "and only the ENCODE pass (X34) is corpus-wide.  This variant "
+    "learns the same 3 merge rounds on the md5(doc_id) < 0x8000 "
+    "half-corpus (the llm_sample_hash rule: reproducible across "
+    "runs, engines, and partitionings — rand() is none of those), "
+    "bounding per-round pair-count cost by the sample size while "
+    "the plan shape stays X29's exactly (scan-local pair zip, one "
+    "pair-vocabulary shuffle per round, 1-row broadcast winner, "
+    "parquet-staged rounds).  Graded as the learned (round, pair, "
+    "count) table — counts over the SAMPLE, which is the honest "
+    "semantics (the merge table is what ships; its counts are "
+    "training diagnostics).",
+)
+def q_llm_phrase_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < _BPE_SAMPLE_HI
+    )
+    out, _ = bpe_rounds(spark, sampled, rewrite_last=False, tag="strain")
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
