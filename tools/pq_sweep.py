@@ -1,0 +1,111 @@
+"""PQ recall sweep: measure recall@10 of the ADC-shortlist + exact
+rerank query path (llm_pq_rerank_topk's machinery) against exact
+brute force, as a function of codebook arity K — the measured curve
+behind X35-X37's claim that "recall is governed by codebook arity
+exactly as IVF recall is by nprobe".
+
+Usage: python tools/pq_sweep.py [sf_dir] [n_queries]
+Prints one JSON line: {"sf":..., "topk":..., "shortlist":...,
+"recall": {K: mean}}.
+
+Method: the first N_QUERIES vectors are queries, scored against the
+full corpus (minus themselves).  Codebooks per subspace come from the
+ENGINE's fixed-point seeded-Lloyd round (operators/clustering.py
+kmeans_refined on the half-vectors) — the sweep measures the
+REGISTERED machinery; only the final per-query recall arithmetic is
+driver-side numpy over the collected (codes, LUT) frames, which are
+n-row slim outputs, not corpus math.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from event_stream_checkout_spark.operators.clustering import (  # noqa: E402
+    kmeans_refined,
+)
+from event_stream_checkout_spark.session import get_session  # noqa: E402
+from event_stream_checkout_spark.tables import load_table  # noqa: E402
+
+TOPK = 10
+SHORTLIST = 50
+ARITIES = (2, 4, 8, 16)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_session("pq-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in rows}
+    d = len(next(iter(vecs.values())))
+    h = d // 2
+    n = F.size("embedding")
+    hc = (n / 2).cast("int")
+    sub_a = e.select("vec_id", F.slice("embedding", F.lit(1), hc).alias("embedding"))
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", hc + 1, (n - hc)).alias("embedding")
+    )
+
+    queries = sorted(vecs)[:n_queries]
+    exact = {}
+    for q in queries:
+        qv = vecs[q]
+        dist = sorted(
+            (float(((v - qv) ** 2).sum()), vid)
+            for vid, v in vecs.items()
+            if vid != q
+        )
+        exact[q] = {vid for _, vid in dist[:TOPK]}
+
+    recall = {}
+    for K in ARITIES:
+        d2a, aa = kmeans_refined(sub_a, K)
+        d2b, ab = kmeans_refined(sub_b, K)
+        ca = {r["vec_id"]: r["cluster"] for r in aa.collect()}
+        cb = {r["vec_id"]: r["cluster"] for r in ab.collect()}
+        # per-(query, cluster) fixed-point LUTs straight from the
+        # refiner's distance frames
+        la = {(r["vec_id"], r["cluster"]): r["dq"] for r in d2a.collect()}
+        lb = {(r["vec_id"], r["cluster"]): r["dq"] for r in d2b.collect()}
+        scores = []
+        for q in queries:
+            adc = sorted(
+                (la[(q, ca[v])] + lb[(q, cb[v])], v)
+                for v in vecs
+                if v != q
+            )
+            short = [v for _, v in adc[:SHORTLIST]]
+            rr = sorted(
+                (float(((vecs[v] - vecs[q]) ** 2).sum()), v) for v in short
+            )
+            got = {v for _, v in rr[:TOPK]}
+            scores.append(len(got & exact[q]) / TOPK)
+        recall[K] = round(sum(scores) / len(scores), 3)
+
+    print(
+        json.dumps(
+            {
+                "sf": sf_dir,
+                "topk": TOPK,
+                "shortlist": SHORTLIST,
+                "dim": d,
+                "recall": recall,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
