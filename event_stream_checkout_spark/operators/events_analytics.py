@@ -587,3 +587,152 @@ def q_evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_type", "day", "n").agg(
         F.round(dsum("term"), 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# E9b: chunk-and-carry EWMA (parallel linear-recurrence scan)
+# ---------------------------------------------------------------------------
+
+_EWMA_CHUNK = 16  # observed days per chunk
+
+
+def _sql_ewma_chunked_oracle() -> str:
+    a = _EWMA_ALPHA
+    da = 1 - a
+    return (
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY "
+        "event_type ORDER BY day) AS BIGINT) AS rn FROM daily), "
+        f"ch AS (SELECT *, (rn - 1) // {_EWMA_CHUNK} AS g FROM ranked), "
+        # within-chunk partial P_t (coef 1 for the global first point)
+        "pt AS (SELECT a.event_type, a.day, a.n, a.rn, a.g, "
+        + sql_dsum(
+            f"(CASE WHEN b.rn = 1 THEN 1.0 ELSE {a} END) * "
+            f"pow({da}, a.rn - b.rn) * b.n"
+        )
+        + " AS p FROM ch a JOIN ch b ON a.event_type = b.event_type "
+        "AND a.g = b.g AND b.rn <= a.rn "
+        "GROUP BY a.event_type, a.day, a.n, a.rn, a.g), "
+        # chunk summary: end position and end partial
+        "cs AS (SELECT event_type, g, max(rn) AS rnend, "
+        "max(CASE WHEN rn = rnend2 THEN p END) AS b FROM ("
+        "  SELECT *, max(rn) OVER (PARTITION BY event_type, g) AS rnend2 "
+        "  FROM pt) GROUP BY 1, 2), "
+        # boundary EWMA via the collapsed prefix (powers of one base):
+        # s0_g = sum_{h<=g} B_h * (1-a)^(rnend_g - rnend_h)
+        "s0 AS (SELECT x.event_type, x.g, "
+        + sql_dsum(f"y.b * pow({da}, x.rnend - y.rnend)")
+        + " AS s0, max(x.rnend) AS rnend "
+        "FROM cs x JOIN cs y ON x.event_type = y.event_type "
+        "AND y.g <= x.g GROUP BY x.event_type, x.g), "
+        # carry INTO each chunk = previous chunk's boundary EWMA
+        "carry AS (SELECT event_type, g + 1 AS g, s0 AS c, rnend AS crn "
+        "FROM s0) "
+        "SELECT pt.event_type, pt.day, pt.n, "
+        f"round(COALESCE(pow({da}, pt.rn - carry.crn) * carry.c, 0.0) "
+        "+ pt.p, 6) AS ewma "
+        "FROM pt LEFT JOIN carry ON pt.event_type = carry.event_type "
+        "AND pt.g = carry.g"
+    )
+
+
+@register(
+    "evt_ewma_chunked",
+    oracle=_sql_ewma_chunked_oracle(),
+    doc="Chunk-and-carry EWMA (E9b — the r9-queue long-horizon "
+    "upgrade of E9, closed early): the EWMA recursion is a linear "
+    "recurrence s_t = a·x_t + (1−a)·s_{t−1}, and linear recurrences "
+    "admit a PARALLEL PREFIX (Blelloch-scan) evaluation — cut each "
+    "series into 16-observation chunks, compute within-chunk "
+    "partials independently (pair joins of C² instead of len² — the "
+    "whole point: E9's closed form is quadratic in series length, "
+    "this is quadratic only in CHUNK length), then solve the "
+    "chunk-boundary recurrence s0_g = A_g·s0_{g−1} + B_g in one "
+    "pass over the #chunks-sized frame. The decisive algebra: every "
+    "A_g is a power of the SAME base (1−a)^{m_g}, so the prefix "
+    "PRODUCTS collapse to (1−a)^(rank difference) and the boundary "
+    "solution is itself a small weighted prefix sum — no sequential "
+    "scan anywhere, every stage is a bounded pair join or a "
+    "per-(type, chunk) window. Fixed-point sums and identical pow "
+    "trees keep both engines bit-equal; the variant-equivalence "
+    "test pins chunked ≈ plain E9 to 1e-3 (they differ only in "
+    "quantization nesting order).",
+)
+def q_evt_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, da = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ch = daily.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("g", ((F.col("rn") - 1) / _EWMA_CHUNK).cast("long"))
+
+    ca, cb = ch.alias("a"), ch.alias("b")
+    coef = F.when(F.col("b.rn") == 1, F.lit(1.0)).otherwise(F.lit(a))
+    term = coef * F.pow(F.lit(da), F.col("a.rn") - F.col("b.rn")) * F.col("b.n")
+    pt = (
+        ca.join(
+            cb,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.rn") <= F.col("a.rn")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.n").alias("n"),
+            F.col("a.rn").alias("rn"),
+            F.col("a.g").alias("g"),
+        )
+        .agg(dsum(term).alias("p"))
+    )
+    wg = Window.partitionBy("event_type", "g")
+    cs = (
+        pt.withColumn("rnend", F.max("rn").over(wg))
+        .groupBy("event_type", "g")
+        .agg(
+            F.max("rnend").alias("rnend"),
+            F.max(
+                F.when(F.col("rn") == F.col("rnend"), F.col("p"))
+            ).alias("b"),
+        )
+    )
+    x, y = cs.alias("x"), cs.alias("y")
+    s0 = (
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("y.g") <= F.col("x.g")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("event_type"),
+            F.col("x.g").alias("g"),
+        )
+        .agg(
+            dsum(
+                F.col("y.b")
+                * F.pow(F.lit(da), F.col("x.rnend") - F.col("y.rnend"))
+            ).alias("s0"),
+            F.max(F.col("x.rnend")).alias("rnend"),
+        )
+    )
+    carry = s0.select(
+        "event_type",
+        (F.col("g") + 1).alias("g"),
+        F.col("s0").alias("c"),
+        F.col("rnend").alias("crn"),
+    )
+    joined = pt.join(carry, ["event_type", "g"], "left")
+    ewma = (
+        F.coalesce(
+            F.pow(F.lit(da), F.col("rn") - F.col("crn")) * F.col("c"),
+            F.lit(0.0),
+        )
+        + F.col("p")
+    )
+    return joined.select(
+        "event_type", "day", "n", F.round(ewma, 6).alias("ewma")
+    )

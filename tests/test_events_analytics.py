@@ -347,3 +347,26 @@ def test_ewma_matches_recursive_reference(spark, tmp_path):
     got_b = [out[("B", "2024-03-06")]]
     for got, exp in zip(got_a + got_b, exp_a + exp_b):
         assert abs(got - exp) < 1e-3, (got, exp)
+
+
+def test_ewma_chunked_matches_plain(spark):
+    """E9b's parallel-scan evaluation must agree with E9's direct
+    closed form on every (type, day) — up to quantization nesting
+    (the two paths round partial sums at different depths)."""
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_ewma_chunked,
+        q_evt_ewma_daily,
+    )
+    from tests.conftest import SF_DIR
+
+    plain = {
+        (r["event_type"], str(r["day"])): r["ewma"]
+        for r in q_evt_ewma_daily(spark, SF_DIR).collect()
+    }
+    chunked = {
+        (r["event_type"], str(r["day"])): r["ewma"]
+        for r in q_evt_ewma_chunked(spark, SF_DIR).collect()
+    }
+    assert plain.keys() == chunked.keys() and len(plain) > 50
+    worst = max(abs(plain[k] - chunked[k]) for k in plain)
+    assert worst < 1e-3, worst
