@@ -909,8 +909,9 @@ _SQL_Q6 = "floor(ln({x}) * 1000000.0 + 0.5) / 1000000.0"
     f"{sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx "
     "FROM head GROUP BY 1) "
     "SELECT source, n, "
-    "round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope "
-    "FROM s ORDER BY source",
+    "CASE WHEN sxx - sx * sx / n > 0 THEN "
+    "round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) END "
+    "AS zipf_slope FROM s ORDER BY source",
     doc="Zipf-slope fit per source (X43): least-squares slope of "
     "ln(frequency) against ln(rank) over each source's top-200 token "
     "types — the corpus-health statistic data teams monitor per "
@@ -923,7 +924,11 @@ _SQL_Q6 = "floor(ln({x}) * 1000000.0 + 0.5) / 1000000.0"
     "partitions by source (never partition-less) with an early "
     "rank<=200 cut, each ln is quantized 1e-6 (module ln policy) and "
     "every sum rides the fixed-point policy — the slope division is "
-    "then the identical tree on both engines, rounded 1e-6. At "
+    "then the identical tree on both engines, rounded 1e-6, and a "
+    "zero rank-variance head (single-distinct-token source) yields "
+    "NULL in BOTH engines (Spark NaN vs DuckDB NULL would otherwise "
+    "diverge — the evt_anomaly sigma=0 class, guarded identically). "
+    "At "
     "100 TB the only corpus-scale stage is the token-count collapse; "
     "everything after is 200 x #sources rows.",
 )
@@ -952,9 +957,14 @@ def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x") * F.col("y")).alias("sxy"),
         dsum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-    )
+    denom = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / denom
+    # Degenerate head (a single distinct token): zero rank-variance
+    # would make Spark emit NaN where DuckDB emits NULL (the same
+    # engine-divergence class as evt_anomaly's sigma=0, ADVICE r7) —
+    # guard identically in both engines.
     return s.select(
-        "source", "n", F.round(slope, 6).alias("zipf_slope")
+        "source",
+        "n",
+        F.when(denom > 0, F.round(slope, 6)).alias("zipf_slope"),
     ).orderBy("source")

@@ -310,7 +310,8 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "abs(CAST(c.cum_pre AS HUGEINT) * t.tq - "
     "CAST(c.cum_post AS HUGEINT) * t.tp) AS diff, t.tp, t.tq "
     "FROM c, tot t) "
-    "SELECT round(CAST(diff AS DOUBLE) / (CAST(tp AS DOUBLE) * tq), 6) "
+    "SELECT CASE WHEN tp > 0 AND tq > 0 THEN "
+    "round(CAST(diff AS DOUBLE) / (CAST(tp AS DOUBLE) * tq), 6) END "
     "AS d_stat, round(cents / 100.0, 2) AS at_value, tp AS n_pre, "
     "tq AS n_post FROM d ORDER BY diff DESC, cents LIMIT 1",
     doc="Two-sample Kolmogorov-Smirnov drift statistic (V3): the "
@@ -384,10 +385,17 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.orderBy(F.col("diff").desc(), "cents")
         .limit(1)
         .select(
-            F.round(
-                F.col("diff").cast("double")
-                / (F.col("tp").cast("double") * F.col("tq")),
-                6,
+            # One-sided data (every row in a single slice): no
+            # two-sample statistic exists — NULL in BOTH engines
+            # (Spark NaN/Inf vs DuckDB NULL would otherwise diverge,
+            # the evt_anomaly sigma=0 class).
+            F.when(
+                (F.col("tp") > 0) & (F.col("tq") > 0),
+                F.round(
+                    F.col("diff").cast("double")
+                    / (F.col("tp").cast("double") * F.col("tq")),
+                    6,
+                ),
             ).alias("d_stat"),
             F.round(F.col("cents") / 100.0, 2).alias("at_value"),
             F.col("tp").alias("n_pre"),
@@ -411,7 +419,7 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tp, "
     "CAST(sum(n_post) AS BIGINT) AS tq FROM cat) "
     "SELECT c.category, c.n_pre, c.n_post, "
-    "round(("
+    "CASE WHEN t.tp > 0 AND t.tq > 0 THEN round(("
     "  (c.n_pre - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
     "  * (c.n_pre - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
     "  / (CAST(c.n_pre + c.n_post AS DOUBLE) * t.tp / (t.tp + t.tq))"
@@ -419,7 +427,7 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "  (c.n_post - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
     "  * (c.n_post - CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
     "  / (CAST(c.n_pre + c.n_post AS DOUBLE) * t.tq / (t.tp + t.tq))"
-    "), 6) AS contrib "
+    "), 6) END AS contrib "
     "FROM cat c, tot t",
     doc="Chi-square homogeneity drift (V4): per-category contribution "
     "to the two-sample chi-square statistic over o_orderpriority's "
@@ -460,5 +468,13 @@ def q_dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_post") - e_post
     ) / e_post
     return j.select(
-        "category", "n_pre", "n_post", F.round(contrib, 6).alias("contrib")
+        "category",
+        "n_pre",
+        "n_post",
+        # Empty pre or post slice: expected counts are 0 and the
+        # statistic is undefined — NULL in BOTH engines (same
+        # divergence guard as the KS stat).
+        F.when(
+            (F.col("tp") > 0) & (F.col("tq") > 0), F.round(contrib, 6)
+        ).alias("contrib"),
     )

@@ -146,6 +146,10 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "llm_dup_span_coverage",  # spans fingerprinted to md5-16 before
                           # the shuffle in engine AND oracle (r8
                           # re-bench: 1.6x at sf1)
+    # (the r8-NEW keys dq_ks_drift / dq_chi2_drift / llm_zipf_fit /
+    # join_waiting_supplier gained degenerate-input guards or plan
+    # reworks within the round, before any driver grade — they are
+    # already in the new-key window, no re-grade entry needed.)
 })
 
 

@@ -827,3 +827,54 @@ def test_csv_corrupt_records_channelled(spark, tmp_path):
     assert {r["event_id"] for r in good} == {1, 2}
     assert {r["props"] for r in good} == {'{"k": 1}', "{}"}
     back.unpersist()
+
+
+def test_zipf_fit_degenerate_source_is_null(spark, tmp_path):
+    """X43's zero-variance guard: a source whose head is ONE distinct
+    token has no rank spread to regress on — slope must be NULL (not
+    NaN), identically to the DuckDB oracle's x/0 semantics."""
+    rows = [
+        (1, "same same same same", "en", "mono", 0),
+        (2, "a b c d e f g a a b", "en", "healthy", 0),
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_zipf_fit,
+    )
+
+    got = {
+        r["source"]: r["zipf_slope"] for r in q_llm_zipf_fit(spark, sf).collect()
+    }
+    assert got["mono"] is None
+    assert got["healthy"] is not None and got["healthy"] < 0
+
+
+def test_drift_stats_one_sided_data_null(spark, tmp_path):
+    """KS and chi-square on data living entirely in ONE slice: no
+    two-sample statistic exists — d_stat and contribs must be NULL
+    (not NaN/Inf), matching DuckDB's division semantics."""
+    import datetime as dt
+
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_chi2_drift,
+        q_dq_ks_drift,
+    )
+
+    post_d = dt.datetime(2001, 7, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": pd.Series([post_d, post_d], dtype="datetime64[us]"),
+            "o_totalprice": [10.0, 20.0],
+            "o_orderpriority": ["A", "B"],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    ks = q_dq_ks_drift(spark, sf).collect()[0]
+    assert ks["d_stat"] is None and ks["n_pre"] == 0
+    chi = q_dq_chi2_drift(spark, sf).collect()
+    assert all(r["contrib"] is None for r in chi) and len(chi) == 2
