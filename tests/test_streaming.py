@@ -1087,3 +1087,77 @@ def test_tws_sessionizer_live_watermark_no_sentinel(spark, tmp_path):
     assert (2, us(120), us(120), 1) in got, got
     # user 2's +4h session is still open — correctly NOT emitted.
     assert not any(s == us(240) for _, s, _, _ in got), got
+
+
+def test_tws_sessionizer_state_survives_restart(spark, tmp_path):
+    """T10 recovery: an OPEN session must survive a full query
+    stop/restart through the RocksDB checkpoint — run 1 drains file 1
+    (user 1's session stays open in state), the query is torn down,
+    file 2 arrives, and run 2 (same checkpoint) must CONTINUE that
+    session: an event 10 minutes after the pre-restart one lands in
+    the SAME session, and the sentinel then closes it as one unit.
+    This is the crash-replay contract of the sessionizer — losing
+    state across restarts would emit two half-sessions."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.streaming.stateful import (
+        session_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime for TWS")
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def us(minutes):
+        return int(
+            (t0 + dt.timedelta(minutes=minutes) - dt.datetime(1970, 1, 1))
+            .total_seconds() * 1e6
+        )
+
+    events_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(events_dir)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_us", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us").astype(
+            "datetime64[us]"
+        )
+        pdf.to_parquet(os.path.join(events_dir, name))
+        time.sleep(0.05)
+
+    def drain():
+        q = (
+            session_stream_tws(spark, events_dir, 30 * 60)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1's session opens and stays open (nothing advances
+    # the watermark past its expiry).
+    write_file("a.parquet", [(1, 1, us(0), us(0))])
+    drain()
+    # restart: a second event 10 min later (same session) + a
+    # far-future sentinel to flush.
+    write_file("b.parquet", [(1, 2, us(10), us(10)),
+                             (-1, -1, us(600), us(600))])
+    drain()
+    got = {
+        (r["user_id"], r["sess_start_us"], r["sess_end_us"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] >= 0
+    }
+    assert got == {(1, us(0), us(10), 2)}, got
