@@ -968,3 +968,78 @@ def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(denom > 0, F.round(slope, 6)).alias("zipf_slope"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X44: per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+
+
+@register(
+    "llm_tfidf_keywords",
+    oracle="WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+    "scored AS (SELECT tf.doc_id, tf.tok, tf.tf, "
+    "tf.tf * (floor(ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000.0 "
+    "+ 0.5) / 1000000.0) AS w "
+    "FROM tf JOIN df USING (tok) CROSS JOIN n), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY w DESC, tok) AS rk FROM scored) "
+    "SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok AS keyword, "
+    f"round(w, 6) AS tfidf FROM ranked WHERE rk <= {_KW_TOPK}",
+    doc="Per-document TF-IDF keyword extraction (X44): each doc's "
+    "top-3 terms by tf·idf with smoothed idf = ln((N+1)/(df+1)) — "
+    "the classic unsupervised keyword/tag extractor, and the per-DOC "
+    "complement of BM25 (which scores docs for a QUERY; this scores "
+    "terms for a DOC — together they cover both directions of the "
+    "term-document matrix). Shape: (doc, token, tf) pre-collapse "
+    "(zipf hardening), document frequency derives from that frame "
+    "and joins back on the token hash (vocabulary-sized — NOT "
+    "broadcast, zipf head + long tail, the perplexity-LM stance), "
+    "idf's ln quantized 1e-6 so the ranking is engine-exact with "
+    "(weight DESC, token) tiebreaks, and the per-doc top-3 is a "
+    "doc-partitioned window with an early rank cut. Stopwords "
+    "self-attenuate: a token in every doc gets idf ≈ ln(1) ≈ 0, so "
+    "no stoplist is needed — the smoothing keeps idf finite and "
+    "positive for all real df.",
+)
+def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.floor(
+            F.log(
+                (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+            )
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok", (F.col("tf") * idf).alias("w")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KW_TOPK)
+        .select(
+            "doc_id", "rk", F.col("tok").alias("keyword"),
+            F.round("w", 6).alias("tfidf"),
+        )
+    )

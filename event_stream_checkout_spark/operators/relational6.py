@@ -718,3 +718,93 @@ def q_src_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(us).alias("max_ts_us"),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19: market-basket co-purchase pairs with lift
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3
+_MB_TOPK = 25
+
+
+@register(
+    "agg_copurchase_lift",
+    oracle="WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
+    "FROM lineitem), "
+    "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+    "FROM li), "
+    "sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM li "
+    "GROUP BY 1), "
+    "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(count(*) AS BIGINT) AS support FROM li a JOIN li b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING count(*) >= {_MB_MIN_SUPPORT}) "
+    "SELECT p.part_a, p.part_b, p.support, "
+    "round(CAST(p.support AS DOUBLE) * n.n_orders / "
+    "(sa.s * CAST(sb.s AS DOUBLE)), 6) AS lift "
+    "FROM pairs p JOIN sup sa ON p.part_a = sa.l_partkey "
+    "JOIN sup sb ON p.part_b = sb.l_partkey CROSS JOIN n "
+    f"ORDER BY lift DESC, part_a, part_b LIMIT {_MB_TOPK}",
+    doc="Market-basket co-purchase pairs with lift (A19): part pairs "
+    "appearing in the same order, scored by lift = P(a,b)/(P(a)·"
+    "P(b)) — association-rule mining's core statistic (lift > 1 = "
+    "bought together more than chance; the 'customers also bought' "
+    "analytic). Pair generation is the per-GROUP expansion shape: "
+    "the self-join keys on l_orderkey, so pair output is bounded by "
+    "basket size squared PER ORDER (baskets are human-scale, ≤13 "
+    "here — the same bounded-by-group-fan-out stance as session "
+    "paths), never corpus²; the distinct pre-collapse kills "
+    "duplicate-lineitem inflation first. Min-support 3 prunes the "
+    "long tail BEFORE the support joins (HAVING on the aggregate); "
+    "per-part supports and the order count are collapsing "
+    "aggregates, the 1-row n broadcast; lift is one double "
+    "multiply/divide tree identical on both engines, rounded 1e-6, "
+    "TakeOrdered ranking with full tiebreak.",
+)
+def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+    sa = sup.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("sa")
+    )
+    sb = sup.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("sb")
+    )
+    lift = (
+        F.col("support").cast("double")
+        * F.col("n_orders")
+        / (F.col("sa") * F.col("sb").cast("double"))
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_MB_TOPK)
+    )

@@ -878,3 +878,58 @@ def test_drift_stats_one_sided_data_null(spark, tmp_path):
     assert ks["d_stat"] is None and ks["n_pre"] == 0
     chi = q_dq_chi2_drift(spark, sf).collect()
     assert all(r["contrib"] is None for r in chi) and len(chi) == 2
+
+
+def test_copurchase_lift_hand_computed(spark, tmp_path):
+    """A19 on a crafted basket set: support counts distinct orders
+    containing both parts (duplicate lineitems collapse first), min
+    support prunes, and lift matches the hand formula."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_copurchase_lift,
+    )
+
+    # 6 orders; parts 1&2 co-occur in orders 1,2,3 (order 1 has part 1
+    # twice -> distinct collapse); parts 1&3 co-occur only once.
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3, 3, 4, 5, 6, 1],
+            "l_partkey":  [1, 1, 2, 1, 2, 1, 2, 3, 3, 3, 3],
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    got = {
+        (r["part_a"], r["part_b"]): (r["support"], r["lift"])
+        for r in q_agg_copurchase_lift(spark, sf).collect()
+    }
+    # sup(1)=3 (orders 1,2,3), sup(2)=3, sup(3)=4 (orders 1,4,5,6),
+    # n_orders=6.  pair (1,2): support 3 >= 3 kept, lift=3*6/(3*3)=2.
+    # pair (1,3)/(2,3): support 1 < 3 pruned.
+    assert got == {(1, 2): (3, 2.0)}
+
+
+def test_tfidf_keywords_rank_and_attenuation(spark, tmp_path):
+    """X44: a token present in EVERY doc attenuates to idf 0 and can
+    never be a keyword; a doc-specific repeated term tops its doc."""
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_tfidf_keywords,
+    )
+
+    rows = [
+        (1, "common alpha alpha beta", "en", "s", 0),
+        (2, "common gamma", "en", "s", 0),
+        (3, "common delta delta delta", "en", "s", 0),
+    ]
+    df_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", df_in)
+    got = {}
+    for r in q_llm_tfidf_keywords(spark, sf).collect():
+        got.setdefault(r["doc_id"], []).append((r["rk"], r["keyword"]))
+    top = {d: sorted(v)[0][1] for d, v in got.items()}
+    assert top == {1: "alpha", 2: "gamma", 3: "delta"}
+    # 'common' is in all 3 docs: idf = ln(4/4) = 0 -> weight 0 -> it
+    # can only appear behind every positive-weight term.
+    for d, v in got.items():
+        kws = [k for _, k in sorted(v)]
+        assert kws[0] != "common"
