@@ -106,6 +106,10 @@ QUERIES = [
     "agg_dormant_customers",   # r8: Q22 anti-join
     "snk_schema_evolution",    # r8: mergeSchema append lifecycle
     "src_csv_events",          # r8: schema-on-read + corrupt channel
+    "evt_ewma_chunked",        # r8: parallel linear-recurrence scan
+    "llm_phrase_merges_sampled",  # r8: sampled merge statistics
+    "agg_copurchase_lift",     # r8: basket-bounded pair join
+    "llm_tfidf_keywords",      # r8: joined df + per-doc top-k window
 ]
 
 
