@@ -54,12 +54,18 @@ def davg(col: Column | str) -> Column:
 
 
 def dstddev(col: Column | str) -> Column:
-    """Sample stddev via exact sums: sqrt((S2 - S1²/n)/(n-1))."""
+    """Sample stddev via exact sums: sqrt((S2 - S1²/n)/(n-1)).
+    NULL for n < 2 — the sample statistic is undefined on a single
+    observation, stddev_samp's own convention; without the guard the
+    (n-1) divisor throws DIVIDE_BY_ZERO under ANSI mode (found by the
+    single-row degenerate sweep, r8)."""
     c = _c(col)
     n = F.count(c).cast("double")
     s1 = F.sum(quant(c)).cast("double") / F.lit(SCALE)
     s2 = F.sum(quant(c * c)).cast("double") / F.lit(SCALE)
-    return F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    return F.when(
+        n > 1.0, F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    )
 
 
 # --- DuckDB-side textual equivalents (oracle SQL builders) ---------------
@@ -84,4 +90,7 @@ def sql_dstddev(expr: str) -> str:
     s1 = sql_dsum(expr)
     s2 = sql_dsum(f"({expr}) * ({expr})")
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"sqrt(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0))"
+    return (
+        f"CASE WHEN {n} > 1.0 THEN "
+        f"sqrt(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0)) END"
+    )

@@ -150,6 +150,9 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     # join_waiting_supplier gained degenerate-input guards or plan
     # reworks within the round, before any driver grade — they are
     # already in the new-key window, no re-grade entry needed.)
+    "agg_stats",          # dstddev helper gained the n<2 NULL guard in
+                          # engine AND oracle (single-row sweep find) —
+                          # transitive-dependency re-grade
 })
 
 

@@ -1070,3 +1070,34 @@ def test_image_header_real_decode(spark):
         2: ("gif", 320, 200),
         3: ("bmp", 100, 50),
     }
+
+
+def test_every_query_survives_single_row_tables(spark, tmp_path):
+    """Degenerate-data sweep (r8, the sibling of the empty sweep):
+    every registered query must EXECUTE against a dataset where every
+    table holds exactly ONE row — the regime where zero-variance
+    stddevs, single-member groups, one-element windows, self-joins
+    with no partner, and 0/0 rate divisions all surface at once
+    (the class behind the sigma/zipf/KS guards).  A query may return
+    0 rows; it may not throw."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from event_stream_checkout_spark.registry import QUERIES, load_all
+    from event_stream_checkout_spark.tables import TABLE_NAMES
+
+    load_all()
+    one_dir = str(tmp_path / "one")
+    os.makedirs(one_dir)
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), os.path.join(one_dir, f"{t}.parquet"))
+
+    failures = {}
+    for key, q in QUERIES.items():
+        try:
+            q.fn(spark, one_dir).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = str(e).splitlines()[0][:200]
+    assert not failures, failures
