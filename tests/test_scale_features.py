@@ -1101,3 +1101,37 @@ def test_every_query_survives_single_row_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures[key] = str(e).splitlines()[0][:200]
     assert not failures, failures
+
+
+def test_every_query_survives_constant_tables(spark, tmp_path):
+    """Degenerate-data sweep 3: every table is ONE row duplicated 20
+    times — zero value ranges (equi-width bucketing lo==hi), total
+    ties everywhere, identical vectors (degenerate k-means cells),
+    single-key bloom builds, KS over one distinct value.  Queries may
+    return few or zero rows; they may not throw."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_stream_checkout_spark.registry import QUERIES, load_all
+    from event_stream_checkout_spark.tables import TABLE_NAMES
+
+    load_all()
+    const_dir = str(tmp_path / "const")
+    os.makedirs(const_dir)
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        one = tbl.slice(0, 1)
+        pq.write_table(
+            pa.concat_tables([one] * 20),
+            os.path.join(const_dir, f"{t}.parquet"),
+        )
+
+    failures = {}
+    for key, q in QUERIES.items():
+        try:
+            q.fn(spark, const_dir).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = str(e).splitlines()[0][:200]
+    assert not failures, failures
