@@ -736,3 +736,64 @@ def q_evt_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_type", "day", "n", F.round(ewma, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# E10: DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_dau_wau",
+    oracle="WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+    "FROM events), "
+    "days AS (SELECT DISTINCT day FROM ud), "
+    "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud "
+    "GROUP BY 1), "
+    "wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) "
+    "AS wau FROM days d JOIN ud u "
+    "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day GROUP BY 1) "
+    "SELECT dau.day, dau.dau, wau.wau, "
+    "round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
+    "FROM dau JOIN wau ON dau.day = wau.day",
+    doc="DAU/WAU stickiness (E10): per day, the distinct daily "
+    "actives, the distinct trailing-7-day actives, and their ratio — "
+    "THE product-health metric (stickiness ~1 = users return daily; "
+    "~1/7 = once a week). The expensive half is distinct-over-a-"
+    "sliding-window, which plain windows cannot express (COUNT "
+    "DISTINCT OVER RANGE is unsupported for good reason — per-frame "
+    "dedup state); the scalable form: collapse the event stream to "
+    "DISTINCT (user, day) FIRST (a power user's million events "
+    "become ≤1 row/day — the retention-triangle pre-collapse), then "
+    "range-join that slim frame against the DOMAIN-bounded day list "
+    "(each user-day lands in exactly ≤7 day-windows — constant "
+    "fan-out, linear total) and count distinct per day. WAU never "
+    "touches raw events; the day list is broadcast-sized by the "
+    "calendar. Integer counts, one rounded ratio of identical "
+    "trees.",
+)
+def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    u, d = ud.alias("u"), days.alias("d")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau"), 6
+        ).alias("stickiness"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import QUERIES, register
 from ..tables import load_table, with_min_scan_parallelism
 
 # --------------------------------------------------------------------------
@@ -1175,4 +1175,49 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 4 — deterministic stratified sample (llm_sample_hash rule).
     return survived.filter(F.col("_sample_ok")).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# X45: language-ID confusion matrix (classifier eval against labels)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_langid_confusion",
+    oracle="WITH pred AS ("
+    + QUERIES["llm_lang_id"].oracle
+    + "), tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM pred "
+    "GROUP BY 1) "
+    "SELECT p.lang, p.guess, CAST(count(*) AS BIGINT) AS n, "
+    "round(CAST(count(*) AS DOUBLE) / max(t.t), 6) AS share "
+    "FROM pred p JOIN tot t ON p.lang = t.lang GROUP BY 1, 2",
+    doc="Language-ID confusion matrix (X45): the X4 marker-heuristic "
+    "classifier evaluated against the corpus's own lang labels — "
+    "per-(truth, guess) counts plus the within-truth share (the "
+    "diagonal is per-class recall, off-diagonals name WHICH "
+    "languages leak into which — the eval every curation pipeline "
+    "runs before trusting a lang filter to route documents). "
+    "Composition: the registered predictor IS the input (one "
+    "definition of `guess`, shared verbatim with llm_lang_id's "
+    "engine and oracle, so this op can never drift from the "
+    "classifier it audits); everything after is two collapsing "
+    "aggregates and a #langs-row broadcast join, scan-local scoring "
+    "with no shuffle beyond the tiny (truth, guess) keys.",
+)
+def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_llm_lang_id(spark, sf_dir).select("lang", "guess")
+    tot = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        pred.groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "guess",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+                "share"
+            ),
+        )
     )

@@ -808,3 +808,87 @@ def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(_MB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A20: ABC (Pareto) classification by cumulative value share
+# ---------------------------------------------------------------------------
+
+_ABC_A_PCT = 70
+_ABC_B_PCT = 90
+
+
+@register(
+    "agg_abc_classes",
+    oracle="WITH pv AS (SELECT l_partkey, "
+    "CAST(SUM(CAST(floor(l_extendedprice * 10000.0 + 0.5) "
+    "AS DECIMAL(25,0))) AS BIGINT) AS units FROM lineitem GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(units) AS BIGINT) AS g FROM pv), "
+    "c AS (SELECT l_partkey, units, "
+    "CAST(sum(units) OVER (ORDER BY units DESC, l_partkey) AS BIGINT) "
+    "AS cum FROM pv), "
+    "cls AS (SELECT l_partkey, units, "
+    f"CASE WHEN cum * 100 <= {_ABC_A_PCT} * t.g THEN 'A' "
+    f"WHEN cum * 100 <= {_ABC_B_PCT} * t.g THEN 'B' ELSE 'C' END AS abc "
+    "FROM c, tot t) "
+    "SELECT abc, CAST(count(*) AS BIGINT) AS n_parts, "
+    "round(CAST(sum(units) AS DOUBLE) / 10000.0, 4) AS class_value "
+    "FROM cls GROUP BY 1 ORDER BY 1",
+    doc="ABC / Pareto classification (A20): parts ranked by total "
+    "value, classed A while the cumulative share stays under 70% of "
+    "the global total, B to 90%, C beyond — the inventory-management "
+    "standard (the few A-parts get tight control, the C long tail "
+    "gets bulk policies). Engine-exactness end to end: per-part "
+    "values are EXACT integer ten-thousandths (no float "
+    "accumulation), the cumulative is an integer prefix, and the "
+    "class cut is integer cross-multiplication (cum·100 ≤ pct·total) "
+    "— no float share ever computed, so the boundary part classes "
+    "identically on any engine. Scale: the cumulative runs through "
+    "the TWO-PASS bucketed prefix-sum over the #parts frame "
+    "(quantile-seeded buckets; the only partition-less window is the "
+    "O(#buckets) offsets — the sort_orders contract), the global "
+    "total is a broadcast scalar, and the class rollup is a 3-key "
+    "aggregate.",
+)
+def q_agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 10000.0 + 0.5).cast(
+                "decimal(25,0)"
+            )
+        )
+        .cast("long")
+        .alias("units")
+    )
+    tot = pv.agg(F.sum("units").alias("g"))
+    bucketed = quantile_bucketed(pv, "units", nb=32)
+    c = _cumsum_from_buckets(
+        bucketed,
+        [],
+        [F.col("units").desc(), F.col("l_partkey")],
+        F.col("units"),
+        "cum",
+    )
+    cls = c.crossJoin(F.broadcast(tot)).select(
+        "units",
+        F.when(
+            F.col("cum") * 100 <= _ABC_A_PCT * F.col("g"), F.lit("A")
+        )
+        .when(F.col("cum") * 100 <= _ABC_B_PCT * F.col("g"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("units").cast("double") / 10000.0, 4).alias(
+                "class_value"
+            ),
+        )
+        .orderBy("abc")
+    )

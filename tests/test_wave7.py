@@ -933,3 +933,59 @@ def test_tfidf_keywords_rank_and_attenuation(spark, tmp_path):
     for d, v in got.items():
         kws = [k for _, k in sorted(v)]
         assert kws[0] != "common"
+
+
+def test_abc_boundary_is_integer_exact(spark, tmp_path):
+    """A20: the class cut is integer cross-multiplication — a part
+    landing EXACTLY on the 70% boundary is class A (<=), the next is
+    B; hand-computed on round numbers."""
+    from event_stream_checkout_spark.operators.relational6 import (
+        q_agg_abc_classes,
+    )
+
+    # values 70, 15, 10, 5 -> total 100; cum: 70 (A, ==70%), 85 (B),
+    # 95 (C? 95>90 -> C), 100 (C).
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3, 4],
+            "l_extendedprice": [70.0, 15.0, 10.0, 5.0],
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    got = {
+        r["abc"]: (r["n_parts"], r["class_value"])
+        for r in q_agg_abc_classes(spark, sf).collect()
+    }
+    assert got == {"A": (1, 70.0), "B": (1, 15.0), "C": (2, 15.0)}
+
+
+def test_dau_wau_window_and_precollapse(spark, tmp_path):
+    """E10: WAU counts a user once per trailing window regardless of
+    event volume (the distinct pre-collapse), and the 7-day window is
+    inclusive of exactly days d-6..d."""
+    day = 24 * 60
+    rows = []
+    eid = 0
+    # user 1: 100 events on day 0 (volume must not matter).
+    for _ in range(100):
+        eid += 1
+        rows.append((eid, 0, 1, "view", 1.0))
+    # user 2: day 6 (still inside day-6's window from day 0? day 6
+    # window covers days 0..6 -> includes user 1).
+    eid += 1
+    rows.append((eid, 6 * day, 2, "view", 1.0))
+    # user 3: day 7 (its window covers days 1..7 -> excludes user 1).
+    eid += 1
+    rows.append((eid, 7 * day, 3, "view", 1.0))
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_dau_wau,
+    )
+    from tests.test_events_analytics import _write_events
+
+    out = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in q_evt_dau_wau(spark, _write_events(tmp_path, rows)).collect()
+    }
+    assert out["2024-03-01"] == (1, 1, 1.0)
+    assert out["2024-03-07"] == (1, 2, 0.5)      # day 6: users {1,2}
+    assert out["2024-03-08"] == (1, 2, 0.5)      # day 7: users {2,3}
