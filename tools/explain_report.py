@@ -110,6 +110,9 @@ QUERIES = [
     "llm_phrase_merges_sampled",  # r8: sampled merge statistics
     "agg_copurchase_lift",     # r8: basket-bounded pair join
     "llm_tfidf_keywords",      # r8: joined df + per-doc top-k window
+    "agg_abc_classes",         # r8: integer bucketed prefix + cuts
+    "evt_dau_wau",             # r8: pre-collapsed sliding distinct
+    "llm_langid_confusion",    # r8: shared-predictor eval rollup
 ]
 
 
