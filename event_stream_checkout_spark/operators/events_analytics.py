@@ -666,9 +666,16 @@ def q_evt_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("event_type").orderBy("day")
-    ch = daily.withColumn(
-        "rn", F.row_number().over(w).cast("long")
-    ).withColumn("g", ((F.col("rn") - 1) / _EWMA_CHUNK).cast("long"))
+    # Pinned: the chunked frame feeds both pair-join legs and the
+    # chunk-summary branch — unpinned, each consumer re-runs the
+    # events scan (6 scans observed in the executed plan); the frame
+    # itself is TIME-DOMAIN bounded (#days x #types rows), so the
+    # checkpoint is trivially small.
+    ch = (
+        daily.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("g", ((F.col("rn") - 1) / _EWMA_CHUNK).cast("long"))
+        .localCheckpoint()
+    )
 
     ca, cb = ch.alias("a"), ch.alias("b")
     coef = F.when(F.col("b.rn") == 1, F.lit(1.0)).otherwise(F.lit(a))
@@ -774,9 +781,16 @@ def q_evt_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # Pinned: the distinct user-day frame feeds the day list, DAU,
+    # and the WAU range join — unpinned, each consumer re-scans raw
+    # events; pinned, events are read once and the slim 2-column
+    # frame (<= users x active-days rows, the thing that made the
+    # pre-collapse worthwhile) serves all three.
+    ud = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     u, d = ud.alias("u"), days.alias("d")

@@ -763,7 +763,11 @@ _SH_BUCKET_CAP = 1000
 def q_llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_advanced import q_llm_simhash
 
-    sk = q_llm_simhash(spark, sf_dir)
+    # Pinned: the sketch frame feeds the bucket-size gate and both
+    # join legs — unpinned, the corpus-heavy token-explode + 16-vote
+    # sketch recomputes per consumer (4 scans observed); the frame is
+    # 2 slim columns per doc.
+    sk = q_llm_simhash(spark, sf_dir).localCheckpoint()
     mask = (1 << _SH_BAND_BITS) - 1
     bands = sk.select(
         "doc_id",

@@ -763,11 +763,28 @@ _MB_TOPK = 25
     "TakeOrdered ranking with full tiebreak.",
 )
 def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    # The distinct (order, part) frame feeds FOUR consumers (order
+    # count, per-part supports, both pair-join legs) — unpinned, each
+    # re-scans lineitem (8 scans observed in the executed plan), and
+    # the frame is FACT-scale, so executor-storage pinning is the
+    # wrong tool: stage it to scratch parquet once (the BPE-rounds
+    # trade) and serve all consumers from the slim 2-column files.
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_basket_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .write.mode("overwrite")
+        .parquet(root)
     )
+    li = spark.read.parquet(root)
     n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     a, b = li.alias("a"), li.alias("b")
