@@ -1135,3 +1135,50 @@ def test_every_query_survives_constant_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures[key] = str(e).splitlines()[0][:200]
     assert not failures, failures
+
+
+def test_rank_based_keys_partition_layout_invariant(spark, tmp_path):
+    """Determinism sweep (r8): keys built on ranks/quantiles/ties must
+    return IDENTICAL rows when the same data arrives in a different
+    physical layout (here: every table rewritten as 7 unevenly-sized
+    files) — the property that makes their (value, id) tiebreaks and
+    value-derived bucket ids load-bearing.  A layout-sensitive rank
+    would pass oracle parity on the canonical layout and still be
+    nondeterministic in production."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from event_stream_checkout_spark.registry import QUERIES, load_all
+    from event_stream_checkout_spark.tables import TABLE_NAMES
+
+    load_all()
+    alt_dir = str(tmp_path / "alt")
+    os.makedirs(alt_dir)
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        out = os.path.join(alt_dir, f"{t}.parquet")
+        os.makedirs(out)
+        n = tbl.num_rows
+        # 7 uneven slices (empty slices allowed)
+        cuts = [0, n // 9, n // 5, n // 3, n // 2, 2 * n // 3, 5 * n // 6, n]
+        for i in range(7):
+            pq.write_table(
+                tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                os.path.join(out, f"part-{i}.parquet"),
+            )
+
+    keys = [
+        "llm_per_source_sample",   # md5-rank quota
+        "agg_winsorized_stats",    # exact rank percentiles
+        "evt_rfm_segments",        # bucketed-rank quartiles
+        "agg_abc_classes",         # bucketed integer prefix + cuts
+        "sort_orders_sampled",     # sampled-quantile two-pass rank
+        "llm_tfidf_keywords",      # per-doc top-k with tiebreaks
+    ]
+    for key in keys:
+        base = sorted(
+            map(str, QUERIES[key].fn(spark, "/root/testdata/sf0.001").collect())
+        )
+        alt = sorted(map(str, QUERIES[key].fn(spark, alt_dir).collect()))
+        assert base == alt, f"{key} depends on physical layout"
