@@ -192,6 +192,7 @@ def load_all() -> dict[str, Query]:
         relational4,
         relational5,
         relational6,
+        relational7,
         scalar_fns,
         streaming_analogues,
         windows,

@@ -517,3 +517,81 @@ def test_oov_vocab_joins_broadcast(spark):
     corpus-scale tf frame for a 1000-row table)."""
     plan = executed_plan(spark, "llm_oov_rate", full=True)
     assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_revenue_pushdown_and_no_fact_shuffle(spark):
+    """A21 (Q19 shape): the hand-derived union bounds reach the
+    lineitem parquet scan as pushed filters, the pruned part dimension
+    reaches it as a broadcast join, and NO fact row is ever hash-
+    exchanged — the only exchange is the 1-row final aggregate."""
+    plan = executed_plan(spark, "agg_disjunctive_revenue")
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "lineitem" in ln
+    ]
+    assert li_scans, "no lineitem scan with pushed filters"
+    pushed = li_scans[0]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed
+    p_scans = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "/part.parquet" in ln
+    ]
+    assert p_scans and "In(p_brand" in p_scans[0], "brand set not pushed"
+    assert "BroadcastHashJoin" in executed_plan(
+        spark, "agg_disjunctive_revenue", full=True
+    )
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 0, f"fact rows hash-exchanged: {n_hash}"
+
+
+def test_min_cost_supplier_single_fact_aggregate(spark):
+    """J13 (Q2 shape): the scoped cost frame is pinned, so the final
+    plan reads the checkpoint — the lineitem (partkey, suppkey)
+    aggregate runs ONCE, not once per consumer — and the ranking is a
+    TakeOrdered heap, never a global sort."""
+    plan = executed_plan(spark, "join_min_cost_supplier")
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert not li_scans, f"lineitem re-scanned in-plan: {len(li_scans)}"
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_supplier_part_counts_broadcast_anti_no_expand(spark):
+    """A22 (Q16 shape): the in-arrears exclusion is a BROADCAST
+    left-anti (a shuffle anti would re-exchange the fact-scale distinct
+    frame for a handful of keys), and the single count_distinct stays
+    a two-phase aggregate — no Expand."""
+    plan = executed_plan(spark, "agg_supplier_part_counts", full=True)
+    anti = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+    ]
+    assert anti, "exclusion is not a broadcast anti-join"
+    assert "Expand" not in plan
+
+
+def test_promotable_suppliers_one_scan_partitioned_window(spark):
+    """J14 (Q20 shape): ONE lineitem pass carries both the all-time
+    and the in-year quantity (no second scan for the year leg), the
+    name-prefix predicate reaches the part scan, and the per-part
+    demand window is partitioned — never a SinglePartition data
+    stage."""
+    plan = executed_plan(spark, "join_promotable_suppliers")
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    p_scans = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "/part.parquet" in ln
+    ]
+    assert p_scans and "StringStartsWith(p_name,small)" in p_scans[0]
+    for line in plan.splitlines():
+        if "Window" in line and "sum(" in line:
+            assert "l_partkey" in line, f"unpartitioned window: {line[:160]}"
+    assert "Exchange SinglePartition" not in plan
