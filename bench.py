@@ -96,6 +96,15 @@ EXTRA = [
     "llm_dup_span_coverage",
     "llm_boilerplate_strip",
     "dq_ks_drift",
+    # r8 close-out: the four completing decision-support shapes —
+    # all lineitem-driven, so their scaling exponents are the fact-
+    # scan story (Q19 = pure pushdown + broadcast, Q2 = one fact agg
+    # + pinned dimension frame, Q16 = distinct collapse + anti,
+    # Q20 = one-pass dual agg + windowed threshold).
+    "agg_disjunctive_revenue",
+    "join_min_cost_supplier",
+    "agg_supplier_part_counts",
+    "join_promotable_suppliers",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

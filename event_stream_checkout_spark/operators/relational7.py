@@ -225,7 +225,11 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scoped.join(
-            mn,
+            # Explicit broadcast: mn is bounded by the target-part
+            # dimension, but it hangs off a localCheckpoint whose size
+            # stats are unknown to the planner — left to AQE it falls
+            # back to a sort-merge join of two dimension-sized frames.
+            F.broadcast(mn),
             (F.col("l_partkey") == F.col("mn_partkey"))
             & (F.col("ucost_units") == F.col("m")),
         )

@@ -558,6 +558,10 @@ def test_min_cost_supplier_single_fact_aggregate(spark):
     assert not li_scans, f"lineitem re-scanned in-plan: {len(li_scans)}"
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+    # The dimension-bounded per-part min broadcasts back (the
+    # checkpoint hides size stats, so unhinted this degrades to a
+    # sort-merge join).
+    assert "SortMergeJoin" not in plan
 
 
 def test_supplier_part_counts_broadcast_anti_no_expand(spark):

@@ -1175,6 +1175,8 @@ def test_rank_based_keys_partition_layout_invariant(spark, tmp_path):
         "agg_abc_classes",         # bucketed integer prefix + cuts
         "sort_orders_sampled",     # sampled-quantile two-pass rank
         "llm_tfidf_keywords",      # per-doc top-k with tiebreaks
+        "join_min_cost_supplier",  # min-equality join-back + tie surface
+        "join_promotable_suppliers",  # integer threshold boundary
     ]
     for key in keys:
         base = sorted(

@@ -113,6 +113,10 @@ QUERIES = [
     "agg_abc_classes",         # r8: integer bucketed prefix + cuts
     "evt_dau_wau",             # r8: pre-collapsed sliding distinct
     "llm_langid_confusion",    # r8: shared-predictor eval rollup
+    "agg_disjunctive_revenue", # r8: Q19 derived-bound pushdown, 0 fact exchanges
+    "join_min_cost_supplier",  # r8: Q2 decorrelated argmin, pinned cost frame
+    "agg_supplier_part_counts",  # r8: Q16 broadcast anti + distinct agg
+    "join_promotable_suppliers", # r8: Q20 one-pass dual agg + windowed threshold
 ]
 
 

@@ -42,6 +42,11 @@ ARITIES = (2, 4, 8, 16)
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    arities = (
+        tuple(int(a) for a in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else ARITIES
+    )
     spark = get_session("pq-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,7 +74,7 @@ def main() -> None:
         exact[q] = {vid for _, vid in dist[:TOPK]}
 
     recall = {}
-    for K in ARITIES:
+    for K in arities:
         d2a, aa = kmeans_refined(sub_a, K)
         d2b, ab = kmeans_refined(sub_b, K)
         ca = {r["vec_id"]: r["cluster"] for r in aa.collect()}
