@@ -178,8 +178,21 @@ def _cumsum_from_buckets(
         "_pid",
         F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
     )
-    return local.join(F.broadcast(offsets), [*part_cols, "_pid"]).withColumn(
-        out_col, (F.col("_off") + F.col("_run")).cast("long")
+    # NULL-SAFE offsets join: PARTITION BY groups NULL keys together
+    # (both the window pass and the totals aggregate honor that), but a
+    # plain equi-join on the group columns would silently DROP the
+    # NULL-key group's rows here — a latent loss the NULL-injection
+    # parity sweep (tools/null_sweep.py) caught on a NULL-lang corpus.
+    # eqNullSafe makes the helper's semantics identical to the single
+    # window it replaces, for every key domain.
+    left, right = local.alias("_l"), offsets.alias("_r")
+    cond = [
+        F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}")) for c in part_cols
+    ] + [F.col("_l._pid") == F.col("_r._pid")]
+    return (
+        left.join(F.broadcast(right), cond)
+        .select("_l.*", F.col("_r._off"))
+        .withColumn(out_col, (F.col("_off") + F.col("_run")).cast("long"))
     )
 
 

@@ -54,8 +54,17 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic opaque-binary corpus derived from documents."""
-    d = load_table(spark, sf_dir, "documents")
+    """Deterministic opaque-binary corpus derived from documents.
+
+    NULL text = a MISSING media object: dropped at this ingestion
+    boundary (every oracle filters identically), exactly as a blob
+    store returns no object for a dangling reference.  Without the
+    guard the decode kernels receive None payloads and throw — the
+    null-sweep --text finding.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
@@ -248,7 +257,8 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
     "ELSE 'video' END AS kind, "
     "CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5, "
-    "length(text) = n_chars AS meta_consistent FROM documents",
+    "length(text) = n_chars AS meta_consistent FROM documents "
+    "WHERE text IS NOT NULL",
     doc="Binary-column feature extraction over mapInPandas (X5/U1): "
     "Arrow-batched bytes → per-item features. The oracle recomputes "
     "the same features relationally, proving the binary round-trip is "
@@ -268,7 +278,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_dedup",
     oracle="WITH m AS (SELECT doc_id AS media_id, md5(text) AS content_md5 "
-    "FROM documents), r AS (SELECT *, row_number() OVER "
+    "FROM documents WHERE text IS NOT NULL), r AS (SELECT *, row_number() OVER "
     "(PARTITION BY content_md5 ORDER BY media_id) AS rn, "
     "CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies "
     "FROM m) SELECT media_id, content_md5, n_copies FROM r WHERE rn = 1",
@@ -347,7 +357,7 @@ def _sample_frame_batches(
 @register(
     "multimodal_frame_sample",
     oracle=f"WITH m AS (SELECT doc_id AS media_id, text FROM documents "
-    "WHERE doc_id % 3 = 2), "
+    "WHERE doc_id % 3 = 2 AND text IS NOT NULL), "
     "f AS (SELECT media_id, i AS frame_idx, "
     f"  substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS}) AS frame "
     "  FROM m, UNNEST(generate_series(0, "
@@ -437,7 +447,7 @@ def audio_windows(media: DataFrame, codec: str = "bytes") -> DataFrame:
 @register(
     "multimodal_audio_windows",
     oracle=f"WITH m AS (SELECT doc_id AS media_id, text FROM documents "
-    "WHERE doc_id % 3 = 1), "
+    "WHERE doc_id % 3 = 1 AND text IS NOT NULL), "
     "s AS (SELECT media_id, i - 1 AS pos, "
     "  ord(substring(text, i, 1)) AS v "
     "  FROM m, UNNEST(generate_series(1, len(text))) AS t(i)), "

@@ -299,7 +299,7 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"CAST(count(*) FILTER (o_orderdate < {_DRIFT_CUTOFF}) AS BIGINT) "
     "AS n_pre, "
     f"CAST(count(*) FILTER (o_orderdate >= {_DRIFT_CUTOFF}) AS BIGINT) "
-    "AS n_post FROM orders GROUP BY 1), "
+    "AS n_post FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), "
     "tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tp, "
     "CAST(sum(n_post) AS BIGINT) AS tq FROM vals), "
     "c AS (SELECT cents, "
@@ -338,7 +338,13 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_curate import _cumsum_from_buckets
     from .relational import quantile_bucketed
 
-    o = load_table(spark, sf_dir, "orders")
+    # NULL prices are unobserved values: they belong to NEITHER
+    # empirical CDF (and unguarded they would also sort NULLS FIRST on
+    # Spark vs NULLS LAST on DuckDB inside the cumulative ordering —
+    # the null-sweep divergence class).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     pre = F.expr(f"o_orderdate < {_DRIFT_CUTOFF}")
     vals = (
         o.select(

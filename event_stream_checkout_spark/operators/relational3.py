@@ -97,12 +97,18 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT c_custkey, c_nationkey, c_acctbal, "
     "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
     "FROM customer WINDOW w AS (PARTITION BY c_nationkey "
-    "ORDER BY c_acctbal, c_custkey)",
+    "ORDER BY c_acctbal NULLS FIRST, c_custkey)",
     doc="Distribution window functions (W1): rational count-based "
-    "values — engine-exact without rounding.",
+    "values — engine-exact without rounding. NULL ordering is "
+    "DECLARED (NULLS FIRST on both engines): Spark's ASC default is "
+    "nulls-first, DuckDB's is nulls-last, so an implicit ordering "
+    "diverges the ranks the moment the measure carries a NULL "
+    "(null-sweep finding) — unknown sorts below every observed value.",
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_first("c_acctbal"), "c_custkey"
+    )
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -599,7 +605,8 @@ _AP_BOUNDS = (("p50", 495, 505), ("p90", 895, 905), ("p99", 985, 995))
     # the identical integer ranks and bound values and asserts TRUE.
     oracle="WITH ranked AS (SELECT o_orderstatus, o_totalprice, "
     "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rk, "
-    "count(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders) "
+    "count(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders "
+    "WHERE o_totalprice IS NOT NULL) "
     "SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n_rows, "
     + ", ".join(
         f"max(CASE WHEN rk = greatest(1, ({plo}*n)//1000) "
@@ -620,7 +627,15 @@ _AP_BOUNDS = (("p50", 495, 505), ("p90", 895, 905), ("p99", 985, 995))
     "agg_approx_distinct (HLL++).",
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    # Quantiles are over OBSERVED prices: percentile_approx already
+    # ignores NULLs, so the exact rank legs must too, or n counts null
+    # rows and (worse) Spark ranks them NULLS FIRST while DuckDB ranks
+    # them NULLS LAST — both exact bounds shift (null-sweep finding).
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     by_status = Window.partitionBy("o_orderstatus")
     ranked = o.select(
         "o_orderstatus",

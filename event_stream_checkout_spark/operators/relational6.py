@@ -347,7 +347,7 @@ _WINS_HI_PCT = 95
     "CAST(row_number() OVER (PARTITION BY c_nationkey "
     "ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn, "
     "CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n "
-    "FROM customer), "
+    "FROM customer WHERE c_acctbal IS NOT NULL), "
     "lo AS (SELECT c_nationkey, c_acctbal AS lo FROM r "
     f"WHERE rn = greatest(1, ({_WINS_LO_PCT} * n + 99) // 100)), "
     "hi AS (SELECT c_nationkey, c_acctbal AS hi FROM r "
@@ -376,8 +376,14 @@ _WINS_HI_PCT = 95
     "and the stable mean are scan-local.",
 )
 def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        "c_nationkey", "c_custkey", "c_acctbal"
+    # Rank statistics are over OBSERVED balances: NULLs are excluded
+    # up front (unguarded they rank NULLS FIRST on Spark vs NULLS LAST
+    # on DuckDB, shifting every percentile row — the null-sweep
+    # divergence class).
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .filter(F.col("c_acctbal").isNotNull())
     )
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     wn = Window.partitionBy("c_nationkey")

@@ -122,7 +122,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # changed THIS round: a stale green row must not shield a rewrite from
 # re-grading (advisor finding, ADVICE.md r2), so these re-enter the
 # driver window right after the never-graded keys.  Reset each round.
-ROUND_MODIFIED: frozenset[str] = frozenset({
+# ORDERED (tuple, not set): the 50-key window may not fit every
+# candidate, so BEHAVIORAL rewrites lead and provably-pristine-no-op
+# hardening (the r8 NULL-injection fixes, identical output on any
+# NULL-free corpus — pinned by tests/test_null_parity.py) trails; a
+# trailing key missing the window is covered by the local null-sweep
+# parity plus the unchanged pristine contract.
+ROUND_MODIFIED: tuple[str, ...] = (
     # r8: engine and/or oracle changed on previously green keys — a
     # stale green row must not shield them from re-grading.
     "evt_rfm_segments",   # global ntile replaced by two-pass bucketed
@@ -153,7 +159,23 @@ ROUND_MODIFIED: frozenset[str] = frozenset({
     "agg_stats",          # dstddev helper gained the n<2 NULL guard in
                           # engine AND oracle (single-row sweep find) —
                           # transitive-dependency re-grade
-})
+    # --- NULL-injection hardening (third session; no-ops on the
+    # pristine driver corpus — see tools/null_sweep.py findings) ---
+    "win_distribution",   # NULL ordering DECLARED (nulls-first) in
+                          # engine AND oracle; identical when the
+                          # measure has no NULLs
+    "agg_approx_percentile",  # exact rank legs exclude NULL prices,
+                          # matching percentile_approx's own skip
+    "llm_token_budget_sample",  # transitive: _cumsum_from_buckets
+                          # offsets join made null-safe (NULL-lang
+                          # group no longer dropped)
+    "llm_quality_stratified",   # transitive: same helper edit
+    "multimodal_features",      # media_df drops NULL-text payloads
+                          # (missing-blob semantic) — decode kernels
+                          # threw on None content (--text sweep)
+    "multimodal_dedup",         # same boundary filter
+    "multimodal_frame_sample",  # same boundary filter
+)
 
 
 # Never-graded keys that must take the FIRST slots of this round's
@@ -205,9 +227,12 @@ def load_all() -> dict[str, Query]:
     for key, q in QUERIES.items():
         if key not in DRIVER_VERIFIED:
             ordered.setdefault(key, q)
-    for key, q in QUERIES.items():
-        if key in ROUND_MODIFIED:
-            ordered.setdefault(key, q)
+    # ROUND_MODIFIED's own order (behavioral rewrites before
+    # pristine-no-op hardening) decides which re-grades make the
+    # window when candidates exceed the remaining slots.
+    for key in ROUND_MODIFIED:
+        if key in QUERIES:
+            ordered.setdefault(key, QUERIES[key])
     for key, q in QUERIES.items():
         ordered.setdefault(key, q)
     return ordered
