@@ -258,8 +258,9 @@ _Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
     "agg_supplier_part_counts",
     oracle="WITH psl AS (SELECT DISTINCT l_partkey, l_suppkey "
     "FROM lineitem), "
-    "ok AS (SELECT psl.* FROM psl WHERE psl.l_suppkey NOT IN "
-    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+    "ok AS (SELECT psl.* FROM psl WHERE NOT EXISTS "
+    "(SELECT 1 FROM supplier s WHERE s.s_acctbal < 0 "
+    "AND s.s_suppkey = psl.l_suppkey)) "
     "SELECT p.p_brand, p.p_type, p.p_size, "
     "CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt "
     "FROM ok JOIN part p ON ok.l_partkey = p.p_partkey "
@@ -273,10 +274,13 @@ _Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
     "qualifying (brand, type, size), excluding suppliers in arrears "
     "(negative balance — standing in for Q16's complaint predicate; "
     "the part-supplier relation again derives from lineitem, no "
-    "partsupp here). The NOT IN is the anti-join trap: done as a "
-    "per-row subquery it rescans suppliers per probe; done right it "
+    "partsupp here). The exclusion subquery is the anti-join trap: "
+    "done as a per-row probe it rescans suppliers; done right it "
     "is ONE left-anti against the filtered supplier keys — "
-    "handful-sized, broadcast, so the exclusion costs a scan-local "
+    "handful-sized, broadcast. The oracle spells it NOT EXISTS "
+    "(not NOT IN) so both engines pin identical NULL-key semantics "
+    "(ADVICE.md r8: NOT IN excludes NULL-key probe rows, anti-join "
+    "keeps them), so the exclusion costs a scan-local "
     "hash probe. Plan: lineitem collapses to distinct (partkey, "
     "suppkey) on its natural key (one shuffle, map-side partial "
     "distinct), the exclusion anti-join and the pruned part "

@@ -15,13 +15,11 @@ pristine oracle in the same session the fixes landed).
 from __future__ import annotations
 
 import duckdb
-import numpy as np
-import pandas as pd
 import pytest
 
 from event_stream_checkout_spark.registry import QUERIES, load_all
 from event_stream_checkout_spark.tables import TABLE_NAMES
-from tools.null_sweep import build_nulled
+from tools.null_sweep import build_nulled, canon_rows as _canon
 
 KEYS = [
     "win_distribution",        # declared NULLS FIRST rank ordering
@@ -51,18 +49,6 @@ def nulled_duck(nulled):
         )
     yield con
     con.close()
-
-
-def _canon(df: pd.DataFrame) -> list[str]:
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[col]):
-            df[col] = df[col].astype("datetime64[us]")
-        elif df[col].dtype == object:
-            df[col] = df[col].map(lambda v: None if v is None else str(v))
-    if not len(df):
-        return []
-    return sorted(df.astype(str).agg("|".join, axis=1))
 
 
 @pytest.mark.parametrize("key", KEYS)

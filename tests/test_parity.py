@@ -14,25 +14,10 @@ import pandas as pd
 import pytest
 
 from event_stream_checkout_spark.registry import load_all
+from tools.null_sweep import canon  # single shared canonicalization
 
 QUERIES = load_all()
 from tests.conftest import SF_DIR  # noqa: E402
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Canonical form: columns sorted by name, rows sorted by stringified
-    values, datetimes normalized to datetime64[us]."""
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[col]):
-            df[col] = df[col].astype("datetime64[us]")
-        elif df[col].dtype == object:
-            # normalize date/decimal objects to strings for stable compare
-            df[col] = df[col].map(lambda v: None if v is None else str(v))
-    if len(df):
-        key = df.astype(str).agg("|".join, axis=1)
-        df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
-    return df
 
 
 def assert_frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: str):

@@ -47,8 +47,11 @@ from event_stream_checkout_spark.registry import load_all  # noqa: E402
 from event_stream_checkout_spark.session import get_session  # noqa: E402
 from event_stream_checkout_spark.tables import TABLE_NAMES  # noqa: E402
 
-# (table, column, modulus): null rows where id_col % modulus == 0
-MEASURES = {
+# (table, column, modulus): null rows where id_col % modulus == 0.
+# Carries BOTH injection families of the documented policy — measures
+# (1/7 moduli) and attributes (1/11 moduli) — hence INJECTIONS, not
+# MEASURES (ADVICE.md r8 naming finding).
+INJECTIONS = {
     "lineitem": [("l_discount", "l_orderkey", 7), ("l_tax", "l_orderkey", 5)],
     "orders": [("o_totalprice", "o_orderkey", 7)],
     "customer": [("c_acctbal", "c_custkey", 7)],
@@ -65,7 +68,7 @@ def build_nulled(base: str, out: str, null_text: bool = False) -> None:
     os.makedirs(out)
     for t in TABLE_NAMES:
         tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
-        plan = list(MEASURES.get(t, []))
+        plan = list(INJECTIONS.get(t, []))
         if null_text and t == "documents":
             # Stricter pass: NULL document text too (1/13 of docs) —
             # every tokenizer/decode path must treat a NULL document
@@ -83,6 +86,11 @@ def build_nulled(base: str, out: str, null_text: bool = False) -> None:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Engine-neutral canonical form: sorted columns, us-precision
+    timestamps, stringified objects, stable row order by joined row
+    string.  SINGLE implementation shared with tests/test_null_parity.py
+    (ADVICE.md r8: a fix applied to one copy must reach the gate too).
+    """
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[col]):
@@ -93,6 +101,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         key = df.astype(str).agg("|".join, axis=1)
         df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
     return df
+
+
+def canon_rows(df: pd.DataFrame) -> list[str]:
+    """Canonical sorted row-string list — the value-compare payload."""
+    df = canon(df)
+    return list(df.astype(str).agg("|".join, axis=1)) if len(df) else []
 
 
 def main() -> int:

@@ -23,17 +23,7 @@ from event_stream_checkout_spark.session import configure  # noqa: E402
 from event_stream_checkout_spark.tables import TABLE_NAMES  # noqa: E402
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[col]):
-            df[col] = df[col].astype("datetime64[us]")
-        elif df[col].dtype == object:
-            df[col] = df[col].map(lambda v: None if v is None else str(v))
-    if len(df):
-        key = df.astype(str).agg("|".join, axis=1)
-        df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
-    return df
+from tools.null_sweep import canon  # noqa: E402  (single shared impl)
 
 
 def main() -> int:
