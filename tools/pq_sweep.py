@@ -4,9 +4,12 @@ brute force, as a function of codebook arity K — the measured curve
 behind X35-X37's claim that "recall is governed by codebook arity
 exactly as IVF recall is by nprobe".
 
-Usage: python tools/pq_sweep.py [sf_dir] [n_queries]
+Usage: python tools/pq_sweep.py [sf_dir] [n_queries] [K1,K2,...] [m] [shortlist]
+(m = number of subspaces, default 2; r8 verdict item 3 asked for the
+m=4 point — 16-d subspaces on the 64-d corpus — where training rows
+per centroid stay at n/K while composite resolution is K^m.)
 Prints one JSON line: {"sf":..., "topk":..., "shortlist":...,
-"recall": {K: mean}}.
+"m":..., "recall": {K: mean}}.
 
 Method: the first N_QUERIES vectors are queries, scored against the
 full corpus (minus themselves).  Codebooks per subspace come from the
@@ -50,17 +53,21 @@ def main() -> None:
     spark = get_session("pq-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    shortlist = int(sys.argv[5]) if len(sys.argv) > 5 else SHORTLIST
+
     e = load_table(spark, sf_dir, "embeddings")
     rows = e.select("vec_id", "embedding").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in rows}
     d = len(next(iter(vecs.values())))
-    h = d // 2
-    n = F.size("embedding")
-    hc = (n / 2).cast("int")
-    sub_a = e.select("vec_id", F.slice("embedding", F.lit(1), hc).alias("embedding"))
-    sub_b = e.select(
-        "vec_id", F.slice("embedding", hc + 1, (n - hc)).alias("embedding")
-    )
+    w = d // m  # subspace width (d assumed divisible by m)
+    subs = [
+        e.select(
+            "vec_id",
+            F.slice("embedding", F.lit(i * w + 1), F.lit(w)).alias("embedding"),
+        )
+        for i in range(m)
+    ]
 
     queries = sorted(vecs)[:n_queries]
     exact = {}
@@ -75,22 +82,29 @@ def main() -> None:
 
     recall = {}
     for K in arities:
-        d2a, aa = kmeans_refined(sub_a, K)
-        d2b, ab = kmeans_refined(sub_b, K)
-        ca = {r["vec_id"]: r["cluster"] for r in aa.collect()}
-        cb = {r["vec_id"]: r["cluster"] for r in ab.collect()}
-        # per-(query, cluster) fixed-point LUTs straight from the
-        # refiner's distance frames
-        la = {(r["vec_id"], r["cluster"]): r["dq"] for r in d2a.collect()}
-        lb = {(r["vec_id"], r["cluster"]): r["dq"] for r in d2b.collect()}
+        assigns = []  # per-subspace {vec_id: cluster}
+        luts = []     # per-subspace {(vec_id, cluster): dq}
+        for sub in subs:
+            d2i, ai = kmeans_refined(sub, K)
+            assigns.append({r["vec_id"]: r["cluster"] for r in ai.collect()})
+            # per-(query, cluster) fixed-point LUTs straight from the
+            # refiner's distance frames
+            luts.append(
+                {(r["vec_id"], r["cluster"]): r["dq"] for r in d2i.collect()}
+            )
         scores = []
         for q in queries:
             adc = sorted(
-                (la[(q, ca[v])] + lb[(q, cb[v])], v)
+                (
+                    sum(
+                        luts[i][(q, assigns[i][v])] for i in range(m)
+                    ),
+                    v,
+                )
                 for v in vecs
                 if v != q
             )
-            short = [v for _, v in adc[:SHORTLIST]]
+            short = [v for _, v in adc[:shortlist]]
             rr = sorted(
                 (float(((vecs[v] - vecs[q]) ** 2).sum()), v) for v in short
             )
@@ -103,8 +117,9 @@ def main() -> None:
             {
                 "sf": sf_dir,
                 "topk": TOPK,
-                "shortlist": SHORTLIST,
+                "shortlist": shortlist,
                 "dim": d,
+                "m": m,
                 "recall": recall,
             }
         )
