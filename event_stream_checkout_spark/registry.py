@@ -111,6 +111,10 @@ ROUND_MODIFIED: tuple[str, ...] = (
     "agg_supplier_part_counts",  # oracle exclusion rewritten NOT IN →
                           # NOT EXISTS so both engines pin identical
                           # NULL-key semantics (ADVICE.md r8)
+    "evt_ewma_daily",     # long-horizon delegation added (r8 verdict
+                          # item 5): one slim pre-action on the rollup;
+                          # driver corpora (30 days) never delegate, so
+                          # the graded plan is unchanged
 )
 
 
