@@ -115,6 +115,10 @@ ROUND_MODIFIED: tuple[str, ...] = (
                           # item 5): one slim pre-action on the rollup;
                           # driver corpora (30 days) never delegate, so
                           # the graded plan is unchanged
+    "llm_bpe_encode",     # BPE rounds fused (r8 verdict item 8): the
+    "llm_phrase_merges",  # winner TakeOrdered now executes inside the
+    "llm_phrase_merges_sampled",  # stage-write job; same merge table,
+                          # same staged corpus, one action per round
 )
 
 
@@ -168,6 +172,7 @@ def load_all() -> dict[str, Query]:
         relational5,
         relational6,
         relational7,
+        relational8,
         scalar_fns,
         streaming_analogues,
         windows,
