@@ -846,3 +846,152 @@ def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("wau"), 6
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E11: daily session bounce rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_bounce_rate",
+    oracle="WITH seq AS (SELECT user_id, event_id, ts, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id "
+    "FROM seq), "
+    "s AS (SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n, "
+    "min(ts) AS t0 FROM sess GROUP BY 1, 2) "
+    "SELECT CAST(t0 AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS n_sessions, "
+    "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_bounced, "
+    "round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*), 6) AS bounce_rate "
+    "FROM s GROUP BY 1 ORDER BY 1",
+    doc="Daily session bounce rate (E11): share of sessions "
+    "containing exactly ONE event, by session-start day — the "
+    "engagement-health complement of E4's path ranking (a rising "
+    "bounce rate is the first sign a funnel entry broke). Same "
+    "30-minute gap sessionizer as E4/E5 — lag + running boundary "
+    "sum, ONE user_id shuffle serving the lag window, the prefix "
+    "sum AND the per-session count — then a (day)-keyed rollup of "
+    "the session frame (bounded by sessions, not events). The "
+    "bounce ratio divides two integers of the same aggregate "
+    "(identical doubles both engines), round 1e-6.",
+)
+def q_evt_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + gap),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("t0"))
+    )
+    bounced = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    return (
+        s.groupBy(F.col("t0").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounced.alias("n_bounced"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounced",
+            F.round(
+                F.col("n_bounced").cast("double") / F.col("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E12: view→purchase conversion lag by cohort day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_conversion_lag",
+    oracle="WITH v AS (SELECT user_id, min(ts) AS tv FROM events "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e "
+    "JOIN v ON e.user_id = v.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1), "
+    "lag AS (SELECT v.user_id, CAST(v.tv AS DATE) AS cohort_day, "
+    "(epoch_us(p.tp) - epoch_us(v.tv)) // 1000000 AS lag_s "
+    "FROM v JOIN p ON v.user_id = p.user_id) "
+    "SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted, "
+    "round(CAST(sum(lag_s) AS DOUBLE) / count(*), 6) AS avg_lag_s, "
+    "CAST(min(lag_s) AS BIGINT) AS min_lag_s, "
+    "CAST(max(lag_s) AS BIGINT) AS max_lag_s "
+    "FROM lag GROUP BY 1 ORDER BY 1",
+    doc="View→purchase conversion lag (E12): for every user whose "
+    "first purchase follows their first view, the time between the "
+    "two — summarized per first-view cohort day (count, mean, "
+    "min/max) — the 'how long does conversion take' companion to "
+    "E1's how-many funnel. Two progressive per-user MIN aggregates "
+    "(the E1 decorrelation: stage k joins only the slim survivor "
+    "frame, never event×event), lag in INTEGER seconds via epoch-"
+    "microsecond floor division (second-COUNTING conventions differ "
+    "between engines on sub-second parts; epoch arithmetic does "
+    "not — the mean then divides an integer sum by an integer "
+    "count, identical doubles), one uniform "
+    "user_id shuffle per stage, day-keyed rollup of the per-user "
+    "frame.",
+)
+def q_evt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    lag = v.join(p, "user_id").select(
+        F.col("tv").cast("date").alias("cohort_day"),
+        F.expr(
+            "(unix_micros(cast(tp AS TIMESTAMP)) - "
+            "unix_micros(cast(tv AS TIMESTAMP))) div 1000000"
+        )
+        .cast("long")
+        .alias("lag_s"),
+    )
+    return (
+        lag.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.sum("lag_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_s"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max("lag_s").alias("max_lag_s"),
+        )
+        .orderBy("cohort_day")
+    )

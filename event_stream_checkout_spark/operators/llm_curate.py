@@ -1060,3 +1060,192 @@ def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w", 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X46: DSIR — data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 100
+
+
+@register(
+    "llm_dsir_sample",
+    oracle="WITH toks AS (SELECT doc_id, "
+    "substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b "
+    "FROM documents), "
+    "ct AS (SELECT substring(md5(unnest(string_split(text, ' '))), 1, 2) "
+    f"AS b, 1 AS one FROM documents WHERE lang = '{_DSIR_TARGET_LANG}'), "
+    "ctg AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ct GROUP BY 1), "
+    "cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM toks "
+    "GROUP BY 1), "
+    "tots AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ctg) AS tt, "
+    "(SELECT CAST(sum(c) AS BIGINT) FROM cr) AS tr), "
+    "lr AS (SELECT cr.b, "
+    "floor((ln(CAST(COALESCE(ctg.c, 0) + 1 AS DOUBLE) / (t.tt + 256)) "
+    "- ln(CAST(cr.c + 1 AS DOUBLE) / (t.tr + 256))) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS lr FROM cr LEFT JOIN ctg ON cr.b = ctg.b, tots t), "
+    "tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks, "
+    "CAST(sum(tf.tf * CAST(floor(lr.lr * 10000.0 + 0.5) "
+    "AS DECIMAL(25,0))) AS DOUBLE) / 10000.0 AS lw "
+    "FROM tf JOIN lr ON tf.b = lr.b GROUP BY 1) "
+    "SELECT doc_id, n_toks, round(lw, 6) AS log_weight "
+    f"FROM w ORDER BY lw DESC, doc_id LIMIT {_DSIR_K}",
+    doc="DSIR data selection via importance resampling (X46, Xie et "
+    "al., 'Data Selection for Language Models via Importance "
+    "Resampling'): score every raw document by the log importance "
+    "ratio of a TARGET feature distribution over the RAW one — "
+    "features are hashed unigram buckets (md5 2-hex prefix → 256 "
+    "buckets, the paper's hashed n-gram reduction that makes the "
+    "bag-of-words models 256 integers instead of an open "
+    "vocabulary), target = the English slice standing in for the "
+    "paper's Wikipedia+books target, add-1 smoothing over the fixed "
+    "bucket domain — and keep the top-k by weight (deterministic "
+    "rank with doc_id tiebreak; the paper's Gumbel-top-k adds noise "
+    "for diversity, which a graded oracle cannot — the ranked "
+    "variant is its temperature→0 limit). Distributed shape: both "
+    "bucket models are 256-row frames (map-side collapsed, "
+    "broadcast); the per-doc score joins the pre-collapsed (doc, "
+    "bucket, tf) frame — ≤256 rows per doc REGARDLESS of length, "
+    "the same zipf-head collapse as the perplexity family — against "
+    "the broadcast log-ratio table, so the corpus shuffles once on "
+    "the uniform (doc, bucket) key and never on raw tokens. "
+    "Ln quantized 1e-6, per-doc sums fixed-point, TakeOrdered "
+    "heaps: hash-exact across engines.",
+)
+def q_llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    ).select("doc_id", F.substring(F.md5("tok"), 1, 2).alias("b"))
+    # Target counts from a PRE-FILTERED exploded scan (lang pushed to
+    # parquet) — joining the exploded token stream against a target
+    # doc-id set would shuffle every token on doc_id; this is map-only.
+    ct = (
+        d.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .select(F.explode(F.split("text", " ", -1)).alias("tok"))
+        .select(F.substring(F.md5("tok"), 1, 2).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tt = ct.agg(F.sum("ct").alias("tt"))
+    tr = cr.agg(F.sum("cr").alias("tr"))
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            (
+                F.floor(
+                    (
+                        F.log(
+                            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast(
+                                "double"
+                            )
+                            / (F.col("tt") + 256)
+                        )
+                        - F.log(
+                            (F.col("cr") + 1).cast("double")
+                            / (F.col("tr") + 256)
+                        )
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("lr"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    lr_q = F.floor(F.col("lr") * 10000.0 + 0.5).cast("decimal(25,0)")
+    w = (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            (F.sum(F.col("tf") * lr_q).cast("double") / 10000.0).alias(
+                "lw"
+            ),
+        )
+    )
+    return (
+        w.orderBy(F.col("lw").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "n_toks", F.round("lw", 6).alias("log_weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X47: token-entropy repetition filter
+# ---------------------------------------------------------------------------
+
+_ENTROPY_BOTTOMK = 40
+
+
+@register(
+    "llm_token_entropy",
+    oracle="WITH toks AS (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf "
+    "GROUP BY 1), "
+    "h AS (SELECT tf.doc_id, n.n, "
+    "CAST(sum(tf.tf * CAST(floor(-ln(CAST(tf.tf AS DOUBLE) / n.n) "
+    "* 1000000.0 + 0.5) AS DECIMAL(25,0))) AS DOUBLE) / 1000000.0 "
+    "AS hsum FROM tf JOIN n ON tf.doc_id = n.doc_id GROUP BY 1, 2) "
+    "SELECT doc_id, n AS n_toks, round(hsum / n, 6) AS entropy "
+    "FROM h ORDER BY hsum / n, doc_id "
+    f"LIMIT {_ENTROPY_BOTTOMK}",
+    doc="Token-entropy repetition filter (X47): per-document Shannon "
+    "entropy of the token distribution, H = −Σ (tf/n)·ln(tf/n), "
+    "surfacing the 40 LOWEST-entropy documents — the "
+    "keyword-stuffing / boilerplate-loop detector that complements "
+    "X11's window repetition (X11 catches local loops, entropy "
+    "catches global vocabulary collapse — a doc cycling 3 tokens "
+    "perfectly evades a 10-gram window but scores H≈ln 3) and the "
+    "perplexity family (which needs a corpus LM; entropy is "
+    "corpus-free, so it works on day-0 ingest before any model "
+    "exists). Distributed shape: the ONLY aggregation domain is "
+    "(doc, token, tf) — the same zipf-head pre-collapse as "
+    "X31/X44/X46, each doc contributing its distinct-token count of "
+    "rows regardless of length — then a per-doc fold: tf·⌈−ln(tf/n)"
+    "⌉_1e-6 summed in fixed point (integer tf × quantized ln is "
+    "exact), divided by n once at the end. No vocabulary join at "
+    "all — fully scan-local after one uniform (doc, tok) shuffle. "
+    "Bottom-k is a TakeOrdered heap with doc_id tiebreak.",
+)
+def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    nll_q = F.floor(
+        -F.log(F.col("tf").cast("double") / F.col("n")) * 1000000.0 + 0.5
+    ).cast("decimal(25,0)")
+    h = (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            (F.sum(F.col("tf") * nll_q).cast("double") / 1000000.0).alias(
+                "hsum"
+            )
+        )
+    )
+    ent = F.col("hsum") / F.col("n")
+    return (
+        h.orderBy(ent, "doc_id")
+        .limit(_ENTROPY_BOTTOMK)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_toks"),
+            F.round(ent, 6).alias("entropy"),
+        )
+    )

@@ -117,6 +117,17 @@ QUERIES = [
     "join_min_cost_supplier",  # r8: Q2 decorrelated argmin, pinned cost frame
     "agg_supplier_part_counts",  # r8: Q16 broadcast anti + distinct agg
     "join_promotable_suppliers", # r8: Q20 one-pass dual agg + windowed threshold
+    "agg_priority_late",         # r9: Q4 pushed-bound EXISTS semi
+    "join_volume_shipping",      # r9: Q7 dim-membership broadcast probes
+    "agg_market_share",          # r9: Q8 conditional two-measure share
+    "agg_product_profit",        # r9: Q9 measure-bearing broadcast dim
+    "topk_returned_customers",   # r9: Q10 agg-then-decorate top-k
+    "agg_shipmode_priority",     # r9: Q12 case-sum pair
+    "dq_psi_drift",              # r9: map-side binning, 10-row arithmetic
+    "llm_dsir_sample",           # r9: 256-bucket broadcast importance models
+    "llm_token_entropy",         # r9: scan-local entropy fold, no vocab join
+    "evt_bounce_rate",           # r9: one-shuffle sessionizer + day rollup
+    "evt_conversion_lag",        # r9: progressive-min decorrelation
 ]
 
 
