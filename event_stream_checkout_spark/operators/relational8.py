@@ -140,13 +140,17 @@ _Q7_END = "TIMESTAMP '1998-01-01 00:00:00'"
     "from lineitem→orders→customer→nation. Plan: the date range is "
     "the only fact predicate (pushed to the parquet scan); the "
     "nation pair disjunction lives on DIMENSION attributes, so both "
-    "nation frames pre-filter to 2 rows and broadcast — supplier "
-    "and customer shrink to the two-nation membership BEFORE "
-    "touching the fact table, turning the pair predicate into two "
-    "broadcast semi-probes instead of a post-join filter. The only "
-    "shuffle is lineitem→orders on the natural orderkey; everything "
-    "downstream of the dimension probes is map-side. 4-group "
-    "output, deterministic total order.",
+    "nation frames pre-filter to 2 rows and broadcast (hinted — the "
+    "25-row nation domain is bounded at any SF) — supplier and "
+    "customer shrink to the two-nation membership BEFORE touching "
+    "the fact table, turning the pair predicate into two membership "
+    "probes instead of a post-join filter. The membership frames "
+    "themselves GROW with SF (a nation's suppliers are ~1/25 of all "
+    "suppliers), so their fact-side joins carry no hint — AQE "
+    "broadcasts them while they fit and degrades to shuffle joins "
+    "when they don't (plan contract pins the hint inventory). The "
+    "only guaranteed shuffle is lineitem→orders on the natural "
+    "orderkey. 4-group output, deterministic total order.",
 )
 def q_join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (_Q7_NATION_A, _Q7_NATION_B)
@@ -177,9 +181,9 @@ def q_join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (
                 (F.col("supp_nation") == pair[0])
@@ -231,12 +235,14 @@ _Q8_NATION = "NATION_5"
     "part revenue sold into ASIA-region customers, what fraction "
     "came from NATION_5 suppliers, per order year. The numerator is "
     "a CONDITIONAL sum inside the same aggregate as the denominator "
-    "— one pass, not two branches joined back. Plan: part (type "
-    "pushed) and the region-scoped customer/nation frames broadcast; "
-    "the fact scan joins orders on the one natural-key shuffle; the "
-    "supplier-nation attribute arrives via broadcast and becomes a "
-    "CASE flag BEFORE aggregation, so the share is a per-year "
-    "two-measure hash aggregate. Both measures ride the fixed-point "
+    "— one pass, not two branches joined back. Plan: the bounded "
+    "region/nation frames broadcast by hint (≤25 rows at any SF); "
+    "the type-pruned part slice and the region-scoped customer and "
+    "supplier membership frames GROW with SF, so their joins carry "
+    "no hint — AQE broadcasts while they fit. The fact scan joins "
+    "orders on the one natural-key shuffle; the supplier-nation "
+    "attribute becomes a CASE flag BEFORE aggregation, so the share "
+    "is a per-year two-measure hash aggregate. Both measures ride the fixed-point "
     "policy and divide once at the end (round 1e-6) — identical "
     "operand doubles on both engines.",
 )
@@ -277,10 +283,10 @@ def q_agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     base = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             _rev().alias("volume"),
@@ -330,9 +336,11 @@ _Q9_COST_FRAC = 0.5  # unit-cost proxy: retail price x fraction
     "retail-price proxy 0.5·p_retailprice — the access shape (fact "
     "× 4 dimensions with a measure mixing fact AND dimension "
     "columns) is Q9's exactly. Plan: the name-LIKE prunes part "
-    "before broadcast (the one dimension whose attribute enters the "
-    "MEASURE, not just a filter); supplier→nation pre-joins "
-    "broadcast-side; orders joins on the natural-key shuffle; the "
+    "before it meets the fact (the one dimension whose attribute "
+    "enters the MEASURE, not just a filter); supplier pre-joins the "
+    "hinted 25-row nation broadcast; the part slice and the "
+    "decorated supplier frame grow with SF, so their fact joins are "
+    "AQE-owned (no hint); orders joins on the natural-key shuffle; the "
     "profit expression is a single fixed-point quantized term, so "
     "the (nation, year) hash aggregate is partial-aggregated "
     "map-side. ~25×7 output rows, deterministic total order.",
@@ -364,8 +372,8 @@ def q_agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "nation", F.year("o_orderdate").cast("long").alias("o_year")
@@ -402,11 +410,13 @@ _Q10_TOPK = 20
     "the churn-risk report. Plan: the quarter predicate prunes the "
     "orders scan and the returnflag predicate prunes lineitem "
     "(both reach parquet); the fact join is the one orderkey "
-    "shuffle; the (custkey, name, nation) attributes ride a "
-    "broadcast of the customer⋈nation dimension AFTER the per-"
-    "customer aggregate collapses the fact side (aggregate first, "
-    "decorate later — decorating before the groupBy would drag two "
-    "string columns through the shuffle). Top-k is a TakeOrdered "
+    "shuffle; the (custkey, name, nation) attributes join the "
+    "customer⋈nation dimension AFTER the per-customer aggregate "
+    "collapses the fact side (aggregate first, decorate later — "
+    "decorating before the groupBy would drag two string columns "
+    "through the shuffle). Only the 25-row nation frame carries a "
+    "broadcast hint; customer GROWS with SF, so its decorate join "
+    "is AQE-owned — broadcast while it fits, shuffle join beyond. Top-k is a TakeOrdered "
     "heap with the custkey tiebreak, never a global sort.",
 )
 def q_topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,9 +447,7 @@ def q_topk_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "nation")
     )
     return (
-        per_cust.join(
-            F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
-        )
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "nation", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(_Q10_TOPK)

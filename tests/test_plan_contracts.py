@@ -105,7 +105,18 @@ def test_sort_orders_no_single_partition_data_stage(spark):
 
 
 @pytest.mark.parametrize(
-    "key", ["join_orders_customer", "join_range", "topk_revenue_orders"]
+    "key",
+    [
+        "join_orders_customer",
+        "join_range",
+        "topk_revenue_orders",
+        # r9: these join scale-growing frames (per-doc totals, per-user
+        # minima, the orderkey fact join) — AQE must own the strategy.
+        "llm_token_entropy",
+        "evt_bounce_rate",
+        "evt_conversion_lag",
+        "agg_shipmode_priority",
+    ],
 )
 def test_no_forced_broadcast_on_scale_growing_tables(spark, key):
     """AQE owns the join strategy for customer/part joins: the LOGICAL
@@ -599,3 +610,151 @@ def test_promotable_suppliers_one_scan_partitioned_window(spark):
         if "Window" in line and "sum(" in line:
             assert "l_partkey" in line, f"unpartitioned window: {line[:160]}"
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 contracts
+# ---------------------------------------------------------------------------
+
+
+def test_priority_late_semi_join_with_pushed_bound(spark):
+    """A23 (Q4 shape): the EXISTS is a LEFT SEMI join (never a
+    per-order subquery), and the hand-derived lateness bound
+    l_shipdate > window_start + 45d reaches the lineitem parquet scan
+    (Catalyst cannot infer it across the correlated condition)."""
+    plan = executed_plan(spark, "agg_priority_late", full=True)
+    assert "LeftSemi" in plan, "EXISTS did not plan as a semi join"
+    li = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "/lineitem.parquet" in ln
+    ]
+    assert li and "GreaterThan(l_shipdate" in li[0], (
+        "hand-pushed lateness bound missing from the lineitem scan"
+    )
+
+
+def test_wave9_broadcast_hints_bounded_dims_only(spark):
+    """Q7/Q8/Q9/Q10: broadcast hints are reserved for DOMAIN-BOUNDED
+    frames (nation 25 rows, region 5 — constant at any SF).  The
+    type/name-pruned part slices and the nation-membership supplier/
+    customer frames GROW with SF, so their joins must carry NO hint —
+    AQE broadcasts them while they fit and falls back to shuffle
+    joins beyond.  The counts pin the hint inventory; a new hint on a
+    growing table changes the count and forces review here."""
+    expected = {
+        "join_volume_shipping": 2,   # nation x2 (supp + cust legs)
+        "agg_market_share": 3,       # region, region-scoped nation, nation
+        "agg_product_profit": 1,     # nation
+        "topk_returned_customers": 1,  # nation
+    }
+    for key, n_hints in expected.items():
+        logical = (
+            QUERIES[key].fn(spark, SF_DIR)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        n = logical.count("ResolvedHint (strategy=broadcast)")
+        assert n == n_hints, f"{key}: {n} broadcast hints, expected {n_hints}"
+
+
+def test_topk_returned_customers_heap_and_pushdown(spark):
+    """O6 (Q10 shape): top-20 is a TakeOrdered heap (no global sort),
+    the returnflag equality prunes the lineitem scan, and the quarter
+    range prunes the orders scan."""
+    plan = executed_plan(spark, "topk_returned_customers", full=True)
+    assert "TakeOrderedAndProject" in plan
+    li = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "/lineitem.parquet" in ln
+    ]
+    assert li and "EqualTo(l_returnflag,R)" in li[0]
+    o = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "/orders.parquet" in ln
+    ]
+    assert o and "GreaterThanOrEqual(o_orderdate" in o[0]
+
+
+def test_market_share_profit_dimension_pruning(spark):
+    """A24/A25 (Q8/Q9 shapes): the part predicate reaches the part
+    parquet scan (type equality / name LIKE as StringContains) and the
+    fact table is scanned exactly once per query."""
+    plan = executed_plan(spark, "agg_market_share", full=True)
+    p = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "/part.parquet" in ln
+    ]
+    assert p and "EqualTo(p_type,PROMO)" in p[0]
+    n_li = len({
+        ln for ln in plan.split("== Initial Plan ==")[0].splitlines()
+        if "Scan parquet" in ln and "/lineitem.parquet" in ln
+    })
+    assert n_li == 1, f"lineitem scanned {n_li}x"
+    plan9 = executed_plan(spark, "agg_product_profit", full=True)
+    p9 = [
+        ln for ln in plan9.splitlines()
+        if "Scan parquet" in ln and "/part.parquet" in ln
+    ]
+    assert p9 and "StringContains(p_name,red)" in p9[0]
+
+
+def test_shipmode_priority_pushdown_and_partial_agg(spark):
+    """A26 (Q12 shape): the ship-year range prunes the fact scan and
+    both conditional counts partial-aggregate map-side before the
+    2-group exchange."""
+    plan = executed_plan(spark, "agg_shipmode_priority", full=True)
+    li = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "/lineitem.parquet" in ln
+    ]
+    assert li and "GreaterThanOrEqual(l_shipdate" in li[0]
+    assert "partial_sum" in plan
+
+
+def test_dsir_bounded_model_broadcasts_and_heap(spark):
+    """X46: the three hinted broadcasts are all domain-bounded (two
+    1-row totals + the 256-row log-ratio table — the hashed-bucket
+    domain is constant at any corpus size), and the top-k is a
+    TakeOrdered heap, never a global sort of the per-doc frame."""
+    logical = (
+        QUERIES["llm_dsir_sample"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 3
+    plan = executed_plan(spark, "llm_dsir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_token_entropy_joins_doc_keyed_only(spark):
+    """X47: every join keys on doc_id (the per-doc total rejoining its
+    tf frame) — there is NO vocabulary-keyed join anywhere — and the
+    bottom-k is a TakeOrdered heap."""
+    plan = executed_plan(spark, "llm_token_entropy", full=True)
+    for ln in plan.splitlines():
+        if "Join" in ln and "doc_id" not in ln:
+            raise AssertionError(f"non-doc-keyed join: {ln[:160]}")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_bounce_rate_single_user_shuffle(spark):
+    """E11: lag window, session-boundary prefix sum, and the
+    (user_id, sess_id) session fold all ride ONE user_id exchange
+    (hash partitioning on user_id satisfies the superset grouping);
+    the only other exchanges serve the session-frame day rollup and
+    the ordered output."""
+    plan = executed_plan(spark, "evt_bounce_rate")
+    n_user = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert n_user == 1, f"user_id exchanged {n_user}x"
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_conversion_lag_pushed_stage_filters(spark):
+    """E12: both funnel-stage predicates reach the events parquet
+    scans (view leg and purchase leg each scan with their event_type
+    equality pushed) — at 100 TB the purchase leg reads ~1% of the
+    corpus, not all of it."""
+    plan = executed_plan(spark, "evt_conversion_lag", full=True)
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan

@@ -1,0 +1,533 @@
+"""Wave-9 semantics: the six decision-support shapes (Q4/Q7/Q8/Q9/
+Q10/Q12), PSI drift, DSIR selection, token entropy, bounce rate, and
+conversion lag — on crafted inputs where the right answer is computed
+by hand.  Oracle parity (tests/test_parity.py) pins cross-engine
+equality; these pin the SEMANTIC claims the docstrings make (strict
+boundaries, once-per-order EXISTS, region-scoped denominators,
+session attribution, importance-ratio direction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from event_stream_checkout_spark.operators.events_analytics import (
+    q_evt_bounce_rate,
+    q_evt_conversion_lag,
+)
+from event_stream_checkout_spark.operators.llm_curate import (
+    q_llm_dsir_sample,
+    q_llm_token_entropy,
+)
+from event_stream_checkout_spark.operators.quality import q_dq_psi_drift
+from event_stream_checkout_spark.operators.relational8 import (
+    q_agg_market_share,
+    q_agg_priority_late,
+    q_agg_product_profit,
+    q_agg_shipmode_priority,
+    q_join_volume_shipping,
+    q_topk_returned_customers,
+)
+
+
+def _write(tmp_path, name, pdf, sf="sfx"):
+    sf_dir = str(tmp_path / sf)
+    os.makedirs(sf_dir, exist_ok=True)
+    for col in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[col]):
+            pdf[col] = pdf[col].astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return sf_dir
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# A23 (Q4): EXISTS counts an order once; 45-day lateness is strict
+# ---------------------------------------------------------------------------
+
+
+def test_priority_late_counts_order_once_and_strict_boundary(spark, tmp_path):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderdate": [
+                _ts("1997-02-01"),  # in window, two late items -> once
+                _ts("1997-03-01"),  # in window, boundary item -> out
+                _ts("1996-12-31"),  # OUTSIDE window, late item -> out
+                _ts("1997-04-01"),  # in window, one late item -> once
+            ],
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3, 4],
+            "l_shipdate": [
+                _ts("1997-05-01"),  # late (order 1)
+                _ts("1997-06-01"),  # late again (must NOT double-count)
+                _ts("1997-04-15"),  # exactly +45d: strict >, not late
+                _ts("1997-03-10"),  # early
+                _ts("1997-06-01"),  # late but order 3 out of window
+                _ts("1997-06-01"),  # late (order 4, +61d)
+            ],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in q_agg_priority_late(spark, sf).collect()
+    }
+    assert out == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+# ---------------------------------------------------------------------------
+# J15 (Q7): both trade directions as separate groups; same-nation out
+# ---------------------------------------------------------------------------
+
+
+def test_volume_shipping_directions_and_window(spark, tmp_path):
+    nation = pd.DataFrame(
+        {"n_nationkey": [3, 7, 1], "n_name": ["NATION_3", "NATION_7", "NATION_1"]}
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_nationkey": [3, 7, 1]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_nationkey": [7, 3, 1]}
+    )
+    orders = pd.DataFrame({"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 3]})
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 1, 3, 1],
+            "l_suppkey": [1, 2, 2, 1, 1],
+            "l_extendedprice": [100.0, 50.0, 70.0, 80.0, 90.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": [
+                _ts("1996-05-01"),  # N3 supp -> N7 cust: forward
+                _ts("1997-05-01"),  # N7 supp -> N3 cust: reverse
+                _ts("1996-06-01"),  # N7 supp -> N7 cust: same-nation, out
+                _ts("1996-07-01"),  # N1 cust: out of pair
+                _ts("1998-01-01"),  # window end is strict: out
+            ],
+        }
+    )
+    sf = _write(tmp_path, "nation", nation)
+    _write(tmp_path, "supplier", supplier)
+    _write(tmp_path, "customer", customer)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    rows = [
+        (r["supp_nation"], r["cust_nation"], r["l_year"], r["revenue"])
+        for r in q_join_volume_shipping(spark, sf).collect()
+    ]
+    assert rows == [
+        ("NATION_3", "NATION_7", 1996, 100.0),
+        ("NATION_7", "NATION_3", 1997, 50.0),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# A24 (Q8): denominator is ALL in-region PROMO revenue, numerator one
+# nation; out-of-region and off-type revenue never enter either side
+# ---------------------------------------------------------------------------
+
+
+def test_market_share_region_scoped_denominator(spark, tmp_path):
+    region = pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [5, 9, 2],
+            "n_name": ["NATION_5", "NATION_9", "NATION_2"],
+            "n_regionkey": [0, 0, 1],
+        }
+    )
+    part = pd.DataFrame({"p_partkey": [1, 2], "p_type": ["PROMO", "OTHER"]})
+    supplier = pd.DataFrame({"s_suppkey": [5, 9], "s_nationkey": [5, 9]})
+    customer = pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [9, 2]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [1, 2],
+            "o_orderdate": [_ts("1997-03-01"), _ts("1997-04-01")],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 1],
+            "l_partkey": [1, 1, 1, 2],
+            "l_suppkey": [5, 9, 5, 5],
+            "l_extendedprice": [100.0, 300.0, 700.0, 900.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    sf = _write(tmp_path, "region", region)
+    for n, df in [
+        ("nation", nation), ("part", part), ("supplier", supplier),
+        ("customer", customer), ("orders", orders), ("lineitem", li),
+    ]:
+        _write(tmp_path, n, df)
+    rows = q_agg_market_share(spark, sf).collect()
+    # NATION_5 sold 100 of the 400 PROMO revenue into ASIA; the 700
+    # EUROPE sale and the 900 OTHER-type sale touch neither side.
+    assert [(r["o_year"], r["mkt_share"]) for r in rows] == [(1997, 0.25)]
+
+
+# ---------------------------------------------------------------------------
+# A25 (Q9): profit mixes fact and dimension columns; LIKE prunes part
+# ---------------------------------------------------------------------------
+
+
+def test_product_profit_measure_and_name_filter(spark, tmp_path):
+    nation = pd.DataFrame({"n_nationkey": [1], "n_name": ["NATION_1"]})
+    supplier = pd.DataFrame({"s_suppkey": [1], "s_nationkey": [1]})
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["warm red metal", "plain blue cloth"],
+            "p_retailprice": [100.0, 100.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [1], "o_custkey": [1], "o_orderdate": [_ts("1997-03-01")]}
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1],
+            "l_partkey": [1, 2],
+            "l_suppkey": [1, 1],
+            "l_quantity": [2.0, 2.0],
+            "l_extendedprice": [200.0, 999.0],
+            "l_discount": [0.0, 0.0],
+        }
+    )
+    sf = _write(tmp_path, "nation", nation)
+    for n, df in [
+        ("supplier", supplier), ("part", part),
+        ("orders", orders), ("lineitem", li),
+    ]:
+        _write(tmp_path, n, df)
+    rows = q_agg_product_profit(spark, sf).collect()
+    # Only the 'red' part survives: 200*(1-0) - 0.5*100*2 = 100.
+    assert [(r["nation"], r["o_year"], r["profit"]) for r in rows] == [
+        ("NATION_1", 1997, 100.0)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# O6 (Q10): only R lineitems of in-quarter orders; custkey breaks ties
+# ---------------------------------------------------------------------------
+
+
+def test_topk_returned_customers_flag_window_ties(spark, tmp_path):
+    nation = pd.DataFrame({"n_nationkey": [1], "n_name": ["NATION_1"]})
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_name": ["C1", "C2", "C3"],
+            "c_nationkey": [1, 1, 1],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1, 2, 3, 1],
+            "o_orderdate": [
+                _ts("1996-11-01"),
+                _ts("1996-11-02"),
+                _ts("1996-12-01"),
+                _ts("1997-01-01"),  # boundary is strict <: out
+            ],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3, 4],
+            "l_returnflag": ["R", "N", "R", "R", "R"],
+            "l_extendedprice": [100.0, 500.0, 100.0, 50.0, 999.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    sf = _write(tmp_path, "nation", nation)
+    for n, df in [("customer", customer), ("orders", orders), ("lineitem", li)]:
+        _write(tmp_path, n, df)
+    rows = [
+        (r["c_custkey"], r["revenue"])
+        for r in q_topk_returned_customers(spark, sf).collect()
+    ]
+    # c1 and c2 tie at 100 (the N item and the out-of-quarter order
+    # never count) -> custkey ascending among ties, then c3.
+    assert rows == [(1, 100.0), (2, 100.0), (3, 50.0)]
+
+
+# ---------------------------------------------------------------------------
+# A26 (Q12): +60d boundary is SLOW (>=); priorities partition counts
+# ---------------------------------------------------------------------------
+
+
+def test_shipmode_priority_boundary_and_counts(spark, tmp_path):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": [_ts("1997-01-01"), _ts("1997-01-01")],
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM"],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 2, 1],
+            "l_shipdate": [
+                _ts("1997-03-02"),  # exactly +60d -> SLOW, high
+                _ts("1997-03-01"),  # +59d -> FAST, high
+                _ts("1997-06-01"),  # SLOW, low
+                _ts("1997-01-15"),  # FAST, low
+                _ts("1997-02-01"),  # FAST, low
+                _ts("1998-01-01"),  # out of ship window
+            ],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = {
+        r["ship_bucket"]: (r["high_line_count"], r["low_line_count"])
+        for r in q_agg_shipmode_priority(spark, sf).collect()
+    }
+    assert out == {"FAST": (1, 2), "SLOW": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# V5: PSI hand-computed on a 3-bin occupancy with NULL exclusion
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_hand_computed(spark, tmp_path):
+    pre, post = _ts("2001-01-01"), _ts("2001-07-01")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 10)),
+            "o_orderdate": [pre] * 4 + [post] * 4 + [pre],
+            "o_totalprice": [
+                10_000.0, 10_000.0, 10_000.0, 120_000.0,  # pre: b0 x3, b2
+                10_000.0, 480_000.0, 600_000.0, 490_000.0,  # post: b0, b9 x3
+                None,  # NULL price: excluded on both engines
+            ],
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    rows = q_dq_psi_drift(spark, sf).collect()
+    assert [r["bin"] for r in rows] == [0, 2, 9]
+    assert [(r["n_pre"], r["n_post"]) for r in rows] == [(3, 1), (1, 0), (0, 3)]
+    # Replicate the quantization pipeline exactly.
+    tp = tq = 4
+    psi_acc = 0
+    contribs = []
+    for n_pre, n_post in [(3, 1), (1, 0), (0, 3)]:
+        p = (n_pre + 1) / (tp + 10)
+        q = (n_post + 1) / (tq + 10)
+        lr = math.floor(math.log(p / q) * 1e6 + 0.5) / 1e6
+        contrib = (p - q) * lr
+        contribs.append(contrib)
+        psi_acc += math.floor(contrib * 1e4 + 0.5)
+    psi = psi_acc / 1e4
+    for r, c in zip(rows, contribs):
+        assert r["contrib"] == pytest.approx(c, abs=1e-6)
+        assert r["psi"] == pytest.approx(psi, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# X47: entropy degenerate cases — constant doc 0, uniform doc ln k
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_degenerate_and_ties(spark, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a a a a", "x y", "p q r s", "m m n n"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    rows = [
+        (r["doc_id"], r["n_toks"], r["entropy"])
+        for r in q_llm_token_entropy(spark, sf).collect()
+    ]
+    ln2 = math.floor(math.log(2) * 1e6 + 0.5) / 1e6
+    ln4 = math.floor(math.log(4) * 1e6 + 0.5) / 1e6
+    # doc1 collapses to H=0; docs 2 and 4 tie at ln 2 (doc_id breaks
+    # the tie); the uniform 4-token doc sits at ln 4.
+    assert rows == [
+        (1, 4, 0.0),
+        (2, 2, pytest.approx(ln2, abs=1e-6)),
+        (4, 4, pytest.approx(ln2, abs=1e-6)),
+        (3, 4, pytest.approx(ln4, abs=1e-6)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# X46: DSIR weights rank target-like docs above off-target docs
+# ---------------------------------------------------------------------------
+
+
+def _dsir_expected(docs: list[tuple[int, str, str]]) -> dict[int, float]:
+    """Replicate the registered DSIR math (bucketed counts, add-1
+    smoothing over 256 buckets, 1e-6 ln quantization, 1e-4 fixed-point
+    per-doc sum) directly in Python."""
+    bucket = lambda t: hashlib.md5(t.encode()).hexdigest()[:2]  # noqa: E731
+    ct: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    for _, text, lang in docs:
+        for tok in text.split(" "):
+            b = bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out: dict[int, float] = {}
+    for doc_id, text, _ in docs:
+        tf: dict[str, int] = {}
+        for tok in text.split(" "):
+            b = bucket(tok)
+            tf[b] = tf.get(b, 0) + 1
+        acc = 0
+        for b, f in tf.items():
+            lr = (
+                math.floor(
+                    (
+                        math.log((ct.get(b, 0) + 1) / (tt + 256))
+                        - math.log((cr[b] + 1) / (tr + 256))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+            acc += f * math.floor(lr * 1e4 + 0.5)
+        out[doc_id] = acc / 1e4
+    return out
+
+
+def test_dsir_prefers_target_distribution(spark, tmp_path):
+    docs = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha alpha beta beta", "en"),
+        (3, "alpha beta alpha beta", "xx"),  # target-like tokens
+        (4, "gamma delta gamma delta", "xx"),  # absent from target
+        (5, "gamma gamma delta delta", "xx"),
+    ]
+    # The four tokens must land in distinct hash buckets or the
+    # contrast collapses (deterministic: assert, don't hope).
+    bs = {hashlib.md5(t.encode()).hexdigest()[:2]
+          for t in ("alpha", "beta", "gamma", "delta")}
+    assert len(bs) == 4
+    pdf = pd.DataFrame(
+        [(i, t, lg, "s") for i, t, lg in docs],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    rows = {
+        r["doc_id"]: (r["n_toks"], r["log_weight"])
+        for r in q_llm_dsir_sample(spark, sf).collect()
+    }
+    exp = _dsir_expected(docs)
+    assert set(rows) == set(exp)
+    for doc_id, (n_toks, lw) in rows.items():
+        assert n_toks == 4
+        assert lw == pytest.approx(exp[doc_id], abs=1e-6)
+    # The importance direction: a doc of target-frequent tokens must
+    # outrank a doc of target-absent tokens.
+    assert rows[3][1] > rows[4][1]
+
+
+# ---------------------------------------------------------------------------
+# E11: bounce rate — 30-min boundary inclusive, start-day attribution
+# ---------------------------------------------------------------------------
+
+_T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, seconds_after_T0, user_id, event_type)."""
+    pdf = pd.DataFrame(
+        [
+            (eid, _T0 + timedelta(seconds=s), uid, et, 1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    return _write(tmp_path, "events", pdf)
+
+
+def test_bounce_rate_gap_boundary_and_day_attribution(spark, tmp_path):
+    rows = [
+        # u1: second event at EXACTLY +30min — strict >, same session.
+        (1, 0, 1, "view"),
+        (2, 1800, 1, "click"),
+        # u2: singleton -> bounce.
+        (3, 0, 2, "view"),
+        # u3: +30min+1s -> TWO singleton sessions -> two bounces.
+        (4, 0, 3, "view"),
+        (5, 1801, 3, "view"),
+        # u4: session straddles midnight -> attributed to its START day.
+        (6, 11 * 3600 + 50 * 60, 4, "view"),   # 23:50 day 1
+        (7, 12 * 3600 + 10 * 60, 4, "click"),  # 00:10 day 2, gap 20min
+    ]
+    out = q_evt_bounce_rate(spark, _write_events(tmp_path, rows)).collect()
+    assert len(out) == 1  # nothing lands on day 2
+    r = out[0]
+    assert str(r["day"]) == "2024-03-01"
+    assert (r["n_sessions"], r["n_bounced"]) == (5, 3)
+    assert r["bounce_rate"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# E12: conversion lag — strict ordering, integer-second floor
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_lag_strict_order_and_floor(spark, tmp_path):
+    rows = [
+        # u1: purchase 90.7s after first view -> lag floors to 90;
+        # a later purchase must not shift the min.
+        (1, 0, 1, "view"),
+        (2, 0, 1, "purchase"),      # same instant: strict >, ignored
+        (3, 500, 1, "purchase"),
+        # u2: only purchase BEFORE the view -> excluded.
+        (4, 100, 2, "view"),
+        (5, 0, 2, "purchase"),
+        # u3: view only -> excluded.
+        (6, 0, 3, "view"),
+        # u5: clean 10s conversion, same cohort day as u1.
+        (7, 0, 5, "view"),
+        (8, 10, 5, "purchase"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            (eid, _T0 + timedelta(seconds=s), uid, et, 1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # Shift u1's first post-view purchase to +90.7s (sub-second part
+    # must floor away, not round up).
+    pdf.loc[pdf["event_id"] == 3, "ts"] = _T0 + timedelta(
+        seconds=90, milliseconds=700
+    )
+    sf = _write(tmp_path, "events", pdf)
+    out = q_evt_conversion_lag(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["cohort_day"]) == "2024-03-01"
+    assert r["n_converted"] == 2
+    assert (r["min_lag_s"], r["max_lag_s"]) == (10, 90)
+    assert r["avg_lag_s"] == 50.0
