@@ -105,6 +105,15 @@ EXTRA = [
     "join_min_cost_supplier",
     "agg_supplier_part_counts",
     "join_promotable_suppliers",
+    # r9 heavies: the two token-exploding corpus stats (DSIR's double
+    # bucket-count pass, entropy's (doc,tok) collapse), the widest of
+    # the new star joins (Q8 = fact × 7 dims, Q9 = measure-bearing
+    # dim), and the one-shuffle gap sessionizer over events.
+    "llm_dsir_sample",
+    "llm_token_entropy",
+    "agg_market_share",
+    "agg_product_profit",
+    "evt_bounce_rate",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

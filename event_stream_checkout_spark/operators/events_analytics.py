@@ -995,3 +995,82 @@ def q_evt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# E13: Gini concentration of per-user activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_gini",
+    oracle="WITH pv AS (SELECT event_type, user_id, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, cnt, CAST(row_number() OVER "
+    "(PARTITION BY event_type ORDER BY cnt DESC, user_id) AS BIGINT) "
+    "AS rnk FROM pv), "
+    "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(cnt) AS BIGINT) AS n_events, "
+    "sum(CAST(rnk AS DECIMAL(25,0)) * cnt) AS s FROM r GROUP BY 1) "
+    "SELECT event_type, n_users, n_events, "
+    "round(CAST((n_users + 1) * CAST(n_events AS DECIMAL(25,0)) "
+    "- 2 * s AS DOUBLE) / "
+    "CAST(CAST(n_users AS DECIMAL(25,0)) * n_events AS DOUBLE), 6) "
+    "AS gini FROM g ORDER BY 1",
+    doc="Gini concentration of per-user activity (E13): for each "
+    "event type, the Gini coefficient of the events-per-user "
+    "distribution — 0 when every user contributes equally, →1 when "
+    "a handful of power users generate everything.  The "
+    "concentration complement of E10's stickiness ratio (DAU/WAU "
+    "says how often users return; Gini says WHO the volume actually "
+    "comes from — a rising Gini with flat DAU is a shrinking power-"
+    "user core, the classic pre-churn signature), and the user-axis "
+    "analogue of X43's Zipf slope over tokens.  Closed form on the "
+    "DESC-ranked frame: G = ((n+1)·T − 2·Σ rank·x) / (n·T) — "
+    "integer arithmetic end to end (ranks × counts summed in "
+    "DECIMAL, one double division at the end), so both engines "
+    "compute identical operands; rank ties (equal counts) cannot "
+    "perturb the sum because tied blocks contribute x·Σi regardless "
+    "of internal order, and the user_id tiebreak makes even the "
+    "per-row ranks identical.  Scale: the per-user collapse is one "
+    "uniform (type, user) shuffle; the global rank runs through the "
+    "TWO-PASS quantile-bucketed prefix-sum (rank = running sum of "
+    "1; the only partition-less window is the O(#groups·#buckets) "
+    "offsets frame — the sort_orders contract), so no data-sized "
+    "single-partition stage exists at any corpus size.",
+)
+def q_evt_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    pv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucketed = quantile_bucketed(pv, "cnt", nb=32)
+    ranked = _cumsum_from_buckets(
+        bucketed,
+        ["event_type"],
+        [F.col("cnt").desc(), F.col("user_id")],
+        F.lit(1),
+        "rnk",
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("cnt").cast("decimal(25,0)")).alias("_t"),
+        F.sum(F.col("rnk").cast("decimal(25,0)") * F.col("cnt")).alias(
+            "_s"
+        ),
+    )
+    num = (
+        (F.col("n_users") + 1).cast("decimal(25,0)") * F.col("_t")
+        - 2 * F.col("_s")
+    )
+    den = F.col("n_users").cast("decimal(25,0)") * F.col("_t")
+    return g.select(
+        "event_type",
+        "n_users",
+        F.col("_t").cast("long").alias("n_events"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    ).orderBy("event_type")

@@ -1249,3 +1249,148 @@ def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ent, 6).alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X48: Naive-Bayes quality classifier (fastText-filter shape)
+# ---------------------------------------------------------------------------
+
+_NB_TARGET_LANG = "en"
+_NB_K = 100
+
+
+@register(
+    "llm_nb_quality_filter",
+    oracle="WITH toks AS (SELECT doc_id, lang, "
+    "substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b "
+    "FROM documents), "
+    "bm AS (SELECT b, "
+    f"CAST(sum(CASE WHEN lang = '{_NB_TARGET_LANG}' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS ce, "
+    f"CAST(sum(CASE WHEN lang = '{_NB_TARGET_LANG}' THEN 0 ELSE 1 END) "
+    "AS BIGINT) AS cr FROM toks GROUP BY 1), "
+    "tots AS (SELECT CAST(sum(ce) AS BIGINT) AS te, "
+    "CAST(sum(cr) AS BIGINT) AS tr FROM bm), "
+    "pri AS (SELECT CAST(sum(CASE WHEN lang = "
+    f"'{_NB_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS ne, "
+    "CAST(count(*) AS BIGINT) AS nd FROM documents), "
+    "llr AS (SELECT bm.b, "
+    "floor((ln(CAST(bm.ce + 1 AS DOUBLE) / (t.te + 256)) "
+    "- ln(CAST(bm.cr + 1 AS DOUBLE) / (t.tr + 256))) * 1000000.0 "
+    "+ 0.5) / 1000000.0 AS llr FROM bm, tots t), "
+    "p AS (SELECT floor((ln(CAST(ne + 1 AS DOUBLE) / (nd + 2)) "
+    "- ln(CAST(nd - ne + 1 AS DOUBLE) / (nd + 2))) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS prior FROM pri), "
+    "tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks, "
+    "CAST(sum(tf.tf * CAST(floor(llr.llr * 10000.0 + 0.5) "
+    "AS DECIMAL(25,0))) AS DOUBLE) / 10000.0 AS s "
+    "FROM tf JOIN llr ON tf.b = llr.b GROUP BY 1) "
+    "SELECT doc_id, n_toks, round(w.s + p.prior, 6) AS nb_margin "
+    "FROM w, p ORDER BY w.s + p.prior DESC, doc_id "
+    f"LIMIT {_NB_K}",
+    doc="Naive-Bayes quality classifier (X48): the countable twin of "
+    "the fastText-style quality filters the big LLM pipelines run "
+    "(GPT-3 and LLaMA both score raw docs with a linear classifier "
+    "over hashed n-gram features and keep high scorers) — here a "
+    "multinomial NB over the same 256 hashed unigram buckets as "
+    "X46, trained en-vs-rest by COUNTING (closed form, no gradient "
+    "loop), scoring every doc with the log-odds margin ln P(en|d) − "
+    "ln P(rest|d) = prior + Σ tf_b·llr_b, top-k kept.  X46 and X48 "
+    "are deliberately different machines: DSIR reweights toward a "
+    "target DISTRIBUTION (target vs raw, importance resampling); NB "
+    "discriminates AGAINST the complement class with priors — the "
+    "two standard selection philosophies over one feature space.  "
+    "Add-1 smoothing over the fixed bucket domain; NULL-lang docs "
+    "fall to the rest class on both engines (CASE else-branch ≡ "
+    "when/otherwise).  Distributed shape: the class-conditional "
+    "bucket models fuse into ONE conditional aggregate over the "
+    "exploded scan (256-row frame, broadcast with the 1-row priors); "
+    "per-doc scoring joins the zipf-collapsed (doc, bucket, tf) "
+    "frame — ≤256 rows per doc at any length — so the corpus "
+    "shuffles once on the uniform (doc, bucket) key.  Ln quantized "
+    "1e-6, per-doc sums 1e-4 fixed-point, TakeOrdered heap.",
+)
+def q_llm_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ", -1)).alias("tok"),
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("tok"), 1, 2).alias("b")
+    )
+    is_en = F.col("lang") == _NB_TARGET_LANG
+    bm = toks.groupBy("b").agg(
+        F.sum(F.when(is_en, 1).otherwise(0)).cast("long").alias("ce"),
+        F.sum(F.when(is_en, 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    tots = bm.agg(
+        F.sum("ce").alias("te"), F.sum("cr").alias("tr")
+    )
+    pri = d.agg(
+        F.sum(F.when(is_en, 1).otherwise(0)).cast("long").alias("ne"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    llr = (
+        bm.crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.floor(
+                    (
+                        F.log(
+                            (F.col("ce") + 1).cast("double")
+                            / (F.col("te") + 256)
+                        )
+                        - F.log(
+                            (F.col("cr") + 1).cast("double")
+                            / (F.col("tr") + 256)
+                        )
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("llr"),
+        )
+    )
+    prior = (
+        F.floor(
+            (
+                F.log(
+                    (F.col("ne") + 1).cast("double") / (F.col("nd") + 2)
+                )
+                - F.log(
+                    (F.col("nd") - F.col("ne") + 1).cast("double")
+                    / (F.col("nd") + 2)
+                )
+            )
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    ).alias("prior")
+    p = pri.select(prior)
+    tf = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    llr_q = F.floor(F.col("llr") * 10000.0 + 0.5).cast("decimal(25,0)")
+    w = (
+        tf.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            (F.sum(F.col("tf") * llr_q).cast("double") / 10000.0).alias(
+                "s"
+            ),
+        )
+    )
+    scored = w.crossJoin(F.broadcast(p))
+    score = F.col("s") + F.col("prior")
+    return (
+        scored.orderBy(score.desc(), "doc_id")
+        .limit(_NB_K)
+        .select(
+            "doc_id", "n_toks", F.round(score, 6).alias("nb_margin")
+        )
+    )

@@ -710,17 +710,18 @@ def test_shipmode_priority_pushdown_and_partial_agg(spark):
     assert "partial_sum" in plan
 
 
-def test_dsir_bounded_model_broadcasts_and_heap(spark):
-    """X46: the three hinted broadcasts are all domain-bounded (two
-    1-row totals + the 256-row log-ratio table — the hashed-bucket
-    domain is constant at any corpus size), and the top-k is a
+@pytest.mark.parametrize("key", ["llm_dsir_sample", "llm_nb_quality_filter"])
+def test_importance_models_bounded_broadcasts_and_heap(spark, key):
+    """X46/X48: the three hinted broadcasts are all domain-bounded
+    (1-row totals/priors + the 256-row log-ratio table — the hashed-
+    bucket domain is constant at any corpus size), and the top-k is a
     TakeOrdered heap, never a global sort of the per-doc frame."""
     logical = (
-        QUERIES["llm_dsir_sample"].fn(spark, SF_DIR)
+        QUERIES[key].fn(spark, SF_DIR)
         ._jdf.queryExecution().analyzed().toString()
     )
     assert logical.count("ResolvedHint (strategy=broadcast)") == 3
-    plan = executed_plan(spark, "llm_dsir_sample")
+    plan = executed_plan(spark, key)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
 
@@ -758,3 +759,17 @@ def test_conversion_lag_pushed_stage_filters(spark):
     plan = executed_plan(spark, "evt_conversion_lag", full=True)
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_gini_prefix_sum_two_pass(spark):
+    """E13: the rank rides the two-pass bucketed prefix-sum — events
+    is read exactly once inside the pinned bucketed frame (no parquet
+    scan in the final plan), the offsets join by broadcast, and the
+    only range exchange is the ≤#event-types OUTPUT sort, never a
+    sampling sort keyed on the per-user counts."""
+    plan = executed_plan(spark, "evt_gini", full=True)
+    assert "Scan parquet" not in plan, "events scanned in-plan (diamond unpinned)"
+    assert "BroadcastHashJoin" in plan, "offsets not broadcast"
+    for m in re.finditer(r"rangepartitioning\(([^)]*)", plan):
+        assert "cnt" not in m.group(1), f"data-keyed sort: {m.group(0)[:120]}"
+        assert "event_type" in m.group(1)

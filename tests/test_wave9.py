@@ -531,3 +531,117 @@ def test_conversion_lag_strict_order_and_floor(spark, tmp_path):
     assert r["n_converted"] == 2
     assert (r["min_lag_s"], r["max_lag_s"]) == (10, 90)
     assert r["avg_lag_s"] == 50.0
+
+
+# ---------------------------------------------------------------------------
+# E13: Gini hand-computed — perfect equality 0, known concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_hand_computed(spark, tmp_path):
+    rows = []
+    eid = 0
+    # "view": per-user counts 4/2/1/1 -> G = (5*8 - 2*15)/(4*8) = 0.3125
+    for uid, n in [(1, 4), (2, 2), (3, 1), (4, 1)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, eid, uid, "view"))
+    # "click": two users, two events each -> perfect equality, G = 0
+    for uid, n in [(1, 2), (2, 2)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, eid, uid, "click"))
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_gini,
+    )
+
+    out = [
+        (r["event_type"], r["n_users"], r["n_events"], r["gini"])
+        for r in q_evt_gini(spark, _write_events(tmp_path, rows)).collect()
+    ]
+    assert out == [("click", 2, 4, 0.0), ("view", 4, 8, 0.3125)]
+
+
+# ---------------------------------------------------------------------------
+# X48: NB margin replica + classifier direction
+# ---------------------------------------------------------------------------
+
+
+def _nb_expected(docs: list[tuple[int, str, str]]) -> dict[int, float]:
+    """Replicate the registered NB math (counted class-conditional
+    bucket models, add-1 smoothing, 1e-6 ln quantization, 1e-4
+    fixed-point per-doc sum, quantized prior) in Python."""
+    bucket = lambda t: hashlib.md5(t.encode()).hexdigest()[:2]  # noqa: E731
+    ce: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    ne = 0
+    for _, text, lang in docs:
+        if lang == "en":
+            ne += 1
+        for tok in text.split(" "):
+            b = bucket(tok)
+            if lang == "en":
+                ce[b] = ce.get(b, 0) + 1
+            else:
+                cr[b] = cr.get(b, 0) + 1
+    te, tr, nd = sum(ce.values()), sum(cr.values()), len(docs)
+    prior = (
+        math.floor(
+            (math.log((ne + 1) / (nd + 2)) - math.log((nd - ne + 1) / (nd + 2)))
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    out: dict[int, float] = {}
+    for doc_id, text, _ in docs:
+        tf: dict[str, int] = {}
+        for tok in text.split(" "):
+            b = bucket(tok)
+            tf[b] = tf.get(b, 0) + 1
+        acc = 0
+        for b, f in tf.items():
+            llr = (
+                math.floor(
+                    (
+                        math.log((ce.get(b, 0) + 1) / (te + 256))
+                        - math.log((cr.get(b, 0) + 1) / (tr + 256))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+            acc += f * math.floor(llr * 1e4 + 0.5)
+        out[doc_id] = acc / 1e4 + prior
+    return out
+
+
+def test_nb_quality_filter_margin_and_direction(spark, tmp_path):
+    docs = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha alpha beta beta", "en"),
+        (3, "alpha beta alpha beta", "xx"),  # target-like tokens
+        (4, "gamma delta gamma delta", "xx"),  # rest-only tokens
+        (5, "gamma gamma delta delta", "xx"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, lg, "s") for i, t, lg in docs],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_nb_quality_filter,
+    )
+
+    rows = {
+        r["doc_id"]: r["nb_margin"]
+        for r in q_llm_nb_quality_filter(spark, sf).collect()
+    }
+    exp = _nb_expected(docs)
+    assert set(rows) == set(exp)
+    for doc_id, margin in rows.items():
+        assert margin == pytest.approx(exp[doc_id], abs=1e-6)
+    # Direction: English-token docs must outscore rest-only docs even
+    # when their own label is 'xx' (the classifier scores CONTENT).
+    assert rows[3] > rows[4]

@@ -128,6 +128,8 @@ QUERIES = [
     "llm_token_entropy",         # r9: scan-local entropy fold, no vocab join
     "evt_bounce_rate",           # r9: one-shuffle sessionizer + day rollup
     "evt_conversion_lag",        # r9: progressive-min decorrelation
+    "evt_gini",                  # r9: bucketed prefix-sum rank, integer Gini
+    "llm_nb_quality_filter",     # r9: counted NB models, broadcast scoring
 ]
 
 
