@@ -1343,3 +1343,153 @@ def test_attribution_batch_matches_stateful_stream(spark, tmp_path):
         for r in q_evt_attribution(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 1
+
+
+def test_bounce_rate_batch_matches_tws_sessionizer(spark):
+    """E11's batch bounce rate is row-identical to the rollup of the
+    TRUE-streaming session frame: T10's timer-closed TWS gap
+    sessionizer (same 30-minute gap, same strict-> boundary) emits
+    (user, session_start, n_events); bouncing is n_events == 1 and the
+    day is the session's START day — so the batch grading transfers to
+    a live sessionization deployment with no recomputation."""
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_bounce_rate,
+    )
+    from event_stream_checkout_spark.operators.streaming_analogues import (
+        q_stream_session_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    sessions = q_stream_session_tws(spark, SF_DIR)
+    roll = (
+        sessions.groupBy(
+            F.to_date(F.timestamp_micros(F.col("sess_start_us"))).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounced"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounced",
+            F.round(
+                F.col("n_bounced").cast("double") / F.col("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+    got = {tuple(r) for r in roll.collect()}
+    want = {tuple(r) for r in q_evt_bounce_rate(spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_conversion_lag_batch_matches_stateful_stream(spark, tmp_path):
+    """E12's batch conversion lag is row-identical to its
+    TRUE-streaming twin: an applyInPandasWithState per-user tracker
+    (state = first-view timestamp + every purchase timestamp, so the
+    strictly-after-first-view minimum re-derives after ANY arrival
+    order) over a readStream of the same events, drained with
+    availableNow — the E1/E3 two-form pattern extended to E12."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_conversion_lag,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin(["view", "purchase"]))
+        .select("user_id", "event_type", "ts")
+    )
+    events_dir = str(tmp_path / "conv-events")
+    events.repartition(F.col("user_id")).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("fv_us", T.LongType()),
+            T.StructField("fp_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("fv", T.LongType()),
+            T.StructField("purchases", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def tracker(key, pdfs, state):
+        (user_id,) = key
+        fv, purchases = (
+            state.get if state.exists else (None, [])
+        )
+        purchases = list(purchases)
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for et, t in zip(pdf["event_type"], us):
+                if et == "view":
+                    fv = int(t) if fv is None else min(fv, int(t))
+                else:
+                    purchases.append(int(t))
+        state.update((fv, purchases))
+        if fv is not None:
+            after = [p for p in purchases if p > fv]
+            if after:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "fv_us": [fv],
+                        "fp_us": [min(after)],
+                    }
+                )
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    tracked = stream.groupBy("user_id").applyInPandasWithState(
+        tracker,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("convtwin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-conv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    twin = spark.sql("SELECT * FROM convtwin")
+    roll = (
+        twin.select(
+            F.to_date(F.timestamp_micros(F.col("fv_us"))).alias(
+                "cohort_day"
+            ),
+            ((F.col("fp_us") - F.col("fv_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("lag_s"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.sum("lag_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_s"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max("lag_s").alias("max_lag_s"),
+        )
+    )
+    got = {tuple(r) for r in roll.collect()}
+    want = {
+        tuple(r) for r in q_evt_conversion_lag(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
