@@ -1394,3 +1394,87 @@ def q_llm_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_toks", F.round(score, 6).alias("nb_margin")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X49: cross-source duplicated-span mass matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_cross_source_dups",
+    oracle="WITH spans AS (SELECT d.source, "
+    f"unnest(list_transform(generate_series(1, "
+    f"len(string_split(d.text, ' ')) - {_SPAN_W - 1}), "
+    "i -> substring(md5(array_to_string(string_split(d.text, ' ')"
+    f"[i:i + {_SPAN_W - 1}], ' ')), 1, 16))) AS g "
+    f"FROM documents d WHERE len(string_split(d.text, ' ')) >= {_SPAN_W}), "
+    "h AS (SELECT g, source, CAST(count(*) AS BIGINT) AS n "
+    "FROM spans GROUP BY 1, 2), "
+    "p AS (SELECT a.source AS source_a, b.source AS source_b, "
+    "CAST(count(*) AS BIGINT) AS shared_spans, "
+    "CAST(sum(a.n * b.n) AS BIGINT) AS dup_mass "
+    "FROM h a JOIN h b ON a.g = b.g AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT source_a, source_b, shared_spans, dup_mass "
+    "FROM p ORDER BY 1, 2",
+    doc="Cross-source duplicated-span mass matrix (X49): for every "
+    "ordered source pair, how many distinct word-8-gram spans they "
+    "share and the occurrence-pair mass that implies — the "
+    "provenance question behind dedup policy (which feeds copy from "
+    "which; a high-mass pair means one crawl mirrors another and "
+    "can be down-weighted wholesale, the move CCNet makes across "
+    "dumps).  X33 answers 'how much of each DOC is reused'; X49 "
+    "answers 'between which SOURCES the reuse flows'.  Same span "
+    "convention as X33 (8-gram, md5-16 fingerprint at construction "
+    "— the r8 shuffle-payload fix).  Scale-critical shape: pairs "
+    "are NEVER doc-level — spans collapse to the (gram, source, n) "
+    "frame first (one uniform shuffle, bounded by distinct grams × "
+    "sources), and the pair mass is Σ_gram n_a·n_b over that "
+    "frame's self-join on the gram hash — a boilerplate span in a "
+    "million docs contributes ONE row per source, not 10^12 pairs, "
+    "and the join fan-out per gram is ≤ #sources (constant), so no "
+    "df cap is needed.  a.source < b.source halves the matrix "
+    "deterministically; sub-8-word and NULL texts drop out of both "
+    "engines identically.  Output ≤ #sources² rows.",
+)
+def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (_SPAN_W - 1)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")),
+            1,
+            16,
+        ),
+    )
+    spans = d.select("source", F.explode(gram).alias("g"))
+    h = spans.groupBy("g", "source").agg(F.count(F.lit(1)).alias("n"))
+    a = h.select(
+        F.col("g"),
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+    )
+    b = h.select(
+        F.col("g").alias("gb"),
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_spans"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias(
+                "dup_mass"
+            ),
+        )
+        .select("source_a", "source_b", "shared_spans", "dup_mass")
+        .orderBy("source_a", "source_b")
+    )

@@ -773,3 +773,12 @@ def test_gini_prefix_sum_two_pass(spark):
     for m in re.finditer(r"rangepartitioning\(([^)]*)", plan):
         assert "cnt" not in m.group(1), f"data-keyed sort: {m.group(0)[:120]}"
         assert "event_type" in m.group(1)
+
+
+def test_cross_source_dups_collapsed_equi_join(spark):
+    """X49: the pair mass comes from the COLLAPSED (gram, source, n)
+    frame's equi self-join — a hash/merge join on the gram key, never
+    a cartesian or nested-loop pair expansion over docs."""
+    plan = executed_plan(spark, "llm_cross_source_dups", full=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -645,3 +645,35 @@ def test_nb_quality_filter_margin_and_direction(spark, tmp_path):
     # Direction: English-token docs must outscore rest-only docs even
     # when their own label is 'xx' (the classifier scores CONTENT).
     assert rows[3] > rows[4]
+
+
+# ---------------------------------------------------------------------------
+# X49: cross-source span matrix — collapsed mass, short docs drop
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_dups_mass_and_short_doc_exclusion(spark, tmp_path):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                eight,                 # srcA: the shared span
+                eight,                 # srcA again: n_A(g) = 2
+                eight + " w9",         # srcB: shares [w1..w8], adds [w2..w9]
+                "x1 x2 x3 x4 x5 x6 x7 x8",  # srcC: no overlap
+                "short doc only",      # srcD: < 8 words, no spans
+            ],
+            "lang": ["en"] * 5,
+            "source": ["srcA", "srcA", "srcB", "srcC", "srcD"],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_cross_source_dups,
+    )
+
+    rows = [tuple(r) for r in q_llm_cross_source_dups(spark, sf).collect()]
+    # One shared distinct gram; mass = n_A(g) * n_B(g) = 2 * 1.  srcC
+    # and the sub-8-word srcD never pair with anyone.
+    assert rows == [("srcA", "srcB", 1, 2)]

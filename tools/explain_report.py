@@ -130,6 +130,7 @@ QUERIES = [
     "evt_conversion_lag",        # r9: progressive-min decorrelation
     "evt_gini",                  # r9: bucketed prefix-sum rank, integer Gini
     "llm_nb_quality_filter",     # r9: counted NB models, broadcast scoring
+    "llm_cross_source_dups",     # r9: (gram, source, n) collapse self-join
 ]
 
 
