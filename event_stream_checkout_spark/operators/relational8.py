@@ -522,3 +522,73 @@ def q_agg_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# A27: year-over-year revenue growth by customer nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_yoy_growth",
+    oracle="WITH rev AS (SELECT n.n_name AS nation, "
+    "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+    f"{sql_dsum(_REVENUE)} AS revenue "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY 1, 2) "
+    "SELECT nation, o_year, revenue, "
+    "round(revenue / lag(revenue) OVER "
+    "(PARTITION BY nation ORDER BY o_year) - 1, 6) AS yoy_growth "
+    "FROM rev ORDER BY 1, 2",
+    doc="Year-over-year revenue growth by customer nation (A27, the "
+    "TPC-DS growth-report shape the TPC-H suite lacks): revenue per "
+    "(nation, order year) with each year's growth ratio against the "
+    "SAME nation's previous year — first years emit NULL growth "
+    "(lag over an empty frame) identically on both engines.  Plan "
+    "economics: the lag window runs over the AGGREGATED frame "
+    "(#nations × #years rows — trivially partitioned by nation), "
+    "never over the fact table; the fact side is one orderkey "
+    "shuffle into the customer→nation attribute chain and a "
+    "(nation, year) hash aggregate with map-side partials.  The "
+    "growth ratio divides two fixed-point revenue doubles (the dsum "
+    "policy: identical operands on both engines), round 1e-6; "
+    "consecutive-year gaps are HONEST — lag is the previous "
+    "OBSERVED year, the convention DuckDB and Spark share.",
+)
+def q_agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    return rev.select(
+        "nation",
+        "o_year",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.lag("revenue").over(w) - 1, 6
+        ).alias("yoy_growth"),
+    ).orderBy("nation", "o_year")

@@ -782,3 +782,19 @@ def test_cross_source_dups_collapsed_equi_join(spark):
     plan = executed_plan(spark, "llm_cross_source_dups", full=True)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_yoy_growth_window_on_aggregated_frame(spark):
+    """A27: the lag window is nation-partitioned and runs over the
+    AGGREGATED frame — the fact table never flows through a window
+    (every Window node sits above the hash aggregate, partitioned by
+    nation; no partition-less data window)."""
+    plan = executed_plan(spark, "agg_yoy_growth", full=True)
+    for ln in plan.splitlines():
+        if "Window" in ln and "lag(" in ln:
+            assert "nation" in ln, f"unpartitioned lag window: {ln[:160]}"
+    logical = (
+        QUERIES["agg_yoy_growth"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 1  # nation

@@ -677,3 +677,47 @@ def test_cross_source_dups_mass_and_short_doc_exclusion(spark, tmp_path):
     # One shared distinct gram; mass = n_A(g) * n_B(g) = 2 * 1.  srcC
     # and the sub-8-word srcD never pair with anyone.
     assert rows == [("srcA", "srcB", 1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# A27: YoY growth — first-year NULL, previous OBSERVED year on gaps
+# ---------------------------------------------------------------------------
+
+
+def test_yoy_growth_first_year_null_and_gap_honesty(spark, tmp_path):
+    from event_stream_checkout_spark.operators.relational8 import (
+        q_agg_yoy_growth,
+    )
+
+    nation = pd.DataFrame({"n_nationkey": [1], "n_name": ["NATION_1"]})
+    customer = pd.DataFrame({"c_custkey": [1], "c_nationkey": [1]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            # 1997 has no orders: 1998's growth compares against 1996.
+            "o_orderdate": [
+                _ts("1996-05-01"),
+                _ts("1996-08-01"),
+                _ts("1998-05-01"),
+            ],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_extendedprice": [60.0, 40.0, 150.0],
+            "l_discount": [0.0, 0.0, 0.0],
+        }
+    )
+    sf = _write(tmp_path, "nation", nation)
+    for n, df in [("customer", customer), ("orders", orders), ("lineitem", li)]:
+        _write(tmp_path, n, df)
+    rows = [
+        (r["nation"], r["o_year"], r["revenue"], r["yoy_growth"])
+        for r in q_agg_yoy_growth(spark, sf).collect()
+    ]
+    assert rows == [
+        ("NATION_1", 1996, 100.0, None),
+        ("NATION_1", 1998, 150.0, 0.5),
+    ]
