@@ -766,3 +766,222 @@ def q_llm_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X50: distributed PCA — top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_SS = 10_000_000.0  # 1e7 fixed point for the moment sums
+_PCA_SV = 1_000_000.0  # 1e6 fixed point for matrix/vector entries
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    """Generate the DuckDB mirror of the quantized PCA pipeline.
+
+    The ENGINE computes moments via a scan-local outer-product
+    explode with map-side combine; the oracle computes the SAME
+    integer terms via an exploded (vec_id, idx, x) pair self-join —
+    integer sums are order-free, so any grouping of identical floor
+    terms produces identical moments.  Every CTE is MATERIALIZED:
+    the 8 chained mat-vec CTEs each reference their predecessor
+    twice (t_k feeds both m_k and v_k), and inlined CTEs re-expand
+    exponentially in the planner.  See q_llm_embedding_pca.
+    """
+    d, ss, sv = _PCA_D, int(_PCA_SS), int(_PCA_SV)
+    parts = [
+        "WITH ex AS MATERIALIZED (SELECT vec_id, u.i - 1 AS idx, "
+        "CAST(embedding[u.i] AS DOUBLE) AS x FROM embeddings, "
+        f"LATERAL unnest(range(1, {d + 1})) AS u(i) "
+        f"WHERE len(embedding) = {d})",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings "
+        f"WHERE len(embedding) = {d})",
+        f"s AS MATERIALIZED (SELECT idx, sum(CAST(floor(x * {ss}.0 + 0.5) "
+        "AS DECIMAL(25,0))) AS s FROM ex GROUP BY 1)",
+        "p AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, "
+        f"sum(CAST(floor(a.x * b.x * {ss}.0 + 0.5) "
+        "AS DECIMAL(25,0))) AS p FROM ex a "
+        "JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+        "mat AS MATERIALIZED (SELECT p.i, p.j, "
+        f"CAST(floor(((CAST(p.p AS DOUBLE) / {ss}.0"
+        f" - (CAST(si.s AS DOUBLE) / {ss}.0)"
+        f" * (CAST(sj.s AS DOUBLE) / {ss}.0)"
+        " / CAST(c.n AS DOUBLE)) / CAST(c.n AS DOUBLE))"
+        f" * {sv}.0 + 0.5) AS BIGINT) AS c "
+        "FROM p JOIN s si ON si.idx = p.i "
+        "JOIN s sj ON sj.idx = p.j, cnt c)",
+        f"v0 AS MATERIALIZED (SELECT unnest(range({d})) AS j, "
+        f"CAST({sv} AS DECIMAL(25,0)) AS v)",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT m.i AS j, "
+            "sum(CAST(m.c AS DECIMAL(25,0)) * v.v) AS t "
+            f"FROM mat m JOIN v{k - 1} v ON m.j = v.j GROUP BY 1)"
+        )
+        parts.append(f"m{k} AS MATERIALIZED (SELECT max(abs(t)) AS mx FROM t{k})")
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT t{k}.j, CASE WHEN m{k}.mx = 0 "
+            "THEN CAST(0 AS DECIMAL(25,0)) "
+            f"ELSE CAST(floor(CAST(t{k}.t AS DOUBLE)"
+            f" / CAST(m{k}.mx AS DOUBLE) * {sv}.0 + 0.5) "
+            f"AS DECIMAL(25,0)) END AS v FROM t{k}, m{k})"
+        )
+    parts.append(
+        "SELECT j AS dim, "
+        f"round(CAST(v AS DOUBLE) / {sv}.0, 6) AS pc1 "
+        f"FROM v{_PCA_ITERS} ORDER BY 1"
+    )
+    return ", ".join(parts[:1] + parts[1:-1]) + " " + parts[-1]
+
+
+@register(
+    "llm_embedding_pca",
+    oracle=_pca_oracle(),
+    doc="Distributed PCA over the embedding corpus (X50): the top "
+    "principal direction of the covariance matrix by power "
+    "iteration — the whitening/decorrelation primitive under "
+    "embedding compression (X28's scales and X35's subspace split "
+    "both improve in the PCA basis) and the 1-D special case of the "
+    "dimensionality reduction every large-scale ANN deployment "
+    "runs before indexing.  Split of labor is the whole design: "
+    "the DISTRIBUTED stage is ONE corpus scan whose d² quantized "
+    "outer-product terms explode scan-locally and partial-aggregate "
+    "map-side — every partition collapses to ≤ d² rows BEFORE the "
+    "single tiny shuffle, so the corpus itself never shuffles and "
+    "nothing wider than the d²-row moment frame crosses the wire "
+    "(the fused-aggregate alternative is numerically identical but "
+    "blows whole-stage codegen at d=64) — and everything after is "
+    "O(d²) on the 4096-row matrix frame, pinned with one "
+    "localCheckpoint so the 8 mat-vec stages never re-run the "
+    "scan.  Cross-engine exactness is an integer protocol: "
+    "moments quantize 1e-7-grain at construction (exact DECIMAL "
+    "sums; every double they produce is derived from exact "
+    "integers in ONE arithmetic expression, so float summation "
+    "order never varies), covariance entries quantize to 1e-6 "
+    "longs, each power step computes T = C·v in exact integer "
+    "arithmetic and renormalizes by max|T| (a ratio of exact "
+    "integers), so both engines walk identical 1e-6 lattice "
+    "points for all 8 iterations.  The iteration count is FIXED "
+    "(the determinism-over-adaptivity trade every graded iterative "
+    "op here makes — X26's k-means rounds, X22's PageRank sweeps); "
+    "convergence to numpy's eigenvector is measured in tests, not "
+    "assumed.  Degenerate corpora (constant embeddings → zero "
+    "covariance) emit the zero vector identically on both engines.",
+)
+def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, ss, sv = _PCA_D, _PCA_SS, _PCA_SV
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == d
+    )
+    # --- distributed stage: moments via scan-local outer-product
+    # explode + map-side combine.  Each row emits its d² quantized
+    # product terms keyed by flat index i·d+j; partial aggregation
+    # collapses every partition to ≤ d² rows BEFORE the one tiny
+    # shuffle, so the corpus itself never shuffles (the explode is
+    # pipelined, not materialized).  A fused d²-column aggregate would
+    # be numerically identical but blows whole-stage codegen at d=64.
+    outer = F.flatten(
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.transform(
+                F.col("embedding"),
+                lambda y, j: F.struct(
+                    (i * d + j).alias("k"),
+                    F.floor(
+                        x.cast("double") * y.cast("double") * ss + 0.5
+                    )
+                    .cast("long")
+                    .alias("t"),
+                ),
+            ),
+        )
+    )
+    P = (
+        e.select(F.explode(outer).alias("p"))
+        .select("p.k", "p.t")
+        .groupBy("k")
+        .agg(F.sum(F.col("t").cast("decimal(25,0)")).alias("p"))
+    )
+    sfirst = (
+        e.select(F.posexplode("embedding").alias("idx", "x"))
+        .select(
+            "idx",
+            F.floor(F.col("x").cast("double") * ss + 0.5)
+            .cast("decimal(25,0)")
+            .alias("t"),
+        )
+        .groupBy("idx")
+        .agg(F.sum("t").alias("s"))
+    )
+    cnt = e.agg(F.count(F.lit(1)).alias("n"))
+    si = sfirst.select(F.col("idx").alias("i"), F.col("s").alias("si"))
+    sj = sfirst.select(F.col("idx").alias("j"), F.col("s").alias("sj"))
+    c_int = F.floor(
+        (
+            (
+                F.col("p").cast("double") / ss
+                - (F.col("si").cast("double") / ss)
+                * (F.col("sj").cast("double") / ss)
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+        * sv
+        + 0.5
+    ).cast("long")
+    mat = (
+        P.select(
+            (F.col("k") / d).cast("long").alias("i"),
+            (F.col("k") % d).alias("j"),
+            "p",
+        )
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(cnt))
+        .select("i", "j", c_int.alias("c"))
+        # Pin: the moment scan must run ONCE, not once per mat-vec
+        # stage (the iteration references mat 8 times).
+        .localCheckpoint()
+    )
+    # --- O(d²) stage: renormalized integer power iteration.
+    v = spark.range(d).select(
+        F.col("id").alias("j"), F.lit(int(sv)).cast("long").alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        t = (
+            mat.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(25,0)") * F.col("v")
+                ).alias("t")
+            )
+        )
+        mx = t.agg(F.max(F.abs(F.col("t"))).alias("mx"))
+        v = (
+            t.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+                .otherwise(
+                    F.floor(
+                        F.col("t").cast("double")
+                        / F.col("mx").cast("double")
+                        * sv
+                        + 0.5
+                    ).cast("long")
+                )
+                .alias("v"),
+            )
+        )
+    return (
+        v.filter(F.col("v").isNotNull())
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v").cast("double") / sv, 6).alias("pc1"),
+        )
+        .orderBy("dim")
+    )

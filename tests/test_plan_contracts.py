@@ -798,3 +798,14 @@ def test_yoy_growth_window_on_aggregated_frame(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert logical.count("ResolvedHint (strategy=broadcast)") == 1  # nation
+
+
+def test_pca_moment_scan_pinned_iteration_small(spark):
+    """X50: the corpus scan + moment aggregation runs exactly once,
+    inside the pinned matrix checkpoint — the 8 mat-vec stages replay
+    the 4096-row frame, so the final plan contains NO parquet scan and
+    no data-sized single-partition stage (the iteration's 64-row
+    aggregates are the only SinglePartition work)."""
+    plan = executed_plan(spark, "llm_embedding_pca", full=True)
+    assert "Scan parquet" not in plan, "moment scan re-run in-plan"
+    assert "CartesianProduct" not in plan

@@ -131,6 +131,7 @@ QUERIES = [
     "evt_gini",                  # r9: bucketed prefix-sum rank, integer Gini
     "llm_nb_quality_filter",     # r9: counted NB models, broadcast scoring
     "llm_cross_source_dups",     # r9: (gram, source, n) collapse self-join
+    "llm_embedding_pca",         # r9: outer-product moments, pinned mat-vec
 ]
 
 
