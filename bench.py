@@ -114,6 +114,14 @@ EXTRA = [
     "agg_market_share",
     "agg_product_profit",
     "evt_bounce_rate",
+    # r9 late wave: NB scoring (second bucket-model pass), the corpus
+    # gram self-join matrix, the d²-moment PCA scan, the bucketed-rank
+    # Gini, and the windowed YoY star join.
+    "llm_nb_quality_filter",
+    "llm_cross_source_dups",
+    "llm_embedding_pca",
+    "evt_gini",
+    "agg_yoy_growth",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

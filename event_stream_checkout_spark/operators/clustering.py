@@ -872,9 +872,16 @@ def _pca_oracle() -> str:
     "covariance) emit the zero vector identically on both engines.",
 )
 def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import with_min_scan_parallelism
+
     d, ss, sv = _PCA_D, _PCA_SS, _PCA_SV
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == d
+    # The embeddings file is a single row-group at test SFs; without a
+    # spread the d² explode runs single-task (measured 6 s → 0.8 s).
+    e = with_min_scan_parallelism(
+        spark,
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.size("embedding") == d
+        ),
     )
     # --- distributed stage: moments via scan-local outer-product
     # explode + map-side combine.  Each row emits its d² quantized
@@ -883,25 +890,23 @@ def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle, so the corpus itself never shuffles (the explode is
     # pipelined, not materialized).  A fused d²-column aggregate would
     # be numerically identical but blows whole-stage codegen at d=64.
+    # Flat long array, position = flat index i·d+j: higher-order
+    # functions run interpreted, so per-element STRUCT allocation
+    # doubles their cost — posexplode recovers the key from the
+    # position for free (flatten preserves row-major order).
     outer = F.flatten(
         F.transform(
             F.col("embedding"),
-            lambda x, i: F.transform(
+            lambda x: F.transform(
                 F.col("embedding"),
-                lambda y, j: F.struct(
-                    (i * d + j).alias("k"),
-                    F.floor(
-                        x.cast("double") * y.cast("double") * ss + 0.5
-                    )
-                    .cast("long")
-                    .alias("t"),
-                ),
+                lambda y: F.floor(
+                    x.cast("double") * y.cast("double") * ss + 0.5
+                ).cast("long"),
             ),
         )
     )
     P = (
-        e.select(F.explode(outer).alias("p"))
-        .select("p.k", "p.t")
+        e.select(F.posexplode(outer).alias("k", "t"))
         .groupBy("k")
         .agg(F.sum(F.col("t").cast("decimal(25,0)")).alias("p"))
     )
@@ -942,46 +947,40 @@ def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sj), "j")
         .crossJoin(F.broadcast(cnt))
         .select("i", "j", c_int.alias("c"))
-        # Pin: the moment scan must run ONCE, not once per mat-vec
-        # stage (the iteration references mat 8 times).
-        .localCheckpoint()
     )
-    # --- O(d²) stage: renormalized integer power iteration.
-    v = spark.range(d).select(
-        F.col("id").alias("j"), F.lit(int(sv)).cast("long").alias("v")
-    )
+    # --- O(d²) stage on the DRIVER: the corpus-independent 4096-row
+    # covariance collects and the 8 renormalized power steps run in
+    # exact Python integer arithmetic — the precedent is Spark's own
+    # MLlib (RowMatrix.computePrincipalComponents computes the
+    # Gramian distributed, then eigensolves the d×d matrix on the
+    # driver).  Chaining the steps as DataFrame ops costs ~24
+    # sequential 64-row stages of pure scheduling latency; nothing
+    # here depends on corpus size, so the driver is the right
+    # executor.  Determinism: T = C·v is exact integer arithmetic,
+    # and the renormalizer floor(T/max|T|·1e6 + 0.5) divides two
+    # exact integers below 2^53 — IEEE-identical to both engines'
+    # double division, which the integer-replica test pins.
+    import math as _math
+
+    cmat: dict[tuple[int, int], int] = {
+        (r["i"], r["j"]): r["c"] for r in mat.collect()
+    }
+    if not cmat or any(v is None for v in cmat.values()):
+        # Empty corpus: the oracle's exploded frame is empty; match it.
+        return spark.createDataFrame([], "dim long, pc1 double")
+    vec = [int(sv)] * d
     for _ in range(_PCA_ITERS):
-        t = (
-            mat.join(v, "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.col("c").cast("decimal(25,0)") * F.col("v")
-                ).alias("t")
-            )
+        t = [
+            sum(cmat.get((i, j), 0) * vec[j] for j in range(d))
+            for i in range(d)
+        ]
+        mx = max(abs(x) for x in t)
+        vec = (
+            [0] * d
+            if mx == 0
+            else [_math.floor(x / mx * sv + 0.5) for x in t]
         )
-        mx = t.agg(F.max(F.abs(F.col("t"))).alias("mx"))
-        v = (
-            t.crossJoin(F.broadcast(mx))
-            .select(
-                F.col("i").alias("j"),
-                F.when(F.col("mx") == 0, F.lit(0).cast("long"))
-                .otherwise(
-                    F.floor(
-                        F.col("t").cast("double")
-                        / F.col("mx").cast("double")
-                        * sv
-                        + 0.5
-                    ).cast("long")
-                )
-                .alias("v"),
-            )
-        )
-    return (
-        v.filter(F.col("v").isNotNull())
-        .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("v").cast("double") / sv, 6).alias("pc1"),
-        )
-        .orderBy("dim")
-    )
+    return spark.createDataFrame(
+        [(i, round(vec[i] / sv, 6)) for i in range(d)],
+        "dim long, pc1 double",
+    ).orderBy("dim")
