@@ -607,3 +607,109 @@ def q_dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# V6: referential-integrity audit across the star schema's FK edges
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (child table, child key, parent table, parent key)
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_oracle() -> str:
+    legs = []
+    for ct, ck, pt, pk in _FK_EDGES:
+        legs.append(
+            f"SELECT '{ct}.{ck}->{pt}.{pk}' AS fk, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null_keys, "
+            f"CAST(sum(CASE WHEN {ck} IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans "
+            f"FROM {ct} c"
+        )
+    return (
+        "WITH legs AS (" + " UNION ALL ".join(legs) + ") "
+        "SELECT fk, n_rows, n_null_keys, n_orphans, "
+        "CASE WHEN n_rows - n_null_keys > 0 THEN "
+        "round(CAST(n_orphans AS DOUBLE) / (n_rows - n_null_keys), 6) "
+        "END AS orphan_rate FROM legs ORDER BY fk"
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=_ri_oracle(),
+    doc="Referential-integrity audit (V6): orphan counts for every "
+    "foreign-key edge of the star schema — rows whose FK value has "
+    "no parent — plus NULL-key counts (a NULL FK is UNKNOWN, not an "
+    "orphan: the SQL-standard reading, identical CASE semantics on "
+    "both engines) and the orphan rate over the non-NULL population. "
+    "The structural complement of V1's value constraints and V2's "
+    "profile drift: constraint checks validate COLUMNS, this "
+    "validates the JOINABILITY the whole relational surface assumes "
+    "(every J-family operator silently drops orphans; this op makes "
+    "the drop observable and alertable — the first thing to run "
+    "when a fact pipeline and a dimension pipeline deploy "
+    "independently). Distributed shape per edge: the child collapses "
+    "to its (key → row-count) frame FIRST (one uniform shuffle; "
+    "orphan ROWS are recovered as Σ count over orphan KEYS, so the "
+    "anti-join probes distinct keys, not rows), the parent side "
+    "projects to its key column only (column-pruned scan), and the "
+    "LEFT ANTI co-partitions on the key — growing parents (orders, "
+    "customer) are AQE-owned, never hint-broadcast. The seven "
+    "per-edge 1-row summaries union to a 7-row report: every "
+    "downstream frame is edge-count-sized.",
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        ckf = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        stats = ckf.agg(
+            F.sum("n").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0)
+            ).alias("n_null_keys"),
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+        )
+        orphans = (
+            ckf.filter(F.col("k").isNotNull())
+            .join(parent, "k", "left_anti")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans"))
+        )
+        leg = (
+            stats.crossJoin(orphans)
+            .select(
+                F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
+                "n_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    denom = F.col("n_rows") - F.col("n_null_keys")
+    return out.select(
+        "fk",
+        "n_rows",
+        "n_null_keys",
+        "n_orphans",
+        F.when(
+            denom > 0,
+            F.round(F.col("n_orphans").cast("double") / denom, 6),
+        ).alias("orphan_rate"),
+    ).orderBy("fk")

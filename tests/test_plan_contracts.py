@@ -116,6 +116,7 @@ def test_sort_orders_no_single_partition_data_stage(spark):
         "evt_bounce_rate",
         "evt_conversion_lag",
         "agg_shipmode_priority",
+        "dq_referential_integrity",
     ],
 )
 def test_no_forced_broadcast_on_scale_growing_tables(spark, key):

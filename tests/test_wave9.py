@@ -853,3 +853,46 @@ def test_pca_converges_to_dominant_direction(spark, tmp_path):
         np.linalg.norm(pc1) * np.linalg.norm(top)
     )
     assert cos >= 0.99, f"power iteration misaligned: cos={cos}"
+
+
+# ---------------------------------------------------------------------------
+# V6: referential integrity — orphans counted as ROWS, NULLs excluded
+# ---------------------------------------------------------------------------
+
+
+def test_referential_integrity_orphans_and_nulls(spark, tmp_path):
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_referential_integrity,
+    )
+
+    region = pd.DataFrame({"r_regionkey": [0]})
+    nation = pd.DataFrame({"n_nationkey": [1], "n_regionkey": [0]})
+    customer = pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [1, 1]})
+    # orders: one valid FK, TWO rows sharing one orphan key (must count
+    # as 2 orphan ROWS, not 1 orphan key), one NULL (not an orphan).
+    orders = pd.DataFrame(
+        {"o_orderkey": [10, 11, 12, 13], "o_custkey": [1.0, 9.0, 9.0, None]}
+    )
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    part = pd.DataFrame({"p_partkey": [5]})
+    supplier = pd.DataFrame({"s_suppkey": [6], "s_nationkey": [1]})
+    li = pd.DataFrame(
+        {"l_orderkey": [10], "l_partkey": [5], "l_suppkey": [6]}
+    )
+    sf = _write(tmp_path, "region", region)
+    for n, df in [
+        ("nation", nation), ("customer", customer), ("orders", orders),
+        ("part", part), ("supplier", supplier), ("lineitem", li),
+    ]:
+        _write(tmp_path, n, df)
+    rows = {
+        r["fk"]: (r["n_rows"], r["n_null_keys"], r["n_orphans"], r["orphan_rate"])
+        for r in q_dq_referential_integrity(spark, sf).collect()
+    }
+    assert rows["orders.o_custkey->customer.c_custkey"] == (
+        4, 1, 2, pytest.approx(2 / 3, abs=1e-6),
+    )
+    # Every other edge is clean.
+    for fk, (n, nn, orph, rate) in rows.items():
+        if fk != "orders.o_custkey->customer.c_custkey":
+            assert orph == 0 and (rate == 0.0 or rate is None), (fk, rows[fk])

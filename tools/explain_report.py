@@ -132,6 +132,7 @@ QUERIES = [
     "llm_nb_quality_filter",     # r9: counted NB models, broadcast scoring
     "llm_cross_source_dups",     # r9: (gram, source, n) collapse self-join
     "llm_embedding_pca",         # r9: outer-product moments, pinned mat-vec
+    "dq_referential_integrity",  # r9: key-collapse + left-anti per FK edge
 ]
 
 
