@@ -407,3 +407,73 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T12: stream-stream LEFT OUTER interval join (watermark-expired NULLs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="SELECT v.user_id, v.event_id AS view_id, "
+    "p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts, "
+    "CASE WHEN p.event_id IS NULL THEN NULL ELSE "
+    "CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) END "
+    "AS lag_s "
+    "FROM (SELECT * FROM events WHERE event_type = 'view') v "
+    "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON v.user_id = p.user_id AND p.ts > v.ts "
+    f"AND p.ts <= v.ts + INTERVAL {_INTERVAL_MIN} MINUTE",
+    doc="Stream-stream LEFT OUTER interval join (T12): every view, "
+    "with its in-window purchases OR a NULL purchase row if none "
+    "arrived within 30 minutes — the abandonment report T9's inner "
+    "form cannot express (the views that did NOT convert are exactly "
+    "the rows an inner join drops). This is the OTHER canonical "
+    "Structured Streaming stream-stream join: outer results can only "
+    "emit once the watermark passes view_ts + 30min (before that, a "
+    "match could still arrive), so the unmatched-row latency IS the "
+    "range bound plus watermark delay — the price of correctness "
+    "under late data, paid in emission delay rather than wrong "
+    "answers. Graded in batch form (one user_id exchange per side, "
+    "the range predicate in the JOIN condition — on the LEFT side it "
+    "must live in ON, not WHERE, or unmatched views vanish); the "
+    "real two-readStream leftOuter form with both watermarks runs in "
+    "tests/test_streaming.py and is asserted row-identical. State "
+    "bound: identical to T9 — both sides evict at watermark minus "
+    "the range bound; outer emission adds no state, only delay.",
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {_INTERVAL_MIN} MINUTES")
+        ),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        F.when(
+            F.col("purchase_id").isNotNull(),
+            epoch_seconds(F.col("purchase_ts"))
+            - epoch_seconds(F.col("view_ts")),
+        ).alias("lag_s"),
+    )

@@ -592,3 +592,63 @@ def q_agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.lag("revenue").over(w) - 1, 6
         ).alias("yoy_growth"),
     ).orderBy("nation", "o_year")
+
+
+# ---------------------------------------------------------------------------
+# S19: JSONL document ingest with declared schema + corrupt channel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_jsonl_documents",
+    oracle="SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(max(doc_id) AS BIGINT) AS max_doc_id, "
+    "CAST(0 AS BIGINT) AS n_corrupt "
+    "FROM documents GROUP BY 1",
+    doc="JSONL document ingest (S19): the documents corpus "
+    "round-trips through newline-delimited JSON — the interchange "
+    "format every web-scale text pipeline actually lands (Common "
+    "Crawl derivatives, chat logs, API exports) — written by the "
+    "engine (JSON string escaping makes embedded newlines/quotes in "
+    "text safe: every record stays one physical line, which is what "
+    "keeps JSONL SPLITTABLE), read back with a DECLARED schema "
+    "(never inferSchema: a 100 TB inference pass reads everything "
+    "twice), PERMISSIVE mode, and a _corrupt_record channel so "
+    "malformed lines land auditable instead of killing the job — "
+    "the S18 CSV stance applied to the text-pipeline format. "
+    "NULL-field round-trip is part of the grade: the writer DROPS "
+    "null fields, the declared-schema reader restores them as "
+    "NULLs, and the NULL-lang group must survive into the rollup "
+    "identically on both engines (pinned by the NULL-injection "
+    "sweep). Graded as per-lang counts + exact n_chars sums + max "
+    "doc_id + the corrupt count (zero on a clean round-trip).",
+)
+def q_src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"ecs_jsonl_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    d = _t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(root)
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )

@@ -1493,3 +1493,84 @@ def test_conversion_lag_batch_matches_stateful_stream(spark, tmp_path):
         tuple(r) for r in q_evt_conversion_lag(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_outer_interval_join_matches_graded_batch(
+    spark, tmp_path
+):
+    """T12: the graded LEFT OUTER interval-join batch frame is
+    row-identical to the real two-readStream watermarked leftOuter
+    join — including the NULL rows for views that never converted,
+    which Structured Streaming may only emit once BOTH watermarks
+    pass view_ts + range bound.  Far-future sentinel events (one per
+    leg, negative user ids) push the final watermark past every real
+    view so availableNow drains all outer rows; sentinels are
+    excluded from the compare."""
+    import datetime as _dt
+
+    from event_stream_checkout_spark.operators.lakehouse import (
+        _INTERVAL_MIN,
+        q_stream_interval_join_outer,
+    )
+    from event_stream_checkout_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events_dir = str(tmp_path / "events-outer")
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + _dt.timedelta(days=2)
+    sentinels = spark.createDataFrame(
+        [(-1, -1, "view", far), (-2, -2, "purchase", far)],
+        "user_id long, event_id long, event_type string, ts timestamp_ntz",
+    )
+    events.unionByName(sentinels).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    def leg(kind, id_alias, ts_alias, user_alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(user_alias),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    v = leg("view", "view_id", "view_ts", "user_id")
+    p = leg("purchase", "purchase_id", "purchase_ts", "p_user_id")
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_INTERVAL_MIN} MINUTES")
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivjo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-ivjo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql(
+            "SELECT view_id, purchase_id FROM ivjo WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in q_stream_interval_join_outer(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+    assert any(pid is None for _, pid in want)  # outer rows present

@@ -896,3 +896,34 @@ def test_referential_integrity_orphans_and_nulls(spark, tmp_path):
     for fk, (n, nn, orph, rate) in rows.items():
         if fk != "orders.o_custkey->customer.c_custkey":
             assert orph == 0 and (rate == 0.0 or rate is None), (fk, rows[fk])
+
+
+# ---------------------------------------------------------------------------
+# S19: JSONL round-trip — NULL lang survives, escaping keeps 1 line
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_null_lang_and_escaping(spark, tmp_path):
+    from event_stream_checkout_spark.operators.relational8 import (
+        q_src_jsonl_documents,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                'line one\nline "two" with, commas',  # escaping test
+                "plain",
+                "tabs\tand\\backslashes",
+            ],
+            "lang": ["en", None, "en"],  # NULL lang: dropped field on
+            "source": ["s1", "s2", "s1"],  # write, NULL group on read
+            "n_chars": [31, 5, 20],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    rows = {
+        r["lang"]: (r["n"], r["sum_chars"], r["max_doc_id"], r["n_corrupt"])
+        for r in q_src_jsonl_documents(spark, sf).collect()
+    }
+    assert rows == {"en": (2, 51, 3, 0), None: (1, 5, 2, 0)}

@@ -133,6 +133,8 @@ QUERIES = [
     "llm_cross_source_dups",     # r9: (gram, source, n) collapse self-join
     "llm_embedding_pca",         # r9: outer-product moments, pinned mat-vec
     "dq_referential_integrity",  # r9: key-collapse + left-anti per FK edge
+    "stream_interval_join_outer",  # r9: leftOuter with range in ON
+    "src_jsonl_documents",       # r9: declared-schema json + corrupt channel
 ]
 
 
