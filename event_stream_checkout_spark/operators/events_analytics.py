@@ -1074,3 +1074,79 @@ def q_evt_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_t").cast("long").alias("n_events"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E14: repeat-purchase cadence by ordinal
+# ---------------------------------------------------------------------------
+
+_CADENCE_MAX_ORDINAL = 10
+
+
+@register(
+    "evt_purchase_cadence",
+    oracle="WITH p AS (SELECT user_id, ts, event_id, "
+    "CAST(row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS BIGINT) AS n "
+    "FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT p1.n AS ordinal, "
+    "(epoch_us(p2.ts) - epoch_us(p1.ts)) // 1000000 AS gap_s "
+    "FROM p p1 JOIN p p2 ON p1.user_id = p2.user_id "
+    "AND p2.n = p1.n + 1 "
+    f"WHERE p1.n <= {_CADENCE_MAX_ORDINAL}) "
+    "SELECT ordinal, CAST(count(*) AS BIGINT) AS n_users, "
+    "round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS avg_gap_s, "
+    "CAST(min(gap_s) AS BIGINT) AS min_gap_s, "
+    "CAST(max(gap_s) AS BIGINT) AS max_gap_s "
+    "FROM g GROUP BY 1 ORDER BY 1",
+    doc="Repeat-purchase cadence (E14): for each purchase ordinal n "
+    "(capped at 10), the gap between a user's n-th and (n+1)-th "
+    "purchase — count of users who made that transition plus "
+    "mean/min/max gap in INTEGER seconds.  The 'how fast do repeat "
+    "buyers come back' report: E2's retention says WHETHER users "
+    "return by calendar offset, cadence says HOW LONG the n→n+1 "
+    "transition takes — the curve flattening with n is the "
+    "habituation signal subscription pricing is tuned against.  "
+    "Engine-exactness: gaps are epoch-microsecond floor-divided to "
+    "integer seconds (the E12 stance — second-counting conventions "
+    "differ between engines, epoch arithmetic does not), the mean "
+    "divides an integer sum by an integer count.  Distributed "
+    "shape: ONE user_id shuffle serves the purchase ordinal window; "
+    "consecutive pairs come from lead() on the SAME window "
+    "partitioning (the oracle's self-join on (user, n+1) is the "
+    "relational spelling of the same pairing — lead avoids "
+    "re-shuffling the purchase frame), then an ordinal-keyed rollup "
+    "of the ≤10-row-per-user pair frame.",
+)
+def q_evt_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+    seq = p.select(
+        F.row_number().over(w).cast("long").alias("ordinal"),
+        us.alias("t_us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    g = seq.filter(
+        F.col("next_us").isNotNull()
+        & (F.col("ordinal") <= _CADENCE_MAX_ORDINAL)
+    ).select(
+        "ordinal",
+        F.expr("(next_us - t_us) div 1000000").cast("long").alias("gap_s"),
+    )
+    return (
+        g.groupBy("ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("gap_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("ordinal")
+    )

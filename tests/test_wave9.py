@@ -927,3 +927,48 @@ def test_jsonl_roundtrip_null_lang_and_escaping(spark, tmp_path):
         for r in q_src_jsonl_documents(spark, sf).collect()
     }
     assert rows == {"en": (2, 51, 3, 0), None: (1, 5, 2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# E14: cadence — ordinal pairing, integer-second floor, cap
+# ---------------------------------------------------------------------------
+
+
+def test_purchase_cadence_ordinals_and_floor(spark, tmp_path):
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_purchase_cadence,
+    )
+
+    rows = [
+        # u1: purchases at 0s, 100.9s, 400s -> gaps 100 (floored), 299
+        (1, 0, 1, "purchase"),
+        (3, 400, 1, "purchase"),
+        (4, 50, 1, "view"),  # non-purchase: never enters the ordinal
+        # u2: single purchase -> no transition
+        (5, 0, 2, "purchase"),
+        # u3: two purchases, gap 7s
+        (6, 0, 3, "purchase"),
+        (7, 7, 3, "purchase"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            (eid, _T0 + timedelta(seconds=s), uid, et, 1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    extra = pd.DataFrame(
+        [(2, _T0 + timedelta(seconds=100, milliseconds=900), 1,
+          "purchase", 1.0, "{}")],
+        columns=pdf.columns,
+    )
+    sf = _write(tmp_path, "events", pd.concat([pdf, extra]))
+    out = {
+        r["ordinal"]: (r["n_users"], r["min_gap_s"], r["max_gap_s"], r["avg_gap_s"])
+        for r in q_evt_purchase_cadence(spark, sf).collect()
+    }
+    # ordinal 1: u1 gap floor(100.9)=100, u3 gap 7 -> avg 53.5
+    assert out[1] == (2, 7, 100, 53.5)
+    # ordinal 2: only u1 (400 - 100.9 -> floor 299)
+    assert out[2] == (1, 299, 299, 299.0)
+    assert set(out) == {1, 2}

@@ -135,6 +135,7 @@ QUERIES = [
     "dq_referential_integrity",  # r9: key-collapse + left-anti per FK edge
     "stream_interval_join_outer",  # r9: leftOuter with range in ON
     "src_jsonl_documents",       # r9: declared-schema json + corrupt channel
+    "evt_purchase_cadence",      # r9: one-shuffle ordinal window + lead
 ]
 
 
