@@ -1150,3 +1150,52 @@ def q_evt_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ordinal")
     )
+
+
+# ---------------------------------------------------------------------------
+# E15: cumulative unique users by day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_cumulative_users",
+    oracle="WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 "
+    "FROM events GROUP BY 1), "
+    "per AS (SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users "
+    "FROM fs GROUP BY 1) "
+    "SELECT day, new_users, "
+    "CAST(sum(new_users) OVER (ORDER BY day "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+    "FROM per ORDER BY day",
+    doc="Cumulative unique users by day (E15): the total-audience "
+    "growth curve — per day, how many users appeared for the FIRST "
+    "time, and the running total of distinct users ever seen.  A "
+    "running COUNT(DISTINCT) window over raw events is unbounded "
+    "state and no engine's window machinery does it; the standard "
+    "re-expression is exact and cheap: distinct-ness collapses to "
+    "each user's FIRST-SEEN day (per-user MIN — one uniform "
+    "user_id shuffle with map-side partials), the day rollup counts "
+    "first-appearances, and the cumulative sum runs over the "
+    "TIME-DOMAIN-bounded day frame (~hundreds of rows at any corpus "
+    "size — the partition-less window never touches data, the E9 "
+    "stance).  cum_users on the last day equals the corpus's total "
+    "distinct users by construction.",
+)
+def q_evt_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select(F.col("t0").cast("date").alias("day"))
+    )
+    per = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")

@@ -972,3 +972,34 @@ def test_purchase_cadence_ordinals_and_floor(spark, tmp_path):
     # ordinal 2: only u1 (400 - 100.9 -> floor 299)
     assert out[2] == (1, 299, 299, 299.0)
     assert set(out) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# E15: cumulative users — first-seen day attribution, running total
+# ---------------------------------------------------------------------------
+
+
+def test_cumulative_users_first_seen_attribution(spark, tmp_path):
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_cumulative_users,
+    )
+
+    day = 86400
+    rows = [
+        (1, 0, 1, "view"),          # u1 first seen day 1
+        (2, 2 * day, 1, "view"),    # u1 again day 3: NOT a new user
+        (3, day, 2, "view"),        # u2 first seen day 2
+        (4, day + 5, 3, "view"),    # u3 first seen day 2
+        (5, 2 * day, 4, "view"),    # u4 first seen day 3
+    ]
+    out = [
+        (str(r["day"]), r["new_users"], r["cum_users"])
+        for r in q_evt_cumulative_users(
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    ]
+    assert out == [
+        ("2024-03-01", 1, 1),
+        ("2024-03-02", 2, 3),
+        ("2024-03-03", 1, 4),
+    ]
