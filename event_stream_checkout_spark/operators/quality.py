@@ -713,3 +713,109 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orphans").cast("double") / denom, 6),
         ).alias("orphan_rate"),
     ).orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# V7: primary-key uniqueness audit across every table
+# ---------------------------------------------------------------------------
+
+_PK_DECLS = [
+    ("customer", ("c_custkey",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+    ("events", ("event_id",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("nation", ("n_nationkey",)),
+    ("orders", ("o_orderkey",)),
+    ("part", ("p_partkey",)),
+    ("region", ("r_regionkey",)),
+    ("supplier", ("s_suppkey",)),
+]
+
+
+def _pk_oracle() -> str:
+    legs = []
+    for t, keys in _PK_DECLS:
+        kl = ", ".join(keys)
+        nonnull = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        anynull = " OR ".join(f"{k} IS NULL" for k in keys)
+        legs.append(
+            f"SELECT '{t}' AS tbl, '{kl}' AS pk, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {anynull} THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null_keys, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM "
+            f"(SELECT DISTINCT {kl} FROM {t} WHERE {nonnull})) "
+            f"AS n_distinct FROM {t}"
+        )
+    return (
+        "WITH legs AS (" + " UNION ALL ".join(legs) + ") "
+        "SELECT tbl, pk, n_rows, n_null_keys, "
+        "n_rows - n_null_keys - n_distinct AS n_dup_rows, "
+        "CASE WHEN n_rows - n_null_keys > 0 THEN "
+        "round(CAST(n_rows - n_null_keys - n_distinct AS DOUBLE) "
+        "/ (n_rows - n_null_keys), 6) END AS dup_rate "
+        "FROM legs ORDER BY tbl"
+    )
+
+
+@register(
+    "dq_pk_uniqueness",
+    oracle=_pk_oracle(),
+    doc="Primary-key uniqueness audit (V7): for every table's "
+    "declared key (lineitem's is the COMPOSITE (orderkey, "
+    "linenumber) — the audit must treat multi-column keys as "
+    "tuples, not columns), the duplicate-row count beyond the first "
+    "occurrence per key, NULL-key rows (a NULL key part is UNKNOWN "
+    "identity — excluded from both the distinct count and the "
+    "dup-rate denominator, the V6 stance), and the dup rate.  The "
+    "V6 sibling: referential integrity validates EDGES, this "
+    "validates NODES — together they are the invariants every "
+    "MERGE/upsert in the engine assumes (S6's dedup-before-MERGE "
+    "exists precisely because ingest CAN violate this; the audit "
+    "makes the violation measurable instead of assumed away).  "
+    "Distributed shape per table: one uniform groupBy on the key "
+    "tuple (map-side partials collapse duplicates early), then "
+    "ONE-row aggregates — dup rows fall out as Σ(count) − "
+    "#distinct-keys with no second scan; the ten 1-row legs union "
+    "to a 10-row report.",
+)
+def q_dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, keys in _PK_DECLS:
+        tbl = load_table(spark, sf_dir, t)
+        nonnull = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            nonnull = c if nonnull is None else (nonnull & c)
+        kf = (
+            tbl.filter(nonnull)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        kstats = kf.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_key_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        tot = tbl.agg(F.count(F.lit(1)).alias("n_rows"))
+        leg = tot.crossJoin(kstats).select(
+            F.lit(t).alias("tbl"),
+            F.lit(", ".join(keys)).alias("pk"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_key_rows")).alias("n_null_keys"),
+            (F.col("n_key_rows") - F.col("n_distinct")).alias(
+                "n_dup_rows"
+            ),
+            F.when(
+                F.col("n_key_rows") > 0,
+                F.round(
+                    (F.col("n_key_rows") - F.col("n_distinct")).cast(
+                        "double"
+                    )
+                    / F.col("n_key_rows"),
+                    6,
+                ),
+            ).alias("dup_rate"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("tbl")

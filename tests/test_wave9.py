@@ -1003,3 +1003,43 @@ def test_cumulative_users_first_seen_attribution(spark, tmp_path):
         ("2024-03-02", 2, 3),
         ("2024-03-03", 1, 4),
     ]
+
+
+# ---------------------------------------------------------------------------
+# V7: PK uniqueness — composite tuples, NULL-part exclusion, dup rows
+# ---------------------------------------------------------------------------
+
+
+def test_pk_uniqueness_composite_and_nulls(spark, tmp_path):
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_pk_uniqueness,
+    )
+
+    # lineitem: (1,1) twice -> 1 dup row; (1,2) distinct from (2,1)
+    # (tuple semantics, not column-wise); one NULL linenumber row.
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 3],
+            "l_linenumber": pd.array([1, 1, 2, 1, None], dtype="Int64"),
+        }
+    )
+    orders = pd.DataFrame({"o_orderkey": [1, 1, 2]})  # 1 dup row
+    for n, df in [
+        ("lineitem", li), ("orders", orders),
+        ("region", pd.DataFrame({"r_regionkey": [0]})),
+        ("nation", pd.DataFrame({"n_nationkey": [0]})),
+        ("customer", pd.DataFrame({"c_custkey": [0]})),
+        ("supplier", pd.DataFrame({"s_suppkey": [0]})),
+        ("part", pd.DataFrame({"p_partkey": [0]})),
+        ("events", pd.DataFrame({"event_id": [0]})),
+        ("documents", pd.DataFrame({"doc_id": [0]})),
+        ("embeddings", pd.DataFrame({"vec_id": [0]})),
+    ]:
+        sf = _write(tmp_path, n, df)
+    rows = {
+        r["tbl"]: (r["n_rows"], r["n_null_keys"], r["n_dup_rows"], r["dup_rate"])
+        for r in q_dq_pk_uniqueness(spark, sf).collect()
+    }
+    assert rows["lineitem"] == (5, 1, 1, pytest.approx(0.25, abs=1e-6))
+    assert rows["orders"] == (3, 0, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert rows["region"] == (1, 0, 0, 0.0)

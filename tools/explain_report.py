@@ -136,6 +136,7 @@ QUERIES = [
     "stream_interval_join_outer",  # r9: leftOuter with range in ON
     "src_jsonl_documents",       # r9: declared-schema json + corrupt channel
     "evt_purchase_cadence",      # r9: one-shuffle ordinal window + lead
+    "dq_pk_uniqueness",          # r9: key-tuple groupBy per table
 ]
 
 
