@@ -778,7 +778,7 @@ _PCA_SV = 1_000_000.0  # 1e6 fixed point for matrix/vector entries
 _PCA_ITERS = 8
 
 
-def _pca_oracle() -> str:
+def _pca_cte_parts() -> list:
     """Generate the DuckDB mirror of the quantized PCA pipeline.
 
     The ENGINE computes moments via a scan-local outer-product
@@ -829,49 +829,19 @@ def _pca_oracle() -> str:
             f" / CAST(m{k}.mx AS DOUBLE) * {sv}.0 + 0.5) "
             f"AS DECIMAL(25,0)) END AS v FROM t{k}, m{k})"
         )
-    parts.append(
-        "SELECT j AS dim, "
-        f"round(CAST(v AS DOUBLE) / {sv}.0, 6) AS pc1 "
-        f"FROM v{_PCA_ITERS} ORDER BY 1"
-    )
-    return ", ".join(parts[:1] + parts[1:-1]) + " " + parts[-1]
+    return parts
 
 
-@register(
-    "llm_embedding_pca",
-    oracle=_pca_oracle(),
-    doc="Distributed PCA over the embedding corpus (X50): the top "
-    "principal direction of the covariance matrix by power "
-    "iteration — the whitening/decorrelation primitive under "
-    "embedding compression (X28's scales and X35's subspace split "
-    "both improve in the PCA basis) and the 1-D special case of the "
-    "dimensionality reduction every large-scale ANN deployment "
-    "runs before indexing.  Split of labor is the whole design: "
-    "the DISTRIBUTED stage is ONE corpus scan whose d² quantized "
-    "outer-product terms explode scan-locally and partial-aggregate "
-    "map-side — every partition collapses to ≤ d² rows BEFORE the "
-    "single tiny shuffle, so the corpus itself never shuffles and "
-    "nothing wider than the d²-row moment frame crosses the wire "
-    "(the fused-aggregate alternative is numerically identical but "
-    "blows whole-stage codegen at d=64) — and everything after is "
-    "O(d²) on the 4096-row matrix frame, pinned with one "
-    "localCheckpoint so the 8 mat-vec stages never re-run the "
-    "scan.  Cross-engine exactness is an integer protocol: "
-    "moments quantize 1e-7-grain at construction (exact DECIMAL "
-    "sums; every double they produce is derived from exact "
-    "integers in ONE arithmetic expression, so float summation "
-    "order never varies), covariance entries quantize to 1e-6 "
-    "longs, each power step computes T = C·v in exact integer "
-    "arithmetic and renormalizes by max|T| (a ratio of exact "
-    "integers), so both engines walk identical 1e-6 lattice "
-    "points for all 8 iterations.  The iteration count is FIXED "
-    "(the determinism-over-adaptivity trade every graded iterative "
-    "op here makes — X26's k-means rounds, X22's PageRank sweeps); "
-    "convergence to numpy's eigenvector is measured in tests, not "
-    "assumed.  Degenerate corpora (constant embeddings → zero "
-    "covariance) emit the zero vector identically on both engines.",
-)
-def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pca_oracle_final(select: str) -> str:
+    parts = _pca_cte_parts()
+    return ", ".join(parts) + " " + select
+
+
+def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
+    """The shared distributed-moments + driver-iteration pipeline:
+    returns the renormalized integer direction vector (empty list on
+    an empty corpus).  q_llm_embedding_pca and the X51 projection
+    both consume this — ONE graded protocol, two outputs."""
     from ..tables import with_min_scan_parallelism
 
     d, ss, sv = _PCA_D, _PCA_SS, _PCA_SV
@@ -992,8 +962,7 @@ def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["i"], r["j"]): r["c"] for r in mat.collect()
     }
     if not cmat or any(v is None for v in cmat.values()):
-        # Empty corpus: the oracle's exploded frame is empty; match it.
-        return spark.createDataFrame([], "dim long, pc1 double")
+        return []  # empty corpus: the oracle's exploded frame is empty
     vec = [int(sv)] * d
     for _ in range(_PCA_ITERS):
         t = [
@@ -1006,7 +975,118 @@ def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mx == 0
             else [_math.floor(x / mx * sv + 0.5) for x in t]
         )
+    return vec
+
+
+@register(
+    "llm_embedding_pca",
+    oracle=_pca_oracle_final(
+        "SELECT j AS dim, "
+        f"round(CAST(v AS DOUBLE) / {int(_PCA_SV)}.0, 6) AS pc1 "
+        f"FROM v{_PCA_ITERS} ORDER BY 1"
+    ),
+    doc="Distributed PCA over the embedding corpus (X50): the top "
+    "principal direction of the covariance matrix by power "
+    "iteration — the whitening/decorrelation primitive under "
+    "embedding compression (X28's scales and X35's subspace split "
+    "both improve in the PCA basis) and the 1-D special case of the "
+    "dimensionality reduction every large-scale ANN deployment "
+    "runs before indexing.  Split of labor is the whole design: "
+    "the DISTRIBUTED stage is ONE corpus scan whose d² quantized "
+    "outer-product terms explode scan-locally and partial-aggregate "
+    "map-side — every partition collapses to ≤ d² rows BEFORE the "
+    "single tiny shuffle, so the corpus itself never shuffles and "
+    "nothing wider than the d²-row moment frame crosses the wire "
+    "(the fused-aggregate alternative is numerically identical but "
+    "blows whole-stage codegen at d=64) — and everything after is "
+    "O(d²) on the 4096-row matrix frame, pinned with one "
+    "localCheckpoint so the 8 mat-vec stages never re-run the "
+    "scan.  Cross-engine exactness is an integer protocol: "
+    "moments quantize 1e-7-grain at construction (exact DECIMAL "
+    "sums; every double they produce is derived from exact "
+    "integers in ONE arithmetic expression, so float summation "
+    "order never varies), covariance entries quantize to 1e-6 "
+    "longs, each power step computes T = C·v in exact integer "
+    "arithmetic and renormalizes by max|T| (a ratio of exact "
+    "integers), so both engines walk identical 1e-6 lattice "
+    "points for all 8 iterations.  The iteration count is FIXED "
+    "(the determinism-over-adaptivity trade every graded iterative "
+    "op here makes — X26's k-means rounds, X22's PageRank sweeps); "
+    "convergence to numpy's eigenvector is measured in tests, not "
+    "assumed.  Degenerate corpora (constant embeddings → zero "
+    "covariance) emit the zero vector identically on both engines.",
+)
+def q_llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = _PCA_SV
+    vec = _pca_direction(spark, sf_dir)
+    if not vec:
+        return spark.createDataFrame([], "dim long, pc1 double")
     return spark.createDataFrame(
-        [(i, round(vec[i] / sv, 6)) for i in range(d)],
+        [(i, round(v / sv, 6)) for i, v in enumerate(vec)],
         "dim long, pc1 double",
     ).orderBy("dim")
+
+
+_PCA_SX = 1_000_000.0  # 1e6 fixed point for the projection inputs
+_PCA_PROJ_K = 25
+
+
+@register(
+    "llm_pca_projection_topk",
+    oracle=_pca_oracle_final(
+        f"SELECT ex.vec_id, round(CAST(sum(CAST(floor(ex.x * "
+        f"{int(_PCA_SX)}.0 + 0.5) AS DECIMAL(25,0)) * v.v) AS DOUBLE) "
+        f"/ {int(_PCA_SX) * int(_PCA_SV)}.0, 6) AS proj "
+        f"FROM ex JOIN v{_PCA_ITERS} v ON ex.idx = v.j "
+        "GROUP BY ex.vec_id "
+        "ORDER BY abs(sum(CAST(floor(ex.x * "
+        f"{int(_PCA_SX)}.0 + 0.5) AS DECIMAL(25,0)) * v.v)) DESC, "
+        f"ex.vec_id LIMIT {_PCA_PROJ_K}"
+    ),
+    doc="PCA projection top-k (X51): every vector's scalar projection "
+    "onto the X50 principal direction, top-25 by |projection| — the "
+    "consumer that makes the learned direction useful (the vectors "
+    "most aligned with the dominant axis are the redundancy the "
+    "whitening step removes before quantization, and the extreme "
+    "projections are the outlier probes an embedding-drift monitor "
+    "watches).  COMPOSITION is the point: the direction comes from "
+    "the SAME graded pipeline X50 runs (_pca_direction — distributed "
+    "Arrow moment kernel, driver-side integer iteration), then one "
+    "scan-local pass projects the corpus against the ≤64-int literal "
+    "vector folded in-expression — no shuffle at all for the "
+    "projection; the TakeOrdered heap is the only data reduction.  "
+    "Exactness: x quantizes 1e-6 at construction, the dot product is "
+    "exact integer arithmetic (quantized x × integer direction, "
+    "DECIMAL-summed), |·| ordering compares exact integers, vec_id "
+    "breaks ties.",
+)
+def q_llm_pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, sv, sx = _PCA_D, _PCA_SV, _PCA_SX
+    vec = _pca_direction(spark, sf_dir)
+    if not vec:
+        return spark.createDataFrame([], "vec_id long, proj double")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == d
+    )
+    varr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+    # Long arithmetic is exact here: |term| ≤ 1.5e5·1e6 and 64 terms
+    # sum to ≤ ~1e13 ≪ 2^63 — no decimal widening needed.
+    term = lambda x, v: (  # noqa: E731
+        F.floor(x.cast("double") * sx + 0.5).cast("long") * v
+    )
+    p_int = F.aggregate(
+        F.zip_with(F.col("embedding"), varr, term),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = e.select("vec_id", p_int.alias("p"))
+    return (
+        scored.orderBy(F.abs(F.col("p")).desc(), "vec_id")
+        .limit(_PCA_PROJ_K)
+        .select(
+            "vec_id",
+            F.round(F.col("p").cast("double") / (sx * sv), 6).alias(
+                "proj"
+            ),
+        )
+    )

@@ -1043,3 +1043,33 @@ def test_pk_uniqueness_composite_and_nulls(spark, tmp_path):
     assert rows["lineitem"] == (5, 1, 1, pytest.approx(0.25, abs=1e-6))
     assert rows["orders"] == (3, 0, 1, pytest.approx(1 / 3, abs=1e-6))
     assert rows["region"] == (1, 0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# X51: PCA projection — integer dot replica, |.| ordering
+# ---------------------------------------------------------------------------
+
+
+def test_pca_projection_matches_integer_replica(spark, tmp_path):
+    import numpy as np
+
+    x32, _ = _pca_fixture()
+    sf = _write_embeddings(tmp_path, x32)
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_pca_projection_topk,
+    )
+
+    rows = [
+        (r["vec_id"], r["proj"])
+        for r in q_llm_pca_projection_topk(spark, sf).collect()
+    ]
+    vec = [round(v * 1e6) for v in _pca_replica(x32.astype("float64"))]
+    x = x32.astype("float64")
+    proj = {
+        i: sum(
+            math.floor(x[i, j] * 1e6 + 0.5) * vec[j] for j in range(64)
+        )
+        for i in range(x.shape[0])
+    }
+    want = sorted(proj.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:25]
+    assert [(i, pytest.approx(p / 1e12, abs=1e-6)) for i, p in want] == rows

@@ -137,6 +137,7 @@ QUERIES = [
     "src_jsonl_documents",       # r9: declared-schema json + corrupt channel
     "evt_purchase_cadence",      # r9: one-shuffle ordinal window + lead
     "dq_pk_uniqueness",          # r9: key-tuple groupBy per table
+    "llm_pca_projection_topk",   # r9: scan-local fold vs learned direction
 ]
 
 
