@@ -122,6 +122,10 @@ EXTRA = [
     "llm_embedding_pca",
     "evt_gini",
     "agg_yoy_growth",
+    # r9 audits: multi-table sweeps (7 anti-join edges / 10 key-tuple
+    # collapses) — latency-bound by leg count, data-bound per leg.
+    "dq_referential_integrity",
+    "dq_pk_uniqueness",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
