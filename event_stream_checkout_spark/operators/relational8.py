@@ -652,3 +652,110 @@ def q_src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A28: revenue-concentration Gini by customer nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_revenue_concentration",
+    oracle="WITH pc AS (SELECT c.c_nationkey, o.o_custkey, "
+    "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) "
+    "* 10000.0 + 0.5) AS DECIMAL(25,0))) AS BIGINT) AS rev "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY 1, 2), "
+    "d AS (SELECT n.n_name AS nation, pc.rev FROM pc "
+    "JOIN nation n ON pc.c_nationkey = n.n_nationkey), "
+    "r AS (SELECT nation, rev, CAST(row_number() OVER "
+    "(PARTITION BY nation ORDER BY rev DESC, rev) AS BIGINT) AS rnk "
+    "FROM d), "
+    "g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_buyers, "
+    "CAST(sum(rev) AS BIGINT) AS rev_total, "
+    "sum(CAST(rnk AS DECIMAL(25,0)) * rev) AS s FROM r GROUP BY 1) "
+    "SELECT nation, n_buyers, "
+    "round(CAST(rev_total AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "CASE WHEN rev_total > 0 THEN "
+    "round(CAST((n_buyers + 1) * CAST(rev_total AS DECIMAL(25,0)) "
+    "- 2 * s AS DOUBLE) / "
+    "CAST(CAST(n_buyers AS DECIMAL(25,0)) * rev_total AS DOUBLE), 6) "
+    "END AS gini FROM g ORDER BY 1",
+    doc="Revenue-concentration Gini by customer nation (A28): the "
+    "Gini coefficient of per-customer revenue within each nation — "
+    "the account-concentration number a sales org watches (a 0.9 "
+    "Gini nation is three whale accounts wearing a market as a "
+    "costume; churn risk is not diversified).  The CRM counterpart "
+    "of E13's activity Gini: same closed form ((n+1)T − 2Σ rank·x)/"
+    "(nT) on the DESC-ranked frame, but x here is MONEY — per-"
+    "customer revenue as EXACT integer ten-thousandths (the dsum "
+    "fixed-point policy applied at the unit level, so the Gini's "
+    "integer protocol survives the currency domain), and the rank "
+    "tiebreak needs no id column because tied integer revenues "
+    "contribute x·Σi regardless of internal order.  Zero-revenue "
+    "nations guard the division with NULL on both engines.  "
+    "Distributed shape: the fact side collapses per (nation-key, "
+    "customer) on one orderkey→custkey shuffle chain BEFORE any "
+    "decoration (the Q10 aggregate-first stance), the 25-row nation "
+    "frame broadcasts by hint, and the per-nation rank rides the "
+    "two-pass quantile-bucketed prefix-sum — no data-sized single-"
+    "partition stage at any corpus size.",
+)
+def q_agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: F401 (helper imports)
+
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    l = _t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    unit = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000.0
+        + 0.5
+    ).cast("decimal(25,0)")
+    pc = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(unit).cast("long").alias("rev"))
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    d = pc.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("nation", "rev")
+    bucketed = quantile_bucketed(d, "rev", nb=32)
+    ranked = _cumsum_from_buckets(
+        bucketed,
+        ["nation"],
+        [F.col("rev").desc(), F.col("rev")],
+        F.lit(1),
+        "rnk",
+    )
+    g = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum(F.col("rev").cast("decimal(25,0)")).alias("_t"),
+        F.sum(F.col("rnk").cast("decimal(25,0)") * F.col("rev")).alias(
+            "_s"
+        ),
+    )
+    num = (
+        (F.col("n_buyers") + 1).cast("decimal(25,0)") * F.col("_t")
+        - 2 * F.col("_s")
+    )
+    den = F.col("n_buyers").cast("decimal(25,0)") * F.col("_t")
+    return g.select(
+        "nation",
+        "n_buyers",
+        F.round(F.col("_t").cast("double") / 10000.0, 4).alias("revenue"),
+        F.when(
+            F.col("_t") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    ).orderBy("nation")

@@ -1073,3 +1073,45 @@ def test_pca_projection_matches_integer_replica(spark, tmp_path):
     }
     want = sorted(proj.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:25]
     assert [(i, pytest.approx(p / 1e12, abs=1e-6)) for i, p in want] == rows
+
+
+# ---------------------------------------------------------------------------
+# A28: revenue Gini — equality zero, known concentration, money units
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_concentration_hand_computed(spark, tmp_path):
+    from event_stream_checkout_spark.operators.relational8 import (
+        q_agg_revenue_concentration,
+    )
+
+    nation = pd.DataFrame(
+        {"n_nationkey": [1, 2], "n_name": ["EQ", "SKEW"]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2, 3, 4], "c_nationkey": [1, 1, 2, 2]}
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 3, 4]}
+    )
+    li = pd.DataFrame(
+        {
+            # EQ nation: both customers earn 100 -> G = 0.
+            # SKEW nation: 300 vs 100 -> n=2, T=400, ranks 1,2 on DESC
+            # -> S = 300 + 200 = 500; G = (3*400 - 1000)/(2*400) = 0.25
+            "l_orderkey": [1, 2, 3, 4],
+            "l_extendedprice": [100.0, 100.0, 300.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    sf = _write(tmp_path, "nation", nation)
+    for n, df in [("customer", customer), ("orders", orders), ("lineitem", li)]:
+        _write(tmp_path, n, df)
+    rows = {
+        r["nation"]: (r["n_buyers"], r["revenue"], r["gini"])
+        for r in q_agg_revenue_concentration(spark, sf).collect()
+    }
+    assert rows == {
+        "EQ": (2, 200.0, 0.0),
+        "SKEW": (2, 400.0, 0.25),
+    }
