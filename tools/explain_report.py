@@ -138,6 +138,7 @@ QUERIES = [
     "evt_purchase_cadence",      # r9: one-shuffle ordinal window + lead
     "dq_pk_uniqueness",          # r9: key-tuple groupBy per table
     "llm_pca_projection_topk",   # r9: scan-local fold vs learned direction
+    "agg_revenue_concentration", # r9: fact collapse + bucketed-rank Gini
 ]
 
 
