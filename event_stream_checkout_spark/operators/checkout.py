@@ -734,19 +734,36 @@ def write_orders_upsert_jdbc(
     (adapter input ≡ the graded ``snk_orders_upsert`` output).
     """
     props = {"driver": "com.mysql.cj.jdbc.Driver", **(properties or {})}
+
+    def _q(ident: str) -> str:
+        # MySQL identifier quoting: table/column names reach the SQL
+        # string verbatim, so quote every identifier and reject the one
+        # character the quote cannot contain (ADVICE r9: unquoted
+        # interpolation).
+        if "`" in ident:
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
+        return f"`{ident}`"
+
     stage = f"{table}__stage"
     non_keys = [c for c in df.columns if c not in key_cols]
     if not non_keys:
         raise ValueError("upsert frame needs at least one non-key column")
+    cols = ", ".join(_q(c) for c in df.columns)
     merge_sql = (
-        f"INSERT INTO {table} ({', '.join(df.columns)}) "
-        f"SELECT {', '.join(df.columns)} FROM {stage} "
+        f"INSERT INTO {_q(table)} ({cols}) "
+        f"SELECT {cols} FROM {_q(stage)} "
         "ON DUPLICATE KEY UPDATE "
-        + ", ".join(f"{c}=VALUES({c})" for c in non_keys)
+        + ", ".join(f"{_q(c)}=VALUES({_q(c)})" for c in non_keys)
     )
     try:
         df.write.mode("overwrite").jdbc(url=url, table=stage, properties=props)
-    except Exception as e:  # driver jar absent in this container
+    except Exception as e:
+        # ONLY a missing-driver failure is the documented environment
+        # gate; auth/network/SQL errors must surface as themselves
+        # (ADVICE r9: a bare rebrand hid real failures).
+        msg = f"{type(e).__name__}: {e}"
+        if not ("ClassNotFoundException" in msg or "No suitable driver" in msg):
+            raise
         raise NotImplementedError(
             "jdbc upsert sink requires the MySQL Connector/J jar on the "
             "cluster (--jars mysql-connector-j-<ver>.jar); not bundled "
@@ -754,14 +771,20 @@ def write_orders_upsert_jdbc(
         ) from e
     # Stage landed: run the single set-based merge server-side via the
     # driver's JVM (java.sql.DriverManager — same classpath the write
-    # just proved).
+    # just proved), then drop the stage table whether or not the merge
+    # succeeded (ADVICE r9: the stage was left behind).
     jvm = df.sparkSession._jvm  # noqa: SLF001 — py4j bridge, documented
     conn = jvm.java.sql.DriverManager.getConnection(
         url, props.get("user", ""), props.get("password", "")
     )
     try:
         st = conn.createStatement()
-        st.execute(merge_sql)
-        st.close()
+        try:
+            st.execute(merge_sql)
+        finally:
+            try:
+                st.execute(f"DROP TABLE IF EXISTS {_q(stage)}")
+            finally:
+                st.close()
     finally:
         conn.close()

@@ -553,34 +553,47 @@ _EWMA_DELEGATE_LEN = 1024  # observed days per type above which E9 delegates to 
     "partition-less); the closed form joins the series to itself "
     "WITHIN each type — O(len²) pairs where len is bounded by the "
     "TIME DOMAIN (a decade is 3.6k days ⇒ ~13M slim pairs per "
-    "type), not by event volume; above 1024 observed days per type "
-    "the registered query itself DELEGATES to E9b's chunk-and-carry "
-    "plan (one slim pre-action on the rollup decides — see "
-    "_EWMA_DELEGATE_LEN), so the len² pair join never runs on a "
-    "multi-year horizon.",
+    "type), not by event volume. The graded key is ALWAYS this "
+    "closed form — engine and oracle cannot silently diverge "
+    "(ADVICE r9: the old in-key delegation switched engines above "
+    "1024 observed days while the oracle stayed closed-form, and "
+    "paid an eager pre-action collect on every construction). "
+    "Long-horizon callers use ewma_daily_auto() (explicit opt-in "
+    "crossover to E9b's chunk-and-carry plan), and the delegation "
+    "REGIME itself is graded under evt_ewma_long, whose synthesized "
+    "1500-day domain makes the auto helper pick the chunked plan "
+    "under the chunked oracle.",
 )
 def q_evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    # Long-horizon guard (r8 verdict item 5): the closed-form plan
-    # below is O(len²) pairs per type — bounded by the TIME domain and
-    # fine for daily series up to a few years, but a multi-decade
-    # backfill should pay C²·len/C instead.  One slim pre-action on
-    # the map-side-collapsed rollup (#types rows) decides; above the
-    # threshold the query delegates to the chunk-and-carry plan
-    # (identical recurrence, quantization nesting differs at 1e-3 —
-    # pinned by tests/test_variant_equivalence.py).  The driver
-    # corpora span 30 days at every SF, so the graded oracle path is
-    # always the closed form.
+    return _ewma_plain_from_daily(daily)
+
+
+def ewma_daily_auto(
+    daily: DataFrame, delegate_above: int = _EWMA_DELEGATE_LEN
+) -> DataFrame:
+    """Crossover EWMA over a (event_type, day, n) rollup: the
+    closed-form plan (len² pairs per type) up to ``delegate_above``
+    observed days per type, the E9b chunk-and-carry plan beyond it
+    (r8 verdict item 5; crossover measured by tools/ewma_crossover.py).
+
+    EXPLICIT opt-in, not the graded path (ADVICE r9): the two plans'
+    quantization nesting differs at ~1e-3 (pinned by
+    tests/test_variant_equivalence.py), so a key graded against the
+    closed-form oracle must never silently switch engines.  The one
+    slim pre-action below runs on the map-side-collapsed rollup
+    (#types rows), a cost the caller accepts by calling this.
+    """
     max_len = (
         daily.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("len"))
         .agg(F.max("len").alias("m"))
         .collect()[0]["m"]
     ) or 0
-    if max_len > _EWMA_DELEGATE_LEN:
+    if max_len > delegate_above:
         return _ewma_chunked_from_daily(daily)
     return _ewma_plain_from_daily(daily)
 
@@ -624,12 +637,17 @@ def _ewma_plain_from_daily(daily: DataFrame) -> DataFrame:
 _EWMA_CHUNK = 16  # observed days per chunk
 
 
-def _sql_ewma_chunked_oracle() -> str:
+_EWMA_DAILY_SQL = (
+    "SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+)
+
+
+def _sql_ewma_chunked_oracle(daily_sql: str = _EWMA_DAILY_SQL) -> str:
     a = _EWMA_ALPHA
     da = 1 - a
     return (
-        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
-        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        f"WITH daily AS ({daily_sql}), "
         "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY "
         "event_type ORDER BY day) AS BIGINT) AS rn FROM daily), "
         f"ch AS (SELECT *, (rn - 1) // {_EWMA_CHUNK} AS g FROM ranked), "
@@ -778,6 +796,51 @@ def _ewma_chunked_from_daily(daily: DataFrame) -> DataFrame:
     return joined.select(
         "event_type", "day", "n", F.round(ewma, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# E9c: long-horizon EWMA — the delegation regime under the oracle
+# ---------------------------------------------------------------------------
+
+_EWMA_LONG_DAYS = 1500  # synthesized day domain, > _EWMA_DELEGATE_LEN
+
+_EWMA_LONG_DAILY_SQL = (
+    "SELECT event_type, "
+    f"DATE '1992-01-01' + CAST(event_id % {_EWMA_LONG_DAYS} AS INTEGER) "
+    "AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+)
+
+
+@register(
+    "evt_ewma_long",
+    oracle=_sql_ewma_chunked_oracle(_EWMA_LONG_DAILY_SQL),
+    doc="Long-horizon EWMA (E9c, r9 verdict item 8): the DELEGATION "
+    "REGIME itself under the driver oracle.  The driver corpora span "
+    "30 days at every SF, so E9's crossover branch could never carry "
+    "oracle evidence on the natural day column; here the day domain "
+    "is SYNTHESIZED to 1500 days (day = 1992-01-01 + event_id mod "
+    "1500 — deterministic, engine-neutral arithmetic on a stable "
+    "key), the engine path goes through the SAME ewma_daily_auto "
+    "crossover users call, and 1500 > the 1024-day threshold forces "
+    "the chunk-and-carry plan.  The oracle is the CHUNKED protocol "
+    "on the same synthesized rollup — if the delegation failed to "
+    "fire and the closed form ran instead, the ~1e-3 quantization-"
+    "nesting difference between the two plans would break the hash: "
+    "the branch decision is part of what the driver grades.  Scale "
+    "shape is E9b's: C²·(len/C) slim pairs per type instead of "
+    "len², boundary recurrence collapsed to a powers-of-one-base "
+    "prefix sum over the #chunks frame.",
+)
+def q_evt_ewma_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_add(
+        F.to_date(F.lit("1992-01-01")),
+        (F.col("event_id") % _EWMA_LONG_DAYS).cast("int"),
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return ewma_daily_auto(daily)
 
 
 # ---------------------------------------------------------------------------

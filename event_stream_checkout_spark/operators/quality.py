@@ -661,49 +661,73 @@ def _ri_oracle() -> str:
     "(every J-family operator silently drops orphans; this op makes "
     "the drop observable and alertable — the first thing to run "
     "when a fact pipeline and a dimension pipeline deploy "
-    "independently). Distributed shape per edge: the child collapses "
-    "to its (key → row-count) frame FIRST (one uniform shuffle; "
-    "orphan ROWS are recovered as Σ count over orphan KEYS, so the "
-    "anti-join probes distinct keys, not rows), the parent side "
-    "projects to its key column only (column-pruned scan), and the "
-    "LEFT ANTI co-partitions on the key — growing parents (orders, "
-    "customer) are AQE-owned, never hint-broadcast. The seven "
-    "per-edge 1-row summaries union to a 7-row report: every "
-    "downstream frame is edge-count-sized.",
+    "independently). Distributed shape (r9 verdict item 2 — the old "
+    "per-edge loop scanned lineitem THREE times, once per FK "
+    "column; at 100 TB the fact table is 90% of the bytes): every "
+    "table is scanned exactly ONCE — a child carrying multiple "
+    "edges emits (edge, key) pairs scan-locally via stack (so "
+    "lineitem's three FK columns ride one column-pruned pass), "
+    "parents emit (edge, key, parent-marker) the same way — and "
+    "the existence test is NOT an anti-join at all: children and "
+    "parents union into one frame, ONE (edge, key) hash aggregate "
+    "computes per-key child counts alongside a has-parent flag "
+    "(map-side partial combine collapses each scan before the "
+    "single uniform shuffle), and the edge-level rollup reads "
+    "orphan ROWS as Σ child-count over keys with no parent marker. "
+    "No frame is consumed twice (nothing to checkpoint or rescan), "
+    "both shuffles key on values the engine distributes uniformly, "
+    "and the report is edge-count-sized.",
 )
 def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
+    from collections import defaultdict
+
+    by_child: dict[str, list] = defaultdict(list)
+    by_parent: dict[str, list] = defaultdict(list)
     for ct, ck, pt, pk in _FK_EDGES:
-        child = load_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
-        ckf = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-        stats = ckf.agg(
-            F.sum("n").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0)
-            ).alias("n_null_keys"),
+        fk = f"{ct}.{ck}->{pt}.{pk}"
+        by_child[ct].append((fk, ck))
+        by_parent[pt].append((fk, pk))
+
+    def stacked(table: str, pairs: list, is_child: bool) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        args = ", ".join(
+            f"'{fk}', CAST({col} AS BIGINT)" for fk, col in pairs
         )
-        parent = (
-            load_table(spark, sf_dir, pt)
-            .select(F.col(pk).alias("k"))
-            .distinct()
+        return t.selectExpr(
+            f"stack({len(pairs)}, {args}) AS (fk, k)"
+        ).select(
+            "fk",
+            "k",
+            F.lit(1 if is_child else 0).alias("c"),
+            F.lit(1 if is_child else 0).alias("is_child"),
         )
-        orphans = (
-            ckf.filter(F.col("k").isNotNull())
-            .join(parent, "k", "left_anti")
-            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans"))
-        )
-        leg = (
-            stats.crossJoin(orphans)
-            .select(
-                F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
-                "n_rows",
-                "n_null_keys",
-                "n_orphans",
-            )
-        )
-        out = leg if out is None else out.unionByName(leg)
+
+    legs = [stacked(ct, pairs, True) for ct, pairs in by_child.items()]
+    legs += [stacked(pt, pairs, False) for pt, pairs in by_parent.items()]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    per_key = u.groupBy("fk", "k").agg(
+        F.sum("c").alias("n_child"),
+        F.max(F.lit(1) - F.col("is_child")).alias("has_parent"),
+    )
+    rep = per_key.groupBy("fk").agg(
+        F.sum("n_child").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("n_child"))), F.lit(0)
+        ).alias("n_null_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("k").isNotNull() & (F.col("has_parent") == 0),
+                    F.col("n_child"),
+                )
+            ),
+            F.lit(0),
+        ).alias("n_orphans"),
+    )
     denom = F.col("n_rows") - F.col("n_null_keys")
-    return out.select(
+    return rep.select(
         "fk",
         "n_rows",
         "n_null_keys",

@@ -718,12 +718,19 @@ def q_src_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * 1_000_000 + (
         F.expr("extract(second from ts)") * 1_000_000
     ).cast("long")
-    return back.groupBy("event_type").agg(
+    agg = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("sum_value"),
         F.max(us).alias("max_ts_us"),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+    # Pin the per-type rollup (a handful of rows) in executor storage so
+    # the corpus-sized CSV staging dir can be removed NOW instead of
+    # leaking one copy per run (same fix as src_jsonl_documents,
+    # ADVICE r9) — the returned frame no longer references the files.
+    agg = agg.localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return agg
 
 
 # ---------------------------------------------------------------------------

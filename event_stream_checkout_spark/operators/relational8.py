@@ -646,12 +646,20 @@ def q_src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(root)
     )
-    return back.groupBy("lang").agg(
+    agg = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("sum_chars"),
         F.max("doc_id").alias("max_doc_id"),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+    # Pin the per-lang rollup (a handful of rows) in executor storage so
+    # the corpus-sized JSONL staging dir can be removed NOW instead of
+    # leaking one copy of the corpus per run (ADVICE r9) — the returned
+    # frame no longer references files on disk, same stance as the BPE
+    # staged-rounds cleanup (llm_retrieval.py).
+    agg = agg.localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return agg
 
 
 # ---------------------------------------------------------------------------

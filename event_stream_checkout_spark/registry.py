@@ -86,7 +86,16 @@ def _load_driver_evidence() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             hash_green = row.get("err") is None and row.get("hash_match") is True
-            rows_only = row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+            # Rows-only pass must see an ACTUAL row count (ADVICE r9:
+            # `(x or 0) >= 0` was vacuously true, reducing the check to
+            # err == "no_oracle" even when the run produced nothing).
+            n = row.get("spark_rows")
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and isinstance(n, int)
+                and not isinstance(n, bool)
+                and n >= 0
+            )
             if hash_green or rows_only:
                 latest[key] = max(latest.get(key, 0), rnd)
     return latest
@@ -107,35 +116,27 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r9: engine and/or oracle changed on previously green keys.
-    "agg_supplier_part_counts",  # oracle exclusion rewritten NOT IN →
-                          # NOT EXISTS so both engines pin identical
-                          # NULL-key semantics (ADVICE.md r8)
-    "evt_ewma_daily",     # long-horizon delegation added (r8 verdict
-                          # item 5): one slim pre-action on the rollup;
-                          # driver corpora (30 days) never delegate, so
-                          # the graded plan is unchanged
-    "llm_bpe_encode",     # BPE rounds fused (r8 verdict item 8): the
-    "llm_phrase_merges",  # winner TakeOrdered now executes inside the
-    "llm_phrase_merges_sampled",  # stage-write job; same merge table,
-                          # same staged corpus, one action per round
+    # r10: engine changed on previously green keys.
+    "evt_ewma_daily",     # in-key delegation removed (ADVICE r9): the
+                          # graded key is now unconditionally the
+                          # closed form; crossover moved to the
+                          # explicit ewma_daily_auto helper (the
+                          # delegation regime is graded by the new
+                          # evt_ewma_long key)
+    "dq_referential_integrity",  # the three lineitem FK edges now
+                          # share ONE scan via a scan-local stack
+                          # (r9 verdict item 2)
+    "src_jsonl_documents",  # rollup localCheckpoint + staging-dir
+    "src_csv_events",     # cleanup (ADVICE r9 temp leak): output
+                          # identical, plan gains the pinned rollup
 )
 
 
 # Keys that must take the FIRST slots of this round's window.
-# r9: the six keys edited in the r8 NULL-hardening sweep whose latest
-# driver grade predates the edit (they trailed r8's ROUND_MODIFIED and
-# missed the 50-key window — r8 verdict item 1).  Proven pristine-no-op
-# locally (tests/test_null_parity.py), but the repo rule is "no key's
-# latest grade predates its code", so they lead r9.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    "agg_approx_percentile",
-    "llm_token_budget_sample",
-    "llm_quality_stratified",
-    "multimodal_features",
-    "multimodal_dedup",
-    "multimodal_frame_sample",
-)
+# r10: nothing pending from r9's trailing set (the r9 window graded
+# all 24 new keys plus the modified carry-overs); new never-graded
+# keys (evt_ewma_long, the PCA deflation family) enter via rule 2.
+DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, Query]:

