@@ -837,11 +837,30 @@ def _pca_oracle_final(select: str) -> str:
     return ", ".join(parts) + " " + select
 
 
-def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
-    """The shared distributed-moments + driver-iteration pipeline:
-    returns the renormalized integer direction vector (empty list on
-    an empty corpus).  q_llm_embedding_pca and the X51 projection
-    both consume this — ONE graded protocol, two outputs."""
+# Collected covariance matrices, keyed (applicationId, sf_dir): the
+# distributed moment scan runs ONCE per session per corpus and every
+# PCA consumer (X50 direction, X51 projection, X52 components, X53
+# residuals) shares it (ADVICE r9: the projection re-ran the whole
+# pipeline).  The value is the 4096-entry {(i, j): c} dict or None
+# for an empty corpus — trivially small, never invalidated (driver
+# corpora are immutable; a user mutating a corpus mid-session starts
+# a new session or clears this).
+_PCA_MOMENT_CACHE: dict[tuple[str, str], dict | None] = {}
+
+
+def _pca_moments(spark: SparkSession, sf_dir: str) -> dict | None:
+    """Collect the quantized covariance matrix {(i, j): int} — the
+    distributed half of the PCA protocol — memoized per (session,
+    corpus).  Returns None on an empty/degenerate corpus."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key in _PCA_MOMENT_CACHE:
+        return _PCA_MOMENT_CACHE[key]
+    cmat = _pca_moments_uncached(spark, sf_dir)
+    _PCA_MOMENT_CACHE[key] = cmat
+    return cmat
+
+
+def _pca_moments_uncached(spark: SparkSession, sf_dir: str) -> dict | None:
     from ..tables import with_min_scan_parallelism
 
     d, ss, sv = _PCA_D, _PCA_SS, _PCA_SV
@@ -956,13 +975,20 @@ def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
     # and the renormalizer floor(T/max|T|·1e6 + 0.5) divides two
     # exact integers below 2^53 — IEEE-identical to both engines'
     # double division, which the integer-replica test pins.
-    import math as _math
-
     cmat: dict[tuple[int, int], int] = {
         (r["i"], r["j"]): r["c"] for r in mat.collect()
     }
     if not cmat or any(v is None for v in cmat.values()):
-        return []  # empty corpus: the oracle's exploded frame is empty
+        return None  # empty corpus: the oracle's exploded frame is empty
+    return {k: int(v) for k, v in cmat.items()}
+
+
+def _pca_power(cmat: dict, d: int, sv: int) -> list:
+    """8 renormalized power steps over an integer matrix — exact
+    Python ints; the renormalizer divides two exact integers (the
+    IEEE-identical lattice protocol, see q_llm_embedding_pca)."""
+    import math as _math
+
     vec = [int(sv)] * d
     for _ in range(_PCA_ITERS):
         t = [
@@ -976,6 +1002,65 @@ def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
             else [_math.floor(x / mx * sv + 0.5) for x in t]
         )
     return vec
+
+
+def _round_div(a: int, b: int) -> int:
+    """Round-half-up division of exact integers, b > 0 — floor((2a+b)
+    / (2b)) in pure integer arithmetic; the DuckDB mirror emulates the
+    floor division via the nonnegative-remainder identity (verified
+    identical on negative numerators)."""
+    return (2 * a + b) // (2 * b)
+
+
+_PCA_SD = 1000  # deflation direction scale (coarser than _PCA_SV: the
+#                 deflated matrix only needs ~1e-3 directional precision
+#                 to push later iterations off the earlier component;
+#                 coarse w keeps every product inside HUGEINT/DECIMAL38)
+_PCA_COMPONENTS = 3
+
+
+def _pca_components(spark: SparkSession, sf_dir: str, k: int) -> list:
+    """Top-k principal directions by power iteration + Hotelling
+    deflation, all in the exact-integer lattice protocol: after each
+    component, C ← C − round_div(num·w_i·w_j, den²) where w is the
+    component at scale _PCA_SD, num = wᵀCw and den = wᵀw are exact
+    integers — the integer replica of C − λ·v̂v̂ᵀ.  Returns k integer
+    vectors at scale _PCA_SV ([] on an empty corpus).  The moment
+    scan runs once per session per corpus (_pca_moments memo)."""
+    cmat = _pca_moments(spark, sf_dir)
+    if cmat is None:
+        return []
+    d, sv, sd = _PCA_D, int(_PCA_SV), _PCA_SD
+    C = dict(cmat)
+    comps = []
+    for comp in range(k):
+        vec = _pca_power(C, d, sv)
+        comps.append(vec)
+        if comp == k - 1:
+            break
+        w = [_round_div(v, sv // sd) for v in vec]
+        den = sum(x * x for x in w)
+        num = sum(
+            w[i] * c * w[j] for (i, j), c in C.items()
+        )
+        if den == 0:
+            continue  # degenerate: deflate nothing (oracle mirrors)
+        dd = den * den
+        C = {
+            (i, j): c - _round_div(num * w[i] * w[j], dd)
+            for (i, j), c in C.items()
+        }
+    return comps
+
+
+def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
+    """The top principal direction (integer lattice, scale _PCA_SV) —
+    the k=1 case of _pca_components; empty list on an empty corpus.
+    q_llm_embedding_pca, the X51 projection, and the X52/X53 family
+    all consume the same memoized moments — ONE distributed scan per
+    session per corpus."""
+    comps = _pca_components(spark, sf_dir, 1)
+    return comps[0] if comps else []
 
 
 @register(
@@ -999,9 +1084,11 @@ def _pca_direction(spark: SparkSession, sf_dir: str) -> list:
     "nothing wider than the d²-row moment frame crosses the wire "
     "(the fused-aggregate alternative is numerically identical but "
     "blows whole-stage codegen at d=64) — and everything after is "
-    "O(d²) on the 4096-row matrix frame, pinned with one "
-    "localCheckpoint so the 8 mat-vec stages never re-run the "
-    "scan.  Cross-engine exactness is an integer protocol: "
+    "O(d²) on the 4096-entry matrix, COLLECTED once to the driver "
+    "and memoized per (session, corpus) so the 8 mat-vec steps — "
+    "and every other PCA consumer in the session (X51 projection, "
+    "X52 deflation, X53 residuals) — never re-run the scan "
+    "(ADVICE r9).  Cross-engine exactness is an integer protocol: "
     "moments quantize 1e-7-grain at construction (exact DECIMAL "
     "sums; every double they produce is derived from exact "
     "integers in ONE arithmetic expression, so float summation "
@@ -1087,6 +1174,278 @@ def q_llm_pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(F.col("p").cast("double") / (sx * sv), 6).alias(
                 "proj"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X52: top-k principal components by Hotelling deflation
+# ---------------------------------------------------------------------------
+
+
+def _sql_rdiv(n: str, d: str) -> str:
+    """DuckDB round-half-up division floor((2n+d)/(2d)) for exact
+    HUGEINT operands, d > 0: DuckDB's // truncates toward zero, so
+    floor is recovered by first subtracting the NONNEGATIVE remainder
+    (((x % y) + y) % y) — verified identical to Python's (2n+d)//(2d)
+    on negative numerators."""
+    n2 = f"(2*({n}) + ({d}))"
+    d2 = f"(2*({d}))"
+    return (
+        f"(({n2} - ((({n2}) % ({d2})) + ({d2})) % ({d2})) // ({d2}))"
+    )
+
+
+def _pca_multi_cte_parts(n_components: int) -> list:
+    """Extend the X50 CTE chain with Hotelling deflation: comp-0 CTEs
+    keep their exact X50 names (v0..v8 — the registered X50/X51
+    oracles must not change), comp c ≥ 1 runs the same 8-step power
+    chain on the deflated matrix matc{c} in HUGEINT arithmetic
+    (products reach ~1e25, past DECIMAL width rules but comfortably
+    inside int128).  Deflation mirrors _pca_components' integer
+    protocol term for term."""
+    d, sv, sd = _PCA_D, int(_PCA_SV), _PCA_SD
+    parts = _pca_cte_parts()
+    for c in range(1, n_components):
+        prev_v = f"v{_PCA_ITERS}" if c == 1 else f"vc{c - 1}_{_PCA_ITERS}"
+        prev_m = "mat" if c == 1 else f"matc{c - 1}"
+        w = f"w{c - 1}"
+        dn = f"dn{c - 1}"
+        nm = f"nm{c - 1}"
+        parts.append(
+            f"{w} AS MATERIALIZED (SELECT j, "
+            + _sql_rdiv("CAST(v AS HUGEINT)", f"CAST({sv // sd} AS HUGEINT)")
+            + f" AS w FROM {prev_v})"
+        )
+        parts.append(
+            f"{dn} AS MATERIALIZED (SELECT sum(w * w) AS den FROM {w})"
+        )
+        parts.append(
+            f"{nm} AS MATERIALIZED (SELECT "
+            "sum(wi.w * CAST(m.c AS HUGEINT) * wj.w) AS num "
+            f"FROM {prev_m} m JOIN {w} wi ON wi.j = m.i "
+            f"JOIN {w} wj ON wj.j = m.j)"
+        )
+        parts.append(
+            f"matc{c} AS MATERIALIZED (SELECT m.i, m.j, "
+            "CASE WHEN d.den = 0 THEN CAST(m.c AS HUGEINT) "
+            "ELSE CAST(m.c AS HUGEINT) - "
+            + _sql_rdiv("n.num * wi.w * wj.w", "d.den * d.den")
+            + " END AS c "
+            f"FROM {prev_m} m JOIN {w} wi ON wi.j = m.i "
+            f"JOIN {w} wj ON wj.j = m.j, {dn} d, {nm} n)"
+        )
+        parts.append(
+            f"vc{c}_0 AS MATERIALIZED (SELECT unnest(range({d})) AS j, "
+            f"CAST({sv} AS HUGEINT) AS v)"
+        )
+        for k in range(1, _PCA_ITERS + 1):
+            parts.append(
+                f"tc{c}_{k} AS MATERIALIZED (SELECT m.i AS j, "
+                "sum(m.c * v.v) AS t "
+                f"FROM matc{c} m JOIN vc{c}_{k - 1} v ON m.j = v.j "
+                "GROUP BY 1)"
+            )
+            parts.append(
+                f"mc{c}_{k} AS MATERIALIZED "
+                f"(SELECT max(abs(t)) AS mx FROM tc{c}_{k})"
+            )
+            parts.append(
+                f"vc{c}_{k} AS MATERIALIZED (SELECT tc{c}_{k}.j, "
+                f"CASE WHEN mc{c}_{k}.mx = 0 THEN CAST(0 AS HUGEINT) "
+                f"ELSE CAST(floor(CAST(tc{c}_{k}.t AS DOUBLE)"
+                f" / CAST(mc{c}_{k}.mx AS DOUBLE) * {sv}.0 + 0.5) "
+                f"AS HUGEINT) END AS v FROM tc{c}_{k}, mc{c}_{k})"
+            )
+    return parts
+
+
+def _pca_components_oracle() -> str:
+    parts = _pca_multi_cte_parts(_PCA_COMPONENTS)
+    legs = []
+    for c in range(_PCA_COMPONENTS):
+        vf = f"v{_PCA_ITERS}" if c == 0 else f"vc{c}_{_PCA_ITERS}"
+        legs.append(
+            f"SELECT CAST({c} AS BIGINT) AS component, "
+            "CAST(j AS BIGINT) AS dim, "
+            f"round(CAST(v AS DOUBLE) / {int(_PCA_SV)}.0, 6) AS val "
+            f"FROM {vf}"
+        )
+    return (
+        ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(legs)
+        + " ORDER BY 1, 2"
+    )
+
+
+@register(
+    "llm_pca_components",
+    oracle=_pca_components_oracle(),
+    doc="Top-k principal components by Hotelling deflation (X52, r9 "
+    "verdict item 4): subtract-and-reiterate on the SAME graded "
+    "machinery as X50 — after each converged direction v, the "
+    "collected covariance deflates C ← C − round_div(wᵀCw · w_iw_j, "
+    "(wᵀw)²) with w the direction re-quantized at 1e-3 (the exact-"
+    "integer replica of C − λv̂v̂ᵀ; the coarse scale keeps every "
+    "cross-engine product inside int128 — HUGEINT on DuckDB, "
+    "arbitrary-precision int on the driver), then the identical "
+    "8-step renormalized power chain runs on the deflated matrix. "
+    "One distributed moment scan feeds ALL k components (the "
+    "session memo: the deflation loop is O(k·d²) driver integer "
+    "math on the corpus-independent 4096-entry matrix, exactly "
+    "where MLlib's RowMatrix puts its eigensolve).  Deflation "
+    "precision is a DESIGN point, not a convergence hazard: 1e-3 "
+    "directional error in w leaves ~1e-6 of the leading eigenvalue "
+    "in the residual matrix — orders below the λ1/λ2 separation — "
+    "and the protocol is graded on cross-engine identity, which "
+    "holds exactly because both engines walk the same lattice.  "
+    "Convergence to numpy's eigendecomposition is measured in "
+    "tests (as for X50), not assumed.",
+)
+def q_llm_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = _PCA_SV
+    comps = _pca_components(spark, sf_dir, _PCA_COMPONENTS)
+    if not comps:
+        return spark.createDataFrame(
+            [], "component long, dim long, val double"
+        )
+    rows = [
+        (c, i, round(v / sv, 6))
+        for c, vec in enumerate(comps)
+        for i, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "component long, dim long, val double"
+    ).orderBy("component", "dim")
+
+
+# ---------------------------------------------------------------------------
+# X53: reconstruction-residual outliers over the X52 basis
+# ---------------------------------------------------------------------------
+
+_PCA_RESID_K = 25
+
+
+def _pca_residual_oracle() -> str:
+    d, sv, sx = _PCA_D, int(_PCA_SV), int(_PCA_SX)
+    parts = _pca_multi_cte_parts(_PCA_COMPONENTS)
+    vfs = [
+        f"v{_PCA_ITERS}" if c == 0 else f"vc{c}_{_PCA_ITERS}"
+        for c in range(_PCA_COMPONENTS)
+    ]
+    q = f"CAST(floor(ex.x * {sx}.0 + 0.5) AS HUGEINT)"
+    proj_cols = ", ".join(
+        f"sum({q} * CAST(c{c}.v AS HUGEINT)) AS p{c}"
+        for c in range(_PCA_COMPONENTS)
+    )
+    joins = " ".join(
+        f"JOIN {vfs[c]} c{c} ON c{c}.j = ex.idx"
+        for c in range(_PCA_COMPONENTS)
+    )
+    parts.append(
+        "pr AS MATERIALIZED (SELECT ex.vec_id, "
+        f"sum({q} * {q}) AS norm2, {proj_cols} "
+        f"FROM ex {joins} GROUP BY ex.vec_id)"
+    )
+    den_cols = ", ".join(
+        f"(SELECT sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) "
+        f"FROM {vfs[c]}) AS d{c}"
+        for c in range(_PCA_COMPONENTS)
+    )
+    parts.append(f"pd AS MATERIALIZED (SELECT {den_cols})")
+    # p² ≥ 0 and den > 0, so truncating // IS floor on both engines.
+    energy = " + ".join(
+        f"(CASE WHEN pd.d{c} = 0 THEN 0 ELSE "
+        f"(2 * pr.p{c} * pr.p{c} + pd.d{c}) // (2 * pd.d{c}) END)"
+        for c in range(_PCA_COMPONENTS)
+    )
+    parts.append(
+        "resid AS MATERIALIZED (SELECT pr.vec_id, "
+        f"pr.norm2 - ({energy}) AS r FROM pr, pd)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT vec_id, "
+        f"round(CAST(r AS DOUBLE) / {sx}.0 / {sx}.0, 6) AS residual "
+        f"FROM resid ORDER BY r DESC, vec_id LIMIT {_PCA_RESID_K}"
+    )
+
+
+@register(
+    "llm_pca_residual_topk",
+    oracle=_pca_residual_oracle(),
+    doc="Reconstruction-residual outliers (X53, the X52 consumer): "
+    "each vector's squared norm minus its energy along the k "
+    "deflated components — the residual an embedding-drift monitor "
+    "watches (a vector the learned basis cannot explain is novel "
+    "content, a corrupted embedding, or distribution shift) and "
+    "the quantity PCA-whitened compression (X28/X35) leaves on the "
+    "floor.  Distributed shape mirrors X51: the k ≤64-int direction "
+    "vectors fold into the scan as literals, one scan-local pass "
+    "computes norm² and k dot products per vector in exact long "
+    "arithmetic (|Σ q·v| ≤ 64·1e6·1e6 ≈ 6.4e13 ≪ 2⁶³), the "
+    "per-component energies round_div(p², vᵀv) widen to "
+    "DECIMAL(38,0) only in-expression (p² ≤ 4e27; p² ≥ 0 makes "
+    "truncating div ≡ floor on both engines), and a TakeOrdered "
+    "heap on the EXACT integer residual is the only reduction — "
+    "no shuffle at all.  Deflated components are near- but not "
+    "exactly orthogonal, so the residual is the protocol's "
+    "definition rather than a claim of orthogonal decomposition; "
+    "both engines evaluate it identically by construction.",
+)
+def q_llm_pca_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, sv, sx = _PCA_D, int(_PCA_SV), _PCA_SX
+    comps = _pca_components(spark, sf_dir, _PCA_COMPONENTS)
+    if not comps:
+        return spark.createDataFrame([], "vec_id long, residual double")
+    dens = [sum(v * v for v in vec) for vec in comps]
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == d
+    )
+    qcol = lambda x: F.floor(  # noqa: E731
+        x.cast("double") * sx + 0.5
+    ).cast("long")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: qcol(x) * qcol(x)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    projs = []
+    for c, vec in enumerate(comps):
+        varr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+        p = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), varr, lambda x, v: qcol(x) * v
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        projs.append(p.alias(f"p{c}"))
+    scored = e.select("vec_id", norm2.alias("norm2"), *projs)
+    dec = "decimal(38,0)"
+    energy = None
+    for c, den in enumerate(dens):
+        if den == 0:
+            term = F.lit(0).cast(dec)
+        else:
+            term = F.expr(
+                f"CAST((2 * CAST(p{c} AS {dec}) * CAST(p{c} AS {dec}) "
+                f"+ {den}) DIV (2 * CAST({den} AS {dec})) AS {dec})"
+            )
+        energy = term if energy is None else energy + term
+    r = scored.select(
+        "vec_id",
+        (F.col("norm2").cast(dec) - energy).alias("r"),
+    )
+    return (
+        r.orderBy(F.col("r").desc(), "vec_id")
+        .limit(_PCA_RESID_K)
+        .select(
+            "vec_id",
+            F.round(F.col("r").cast("double") / (sx * sx), 6).alias(
+                "residual"
             ),
         )
     )

@@ -1115,3 +1115,103 @@ def test_revenue_concentration_hand_computed(spark, tmp_path):
         "EQ": (2, 200.0, 0.0),
         "SKEW": (2, 400.0, 0.25),
     }
+
+
+# ---------------------------------------------------------------------------
+# X52/X53: PCA deflation components + residual outliers (r10)
+# ---------------------------------------------------------------------------
+
+
+def _pca_multi_fixture():
+    """3 planted orthogonal directions with separated strengths +
+    small isotropic noise — the spectrum the deflation must walk."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    basis, _ = np.linalg.qr(rng.normal(size=(64, 3)))
+    t = rng.normal(size=(60, 3)) * np.array([3.0, 2.0, 1.0])
+    x = t @ basis.T + rng.normal(size=(60, 64)) * 0.03
+    return x.astype("float32"), basis
+
+
+def test_pca_components_converge_to_top_eigenvectors(spark, tmp_path):
+    """X52's docstring promises convergence is MEASURED: each deflated
+    component aligns with numpy's corresponding eigenvector of the
+    float covariance to |cos| >= 0.98 (deflation at 1e-3 direction
+    precision leaves ~1e-6 leading-eigenvalue residue — far below the
+    planted 3.0/2.0/1.0 separation)."""
+    import numpy as np
+
+    x32, _ = _pca_multi_fixture()
+    sf = _write_embeddings(tmp_path, x32)
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_pca_components,
+    )
+
+    rows = q_llm_pca_components(spark, sf).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["component"], [0.0] * 64)[r["dim"]] = r["val"]
+    assert sorted(comps) == [0, 1, 2]
+    x = x32.astype("float64")
+    c = np.cov(x, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, np.argsort(w)[::-1][:3]]
+    for k in range(3):
+        v = np.array(comps[k])
+        v = v / np.linalg.norm(v)
+        cos = abs(float(v @ top[:, k]))
+        assert cos >= 0.98, (k, cos)
+
+
+def test_pca_moment_scan_memoized_across_consumers(spark, tmp_path):
+    """ADVICE r9: the X51 projection re-ran the whole distributed
+    moment pipeline.  Now every PCA consumer shares one collected
+    matrix per (session, corpus) — the uncached path runs exactly
+    once."""
+    import event_stream_checkout_spark.operators.clustering as cl
+
+    x32, _ = _pca_multi_fixture()
+    sf = _write_embeddings(tmp_path, x32)
+    calls = {"n": 0}
+    real = cl._pca_moments_uncached
+
+    def counting(spark_, sf_dir_):
+        calls["n"] += 1
+        return real(spark_, sf_dir_)
+
+    cl._pca_moments_uncached = counting
+    try:
+        cl._PCA_MOMENT_CACHE.clear()
+        cl.q_llm_embedding_pca(spark, sf).collect()
+        cl.q_llm_pca_projection_topk(spark, sf).collect()
+        cl.q_llm_pca_components(spark, sf).collect()
+        cl.q_llm_pca_residual_topk(spark, sf).collect()
+    finally:
+        cl._pca_moments_uncached = real
+    assert calls["n"] == 1, f"moment scan ran {calls['n']} times"
+
+
+def test_pca_residual_flags_out_of_span_vectors(spark, tmp_path):
+    """X53: vectors orthogonal to the learned 3-component basis carry
+    ~all their norm as residual and must top the ranking over in-span
+    vectors of comparable norm."""
+    import numpy as np
+
+    x32, basis = _pca_multi_fixture()
+    rng = np.random.default_rng(23)
+    q, _ = np.linalg.qr(
+        np.concatenate([basis, rng.normal(size=(64, 3))], axis=1)
+    )
+    outliers = (q[:, 3:6] * 2.5).T  # rows 60, 61, 62: out-of-span
+    x = np.concatenate([x32.astype("float64"), outliers]).astype(
+        "float32"
+    )
+    sf = _write_embeddings(tmp_path, x)
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_pca_residual_topk,
+    )
+
+    rows = q_llm_pca_residual_topk(spark, sf).collect()
+    top3 = {r["vec_id"] for r in rows[:3]}
+    assert top3 == {60, 61, 62}, top3
