@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table, with_min_scan_parallelism
+from ..scratch import scratch_dir
 from .llm_advanced import (
     _BANDS,
     _N_HASHES,
@@ -320,7 +321,7 @@ def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
         "doc_id", "h", F.explode_outer(_x12_band_keys()).alias("bkey")
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_{tag}")
+    root = scratch_dir("ecs_dedup_idx", tag)
     (
         # Bucket-aligned pre-partition (r7, as in bucketed_write): one
         # file per bucket instead of tasks×buckets fragments.
@@ -496,8 +497,8 @@ def refreshed_index_table(spark: SparkSession, sf_dir: str) -> str:
         return name
     day1 = incremental_index_table(spark, sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_r_{tag}")
-    day1_root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_{tag}")
+    root = scratch_dir("ecs_dedup_idx_r", tag)
+    day1_root = scratch_dir("ecs_dedup_idx", tag)
     (
         # Copy day-1 by PATH (a bucketed-table scan would advertise
         # HashPartitioning and elide the aligning repartition — see
@@ -577,8 +578,8 @@ def compacted_index_table(spark: SparkSession, sf_dir: str) -> str:
         return name
     src = refreshed_index_table(spark, sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_c_{tag}")
-    src_root = os.path.join(tempfile.gettempdir(), f"ecs_dedup_idx_r_{tag}")
+    root = scratch_dir("ecs_dedup_idx_c", tag)
+    src_root = scratch_dir("ecs_dedup_idx_r", tag)
     # Read the source by PATH, not by table: the bucketed-table scan
     # advertises HashPartitioning(bkey, 8), which lets Catalyst elide
     # the repartition below as already-satisfied — while the actual

@@ -30,6 +30,8 @@ from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
+from ..scratch import scratch_dir
+
 # ---------------------------------------------------------------------------
 # BM25 relevance ranking
 # ---------------------------------------------------------------------------
@@ -399,7 +401,7 @@ def bpe_rounds(
         f"{hashlib.md5(repr(sorted(d.columns)).encode()).hexdigest()[:4]}"
         f"_{os.getpid()}_{tag}"
     )
-    root = os.path.join(tempfile.gettempdir(), f"ecs_bpe_{ptag}")
+    root = scratch_dir("ecs_bpe", ptag)
     shutil.rmtree(root, ignore_errors=True)
 
     out = []

@@ -12,6 +12,8 @@ from ..functions.numeric import SCALE, dsum, quant, sql_dsum, sql_quant
 from ..registry import register
 from ..tables import load_table
 
+from ..scratch import scratch_dir
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -302,7 +304,7 @@ def bucketed_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # sf_dir must not race on one overwrite-mode directory / metastore
     # table (r3 advisor finding).
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_bucketed_{tag}")
+    root = scratch_dir("ecs_bucketed", tag)
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     for name, table, key in (
         (li_name, "lineitem", "l_orderkey"),
@@ -392,7 +394,7 @@ def bucketed_register_existing(
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_bucketed_{tag}")
+    root = scratch_dir("ecs_bucketed", tag)
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     if not all(
         os.path.isdir(os.path.join(root, n)) for n in (li_name, ord_name)
@@ -452,7 +454,7 @@ def partitioned_root(sf_dir: str) -> str:
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    return os.path.join(tempfile.gettempdir(), f"ecs_partitioned_{tag}")
+    return scratch_dir("ecs_partitioned", tag)
 
 
 @register(
@@ -499,7 +501,7 @@ def compact_roots(sf_dir: str) -> tuple[str, str]:
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    base = os.path.join(tempfile.gettempdir(), f"ecs_compact_{tag}")
+    base = scratch_dir("ecs_compact", tag)
     return os.path.join(base, "raw"), os.path.join(base, "compacted")
 
 

@@ -35,6 +35,8 @@ from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
+from ..scratch import scratch_dir
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -622,7 +624,7 @@ def q_snk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_evo_{tag}")
+    root = scratch_dir("ecs_evo", tag)
     shutil.rmtree(root, ignore_errors=True)
 
     o = _t(spark, sf_dir, "orders")
@@ -688,7 +690,7 @@ def q_src_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_csv_{tag}")
+    root = scratch_dir("ecs_csv", tag)
     shutil.rmtree(root, ignore_errors=True)
 
     e = _t(spark, sf_dir, "events")
@@ -788,7 +790,7 @@ def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrong tool: stage it to scratch parquet once (the BPE-rounds
     # trade) and serve all consumers from the slim 2-column files.
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_basket_{tag}")
+    root = scratch_dir("ecs_basket", tag)
     shutil.rmtree(root, ignore_errors=True)
     (
         _t(spark, sf_dir, "lineitem")
@@ -825,7 +827,7 @@ def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n_orders")
         / (F.col("sa") * F.col("sb").cast("double"))
     )
-    return (
+    out = (
         pairs.join(sa, "part_a")
         .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
@@ -838,6 +840,12 @@ def q_agg_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(_MB_TOPK)
     )
+    # Pin the 25-row ranking in executor storage so the fact-scale
+    # staged frame can be removed NOW (the repo-wide r10 staging-leak
+    # sweep) instead of waiting for the atexit backstop.
+    out = out.localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,8 @@ from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
+from ..scratch import scratch_dir
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -631,7 +633,7 @@ def q_src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_jsonl_{tag}")
+    root = scratch_dir("ecs_jsonl", tag)
     shutil.rmtree(root, ignore_errors=True)
 
     d = _t(spark, sf_dir, "documents")

@@ -13,6 +13,8 @@ from ..functions.numeric import sql_dsum, dsum
 from ..registry import register
 from ..tables import load_table
 
+from ..scratch import scratch_dir
+
 
 @register(
     "stream_tumbling",
@@ -162,7 +164,7 @@ def q_state_ledger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-process tag: concurrent runs must not race on the staging /
     # checkpoint dirs (r3 advisor finding).
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_{tag}")
+    root = scratch_dir("ecs_ledger", tag)
     shutil.rmtree(root, ignore_errors=True)
     items_dir = os.path.join(root, "items")
     out_dir = os.path.join(root, "out")
@@ -304,7 +306,7 @@ def q_state_ledger_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger_fn = inventory_ledger_stream
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_ledger_tws_{tag}")
+    root = scratch_dir("ecs_ledger_tws", tag)
     shutil.rmtree(root, ignore_errors=True)
     items_dir = os.path.join(root, "items")
     out_dir = os.path.join(root, "out")
@@ -450,7 +452,7 @@ def q_stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_sess_tws_{tag}")
+    root = scratch_dir("ecs_sess_tws", tag)
     shutil.rmtree(root, ignore_errors=True)
     events_dir = os.path.join(root, "events")
     out_dir = os.path.join(root, "out")
@@ -551,7 +553,7 @@ def q_stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"ecs_typecnt_{tag}")
+    root = scratch_dir("ecs_typecnt", tag)
     shutil.rmtree(root, ignore_errors=True)
     events_dir = os.path.join(root, "events")
     out_dir = os.path.join(root, "out")

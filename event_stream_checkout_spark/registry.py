@@ -126,6 +126,11 @@ ROUND_MODIFIED: tuple[str, ...] = (
     "dq_referential_integrity",  # the three lineitem FK edges now
                           # share ONE scan via a scan-local stack
                           # (r9 verdict item 2)
+    "llm_pq_code",        # codebook arity K: 4 → 256 (r9 verdict
+    "llm_pq_adc_topk",    # item 1, production arity): same plan,
+    "llm_pq_rerank_topk",  # 256 seeds / 512 LUT scalars; outputs
+                          # change (finer codes), so engine AND
+                          # oracle re-grade together
     "src_jsonl_documents",  # rollup localCheckpoint + staging-dir
     "src_csv_events",     # cleanup (ADVICE r9 temp leak): output
                           # identical, plan gains the pinned rollup

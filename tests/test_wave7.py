@@ -237,8 +237,9 @@ def test_pq_codes_follow_subspace_blobs(spark):
     blob spread), orders of magnitude below the inter-blob
     distance."""
     from event_stream_checkout_spark.operators.clustering import (
-        q_llm_pq_code,
+        pq_code_frame,
     )
+    from event_stream_checkout_spark.tables import load_table
 
     corners = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
     rows = []
@@ -265,9 +266,14 @@ def test_pq_codes_follow_subspace_blobs(spark):
         pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
             f"{d}/embeddings.parquet"
         )
+        # K=4 on the crafted 4-corner geometry (the registered key's
+        # production K=256 would seed every crafted vector as its own
+        # codeword); pq_code_frame IS the registered plan.
         got = {
             r["vec_id"]: (r["code_a"], r["code_b"], r["sq_err"])
-            for r in q_llm_pq_code(spark, d).collect()
+            for r in pq_code_frame(
+                load_table(spark, d, "embeddings"), 4
+            ).collect()
         }
     for vid, (ca, cb) in expected.items():
         ga, gb, err = got[vid]
