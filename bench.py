@@ -126,9 +126,17 @@ EXTRA = [
     # collapses) — latency-bound by leg count, data-bound per leg.
     "dq_referential_integrity",
     "dq_pk_uniqueness",
+    # r10 heavies: the deflation family shares X50's memoized moment
+    # scan (cycle 1 pays it once for all PCA keys), and the PQ query
+    # path now runs the production K=256 codebooks (256 seeds, 512
+    # LUT scalars) — both benched so the arity bump and any deflation
+    # regression stay visible.
+    "llm_pca_components",
+    "llm_pq_rerank_topk",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
+SF10_RESULTS = Path(__file__).resolve().parent / "BENCH_SF10.json"
 
 
 def _noop(df) -> None:
@@ -194,6 +202,16 @@ def main() -> None:
                     timings.get(key, float("inf")), round(tw + tr, 3)
                 )
                 continue
+            if key in ("llm_embedding_pca", "llm_pca_components"):
+                # The PCA family memoizes its moment scan per
+                # (session, corpus) — correct for users, but a benched
+                # cycle must pay the scan or the series silently turns
+                # into a cache-hit measurement.
+                from event_stream_checkout_spark.operators.clustering import (
+                    _PCA_MOMENT_CACHE,
+                )
+
+                _PCA_MOMENT_CACHE.clear()
             t = _time(lambda: _noop(registry[key].fn(spark, sf_dir)))
             timings[key] = min(timings.get(key, float("inf")), round(t, 3))
 
@@ -209,27 +227,37 @@ def main() -> None:
         "cycles": cycles,
     }
 
-    # Embed the sf1 block + scaling exponents when this run is the
-    # driver's sf0.1 pass and a materialized sf1 result exists.
-    if SF1_RESULTS.exists() and abs(sf - 0.1) < 1e-9:
-        try:
-            sf1 = json.loads(SF1_RESULTS.read_text())
-            ratio = sf1["sf"] / sf
-            exponents = {
-                k: round(math.log(sf1["queries"][k] / t) / math.log(ratio), 3)
-                for k, t in timings.items()
-                if k in sf1.get("queries", {})
-                and t > 0 and sf1["queries"][k] > 0
-            }
-            out["sf1"] = {
-                "sf": sf1["sf"],
-                "value": sf1["value"],
-                "queries": sf1["queries"],
-                "extended_sec": sf1.get("extended_sec"),
-                "scaling_exponent": exponents,
-            }
-        except (KeyError, ValueError, ZeroDivisionError):
-            pass
+    # Embed the sf1/sf10 blocks + scaling exponents when this run is
+    # the driver's sf0.1 pass and materialized scaled results exist
+    # (BENCH_SF10.json: the r9 verdict item 5 two-decade exponents —
+    # log100(t_sf10 / t_sf0.1) — over the FULL suite, not just the
+    # five-heaviest spot check).
+    if abs(sf - 0.1) < 1e-9:
+        for label, path in (("sf1", SF1_RESULTS), ("sf10", SF10_RESULTS)):
+            if not path.exists():
+                continue
+            try:
+                scaled = json.loads(path.read_text())
+                ratio = scaled["sf"] / sf
+                exponents = {
+                    k: round(
+                        math.log(scaled["queries"][k] / t)
+                        / math.log(ratio),
+                        3,
+                    )
+                    for k, t in timings.items()
+                    if k in scaled.get("queries", {})
+                    and t > 0 and scaled["queries"][k] > 0
+                }
+                out[label] = {
+                    "sf": scaled["sf"],
+                    "value": scaled["value"],
+                    "queries": scaled["queries"],
+                    "extended_sec": scaled.get("extended_sec"),
+                    "scaling_exponent": exponents,
+                }
+            except (KeyError, ValueError, ZeroDivisionError):
+                pass
 
     print(json.dumps(out))
     spark.stop()

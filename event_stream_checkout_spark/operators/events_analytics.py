@@ -802,7 +802,14 @@ def _ewma_chunked_from_daily(daily: DataFrame) -> DataFrame:
 # E9c: long-horizon EWMA — the delegation regime under the oracle
 # ---------------------------------------------------------------------------
 
-_EWMA_LONG_DAYS = 1500  # synthesized day domain, > _EWMA_DELEGATE_LEN
+_EWMA_LONG_DAYS = 1500  # synthesized day domain
+# Explicit opt-in threshold for the graded long-horizon key: the
+# OBSERVED day count per type is corpus-sized (the sf0.001 events
+# table only populates ~190 of the 1500 residues per type; sf0.01
+# ~1160; sf0.1 all 1500), so the graded branch decision must fire at
+# EVERY SF the parity harness runs — 128 sits below the smallest
+# corpus's coverage while the helper's production default stays 1024.
+_EWMA_LONG_THRESHOLD = 128
 
 _EWMA_LONG_DAILY_SQL = (
     "SELECT event_type, "
@@ -821,8 +828,12 @@ _EWMA_LONG_DAILY_SQL = (
     "is SYNTHESIZED to 1500 days (day = 1992-01-01 + event_id mod "
     "1500 — deterministic, engine-neutral arithmetic on a stable "
     "key), the engine path goes through the SAME ewma_daily_auto "
-    "crossover users call, and 1500 > the 1024-day threshold forces "
-    "the chunk-and-carry plan.  The oracle is the CHUNKED protocol "
+    "crossover users call with an explicit 128-day opt-in threshold "
+    "(observed coverage is corpus-sized — ~190 residues per type at "
+    "sf0.001, all 1500 at sf0.1 — and the graded branch decision "
+    "must fire at EVERY SF; the helper's production default stays "
+    "1024), forcing the chunk-and-carry plan.  The oracle is the "
+    "CHUNKED protocol "
     "on the same synthesized rollup — if the delegation failed to "
     "fire and the closed form ran instead, the ~1e-3 quantization-"
     "nesting difference between the two plans would break the hash: "
@@ -840,7 +851,7 @@ def q_evt_ewma_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    return ewma_daily_auto(daily)
+    return ewma_daily_auto(daily, delegate_above=_EWMA_LONG_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

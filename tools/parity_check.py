@@ -27,10 +27,13 @@ from tools.null_sweep import canon  # noqa: E402  (single shared impl)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("parity-check")

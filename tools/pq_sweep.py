@@ -88,9 +88,17 @@ def main() -> None:
             d2i, ai = kmeans_refined(sub, K)
             assigns.append({r["vec_id"]: r["cluster"] for r in ai.collect()})
             # per-(query, cluster) fixed-point LUTs straight from the
-            # refiner's distance frames
+            # refiner's distance frames — only QUERY rows are ever
+            # looked up, so collect n_queries·K rows, not n·K (at
+            # K=256 on the sf1 fixture the unfiltered frame is 10M
+            # rows of pure driver-transfer waste)
             luts.append(
-                {(r["vec_id"], r["cluster"]): r["dq"] for r in d2i.collect()}
+                {
+                    (r["vec_id"], r["cluster"]): r["dq"]
+                    for r in d2i.filter(
+                        F.col("vec_id").isin(list(queries))
+                    ).collect()
+                }
             )
         scores = []
         for q in queries:
