@@ -1273,3 +1273,275 @@ def q_evt_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# E16: session duration percentiles by day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_session_duration",
+    oracle="WITH seq AS (SELECT user_id, event_id, ts, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id "
+    "FROM seq), "
+    "s AS (SELECT user_id, sess_id, min(ts) AS t0, "
+    "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s "
+    "FROM sess GROUP BY 1, 2), "
+    "r AS (SELECT CAST(t0 AS DATE) AS day, user_id, sess_id, dur_s, "
+    "CAST(row_number() OVER (PARTITION BY CAST(t0 AS DATE) "
+    "ORDER BY dur_s, user_id, sess_id) AS BIGINT) AS rnk, "
+    "CAST(count(*) OVER (PARTITION BY CAST(t0 AS DATE)) AS BIGINT) "
+    "AS n FROM s) "
+    "SELECT day, max(n) AS n_sessions, "
+    "round(CAST(sum(dur_s) AS DOUBLE) / max(n), 6) AS mean_s, "
+    "CAST(max(CASE WHEN rnk = (n * 50 + 99) // 100 THEN dur_s END) "
+    "AS BIGINT) AS p50_s, "
+    "CAST(max(CASE WHEN rnk = (n * 90 + 99) // 100 THEN dur_s END) "
+    "AS BIGINT) AS p90_s, "
+    "CAST(max(CASE WHEN rnk = (n * 99 + 99) // 100 THEN dur_s END) "
+    "AS BIGINT) AS p99_s "
+    "FROM r GROUP BY 1 ORDER BY 1",
+    doc="Session duration percentiles by start day (E16): per day, "
+    "the session count, mean duration, and EXACT p50/p90/p99 of "
+    "session length in integer seconds — the latency-distribution "
+    "view of engagement (E11's bounce rate counts one-event "
+    "sessions; this says how long the surviving sessions actually "
+    "hold attention, and a drifting p90 flags the tail first).  "
+    "Same 30-minute gap sessionizer as E4/E5/E11 (one user_id "
+    "shuffle), then the exact per-day quantiles WITHOUT a per-day "
+    "sort window: rank = the TWO-PASS bucketed prefix sum "
+    "(quantile_bucketed on duration + _cumsum_from_buckets keyed by "
+    "day — per-(day,bucket) windows in parallel, O(#days·#buckets) "
+    "broadcast offsets), and the q-th percentile is the row whose "
+    "rank equals ceil(n·q) = (n·q + 99) div 100 — pure integer "
+    "arithmetic, deterministic (dur, user, sess) tiebreak, "
+    "bit-identical to the oracle's single-window form on any "
+    "partitioning.  A billion-session day never funnels through one "
+    "partition; the duration domain is integer seconds so the "
+    "sampled boundaries bucket it well.",
+)
+def q_evt_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + gap),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .select(
+            F.col("t0").cast("date").alias("day"),
+            "user_id",
+            "sess_id",
+            F.expr(
+                "(unix_micros(cast(t1 AS TIMESTAMP)) - "
+                "unix_micros(cast(t0 AS TIMESTAMP))) div 1000000"
+            )
+            .cast("long")
+            .alias("dur_s"),
+        )
+    )
+    # quantile_bucketed's bucket ids DESCEND in value (pid = nb-1 -
+    # quantile index), so the two-pass rank must order DESC to match;
+    # the ascending q-th percentile (the oracle's form) is then the
+    # row at mirrored rank n + 1 - ceil(n*q/100) — an exact bijection
+    # because the (dur, user, sess) tiebreak is total.
+    bucketed = quantile_bucketed(s, "dur_s", nb=32)
+    ranked = _cumsum_from_buckets(
+        bucketed,
+        ["day"],
+        [
+            F.col("dur_s").desc(),
+            F.col("user_id").desc(),
+            F.col("sess_id").desc(),
+        ],
+        F.lit(1),
+        "rnk",
+    )
+    counts = ranked.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(counts, "day")
+
+    def pick(q: int):
+        # asc rank ceil(n*q/100) == desc rank n + 1 - (n*q + 99) div 100
+        return F.max(
+            F.when(
+                F.col("rnk")
+                == F.expr(f"n + 1 - ((n * {q} + 99) div 100)"),
+                F.col("dur_s"),
+            )
+        ).cast("long")
+
+    return (
+        j.groupBy("day")
+        .agg(
+            F.max("n").alias("n_sessions"),
+            F.round(
+                F.sum("dur_s").cast("double") / F.max("n"), 6
+            ).alias("mean_s"),
+            pick(50).alias("p50_s"),
+            pick(90).alias("p90_s"),
+            pick(99).alias("p99_s"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E17: weekly cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_cohort_ltv",
+    oracle="WITH p AS (SELECT user_id, "
+    "(CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk, "
+    "CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(25,0)) AS rev_q "
+    "FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT user_id, min(wk) AS cohort_w FROM p GROUP BY 1), "
+    "sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users "
+    "FROM c GROUP BY 1), "
+    "a AS (SELECT c.cohort_w, p.wk - c.cohort_w AS age_w, "
+    "sum(p.rev_q) AS rev_q FROM p JOIN c ON p.user_id = c.user_id "
+    "GROUP BY 1, 2), "
+    "cum AS (SELECT cohort_w, age_w, "
+    "sum(rev_q) OVER (PARTITION BY cohort_w ORDER BY age_w "
+    "ROWS UNBOUNDED PRECEDING) AS cum_q FROM a) "
+    "SELECT DATE '1970-01-01' + INTERVAL (cm.cohort_w * 7) DAY "
+    "AS cohort_week, CAST(cm.age_w AS BIGINT) AS age_w, sz.n_users, "
+    "round(CAST(cm.cum_q AS DOUBLE) / 10000.0, 4) AS cum_rev, "
+    "round(CAST(cm.cum_q AS DOUBLE) / 10000.0 / sz.n_users, 6) "
+    "AS ltv_per_user "
+    "FROM cum cm JOIN sz ON cm.cohort_w = sz.cohort_w "
+    "ORDER BY 1, 2",
+    doc="Weekly cohort LTV curve (E17): users cohorted by FIRST "
+    "purchase week, each cohort's cumulative revenue by age in weeks, "
+    "per cohort user — the lifetime-value triangle that prices user "
+    "acquisition (E2's retention triangle counts who comes back; "
+    "this weighs what they spend when they do).  Weeks are integer "
+    "epoch-day div 7 — engine-neutral calendar arithmetic, no "
+    "locale-dependent week-of-year anywhere; revenue goes through "
+    "the repo's fixed-point money policy (per-row 1e-4 quantize, "
+    "DECIMAL sums — functions/numeric.py), so cohort sums are exact "
+    "integers on both engines and the two divisions at the end are "
+    "identical doubles.  Scale: purchases collapse to (cohort, age) "
+    "BEFORE any window — the cumulative sum runs over the week² "
+    "triangle (TIME-domain-bounded, ~thousands of rows at any "
+    "corpus size), the per-user cohort map is one uniform user_id "
+    "shuffle, and the cohort-size frame is calendar-bounded.",
+)
+def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import quant
+
+    e = load_table(spark, sf_dir, "events")
+    # Epoch-day div 7: integer `div` keeps the week index exact
+    # (epoch days are non-negative for this corpus, >= 1970).
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_date(cast(ts AS DATE)) div 7").cast("long").alias("wk"),
+        quant("value").alias("rev_q"),
+    )
+    c = p.groupBy("user_id").agg(F.min("wk").alias("cohort_w"))
+    sz = c.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("n_users"))
+    a = (
+        p.join(c, "user_id")
+        .groupBy("cohort_w", (F.col("wk") - F.col("cohort_w")).alias("age_w"))
+        .agg(F.sum("rev_q").alias("rev_q"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_w")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = a.withColumn("cum_q", F.sum("rev_q").over(wcum))
+    return (
+        cum.join(sz, "cohort_w")
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("cohort_w") * 7).cast("int"),
+            ).alias("cohort_week"),
+            F.col("age_w").cast("long").alias("age_w"),
+            "n_users",
+            F.round(F.col("cum_q").cast("double") / 10000.0, 4).alias(
+                "cum_rev"
+            ),
+            F.round(
+                F.col("cum_q").cast("double") / 10000.0 / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E18: new-vs-returning daily active split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_new_vs_returning",
+    oracle="WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) "
+    "AS day FROM events), "
+    "f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1) "
+    "SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active, "
+    "CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_new, "
+    "CAST(sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END) "
+    "AS BIGINT) AS n_returning, "
+    "round(CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) "
+    "AS DOUBLE) / count(*), 6) AS new_share "
+    "FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY 1 ORDER BY 1",
+    doc="New-vs-returning daily split (E18): each day's distinct "
+    "actives divided into first-seen-today and returning users — the "
+    "growth-accounting complement of E10's stickiness (DAU/WAU says "
+    "how often the base returns; this says whether today's DAU is "
+    "acquisition or retention, the first split any growth review "
+    "asks for, and the daily-grain companion of E15's cumulative "
+    "curve).  Scale: events collapse to DISTINCT (user, day) first "
+    "(the E10 pre-collapse — a power user is <=1 row/day), the "
+    "first-seen map is a per-user MIN over that slim frame (one "
+    "uniform user_id shuffle serving both the min and the join "
+    "back), and the day rollup is calendar-bounded.  All-integer "
+    "counts; one rounded ratio of identical operands.",
+)
+def q_evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(is_new).cast("long").alias("n_new"),
+            F.sum(1 - is_new).cast("long").alias("n_returning"),
+            F.round(
+                F.sum(is_new).cast("double") / F.count(F.lit(1)), 6
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )

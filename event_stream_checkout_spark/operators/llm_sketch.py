@@ -1,0 +1,445 @@
+"""LLM-data-pipeline operators, wave r10 (SURVEY.md §2.10 X54-X57).
+
+Sketch- and distribution-level corpus analytics: asymmetric
+containment dedup (the near-dup geometry symmetric Jaccard misses),
+Count-Min heavy-hitter detection (sublinear-memory frequency
+estimation, the 100 TB answer to "what are the hot tokens" when the
+vocabulary itself is too big to hold), per-source KL-divergence
+novelty (which sources' token distributions drift from the corpus),
+and per-label embedding-centroid drift (the vector-space analogue).
+
+Engine-exactness follows the repo-wide protocols: md5-derived
+buckets (portable to the DuckDB oracle), per-term 1e-6-quantized
+logs with fixed-point DECIMAL sums (the perplexity-family protocol,
+llm_retrieval.py module docstring), and 1e-3-lattice integer vector
+arithmetic with exact wide-integer dot products (the PCA/X52
+protocol — DECIMAL(38,0) on Spark, HUGEINT on DuckDB).
+
+Reference parity: the reference repo has no analytics engine at all
+(it delegates to MySQL — db/init_schema.sql); these operators belong
+to the driver-mandated LLM-training-data family, extending X2
+(near-dup), X4 (text analysis) and X3 (similarity) with the
+asymmetric / sketch-bounded variants production pipelines run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table, with_min_scan_parallelism
+
+# --------------------------------------------------------------------------
+# X54: asymmetric containment near-dup pairs
+# --------------------------------------------------------------------------
+
+_CONTAIN_DF_CAP = 10  # same skew guard as the Jaccard key
+_CONTAIN_MIN = 0.6
+
+
+@register(
+    "llm_containment_pairs",
+    oracle="WITH grams AS (SELECT d.doc_id, d.lang, "
+    "unnest(list_transform("
+    "generate_series(1, len(string_split(d.text, ' ')) - 2), "
+    "i -> string_split(d.text, ' ')[i] || ' ' || "
+    "string_split(d.text, ' ')[i + 1] || ' ' || "
+    "string_split(d.text, ' ')[i + 2])) AS gram "
+    "FROM documents d "
+    "WHERE len(string_split(d.text, ' ')) >= 3), "
+    "dg AS (SELECT DISTINCT doc_id, lang, gram FROM grams), "
+    "rare AS (SELECT gram, lang FROM dg GROUP BY 1, 2 "
+    f"HAVING count(*) <= {_CONTAIN_DF_CAP}), "
+    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (gram, lang)), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM dgc GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS n_common "
+    "FROM dgc a JOIN dgc b ON a.gram = b.gram AND a.lang = b.lang "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
+    "round(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 6) "
+    "AS containment "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) "
+    f">= {_CONTAIN_MIN}",
+    doc="Asymmetric containment near-dup pairs (X54, Broder's "
+    "containment coefficient): |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) "
+    "over word-3-gram shingle sets — the geometry symmetric Jaccard "
+    "(X2) structurally MISSES: a 100-word doc pasted verbatim inside "
+    "a 10 000-word doc has Jaccard ≈ 0.01 (diluted by the union) but "
+    "containment ≈ 1.0, and quote-embedding / boilerplate-wrapping / "
+    "page-concatenation duplication is exactly this shape.  "
+    "Consequently the pair space blocks on lang ONLY — a length "
+    "bucket (the Jaccard key's second blocking axis) would file the "
+    "short doc and its container in different blocks and veto every "
+    "true containment pair.  What bounds the join instead is the "
+    "same per-cell document-frequency cap as X2 (grams in > cap docs "
+    "drop BEFORE the self-join, output O(|grams|·cap) not O(B²) per "
+    "boilerplate gram), so the asymmetric variant inherits the "
+    "measured skew-safety of the symmetric one; sizes are counted "
+    "over the SAME capped gram space the intersection uses "
+    "(containment measured in a consistent universe).  One gram-"
+    "keyed shuffle, integer ratio, round 1e-6.",
+)
+def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_advanced import grams_df
+
+    dg = grams_df(spark, sf_dir).select("doc_id", "lang", "gram").distinct()
+    rare = (
+        dg.groupBy("gram", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("gram", "lang")
+    )
+    dgc = dg.join(rare, ["gram", "lang"])
+    sizes = dgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = dgc.alias("a"), dgc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= _CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X55: Count-Min heavy hitters with exact verification
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4    # independent hash rows
+_CM_WIDTH = 256  # buckets per row (2 hex chars of md5)
+_CM_PCT = 1      # report tokens estimated at >= 1% of the stream
+
+
+@register(
+    "llm_cm_heavy_hitters",
+    oracle="WITH toks AS (SELECT unnest(string_split(text, ' ')) "
+    "AS tok FROM documents), "
+    "vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1), "
+    "total AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab), "
+    "cells AS (SELECT s.seed, "
+    "substring(md5(CAST(s.seed AS VARCHAR) || ':' || v.tok), 1, 2) AS bucket, "
+    "CAST(sum(v.tf) AS BIGINT) AS c FROM vocab v, "
+    f"(SELECT unnest(range({_CM_DEPTH})) AS seed) s GROUP BY 1, 2), "
+    "est AS (SELECT v.tok, v.tf, min(c.c) AS est FROM vocab v "
+    "JOIN cells c ON c.bucket = substring(md5("
+    "CAST(c.seed AS VARCHAR) || ':' || v.tok), 1, 2) GROUP BY 1, 2) "
+    "SELECT e.tok, CAST(e.est AS BIGINT) AS est, e.tf, "
+    "CAST(e.est - e.tf AS BIGINT) AS overcount "
+    "FROM est e, total t "
+    f"WHERE e.est * {100 // _CM_PCT} >= t.n "
+    "ORDER BY e.est DESC, e.tok",
+    doc="Count-Min heavy hitters with exact verification (X55, "
+    "Cormode-Muthukrishnan): estimate every token's frequency from "
+    f"a {_CM_DEPTH}x{_CM_WIDTH} Count-Min sketch (per row, the "
+    "token's md5-derived bucket accumulates the row's counts; the "
+    "estimate is the MIN over rows — an upper bound that overcounts "
+    "only by colliding tails), surface tokens estimated at >= "
+    f"{_CM_PCT}% of the stream, and report the exact count beside "
+    "the estimate so the collision overcount is itself measured.  "
+    "THE sublinear-memory pattern for 100 TB frequency questions: "
+    "the sketch is O(depth·width) cells NO MATTER the corpus — "
+    "mergeable across partitions by addition (same algebra as the "
+    "HLL union, A5d), so map-side partials collapse each partition "
+    "to <= 1024 cells before the only wide shuffle; the candidate "
+    "set the exact-verify join touches is threshold-bounded (<= "
+    "100/pct tokens can clear a 1%-of-stream bound, pigeonhole), so "
+    "the expensive pass runs over a CONSTANT-sized frame.  Both "
+    "engines walk the identical integer protocol (md5 buckets, "
+    "integer sums, min, integer threshold compare est·100 >= N — no "
+    "division), so the sketch contents are bit-identical and the "
+    "driver hashes the production configuration.  Here the estimate "
+    "pass reuses the (tok, tf) collapse for the bucket sums — "
+    "identical cells, one pass fewer; the pure-sketch form never "
+    "materializes vocab.",
+)
+def q_llm_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    toks = d.select(F.explode(F.split("text", " ", -1)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+
+    def bucket(seed: int):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 2
+        )
+
+    cells = (
+        vocab.select(
+            "tf",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            bucket(s).alias("bucket"),
+                        )
+                        for s in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("sb"),
+        )
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    # est = min over the sketch rows this token hashes into; the
+    # sketch is <= depth*width rows — broadcast onto the vocab frame.
+    withb = vocab.select(
+        "tok", "tf", *[bucket(s).alias(f"b{s}") for s in range(_CM_DEPTH)]
+    )
+    est = withb
+    for s in range(_CM_DEPTH):
+        leg = cells.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"b{s}"), F.col("c").alias(f"c{s}")
+        )
+        est = est.join(F.broadcast(leg), f"b{s}")
+    est = est.select(
+        "tok",
+        "tf",
+        F.least(*[F.col(f"c{s}") for s in range(_CM_DEPTH)]).alias("est"),
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * (100 // _CM_PCT) >= F.col("n"))
+        .select(
+            "tok",
+            "est",
+            "tf",
+            (F.col("est") - F.col("tf")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), "tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# X57: per-source KL-divergence novelty
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_source_kl",
+    oracle="WITH toks AS (SELECT source, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tfs "
+    "FROM toks GROUP BY 1, 2), "
+    "vocab AS (SELECT tok, CAST(sum(tfs) AS BIGINT) AS tf "
+    "FROM st GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab), "
+    "ns AS (SELECT source, CAST(sum(tfs) AS BIGINT) AS n_toks "
+    "FROM st GROUP BY 1), "
+    "terms AS (SELECT st.source, st.tfs, "
+    "CAST(floor(ln((CAST(st.tfs AS DOUBLE) * t.n) / "
+    "(CAST(ns.n_toks AS DOUBLE) * v.tf)) * 1000000.0 + 0.5) "
+    "AS DECIMAL(25,0)) AS lq "
+    "FROM st JOIN vocab v ON st.tok = v.tok "
+    "JOIN ns ON st.source = ns.source CROSS JOIN tot t) "
+    "SELECT tm.source, ns.n_toks, "
+    "CAST(count(*) AS BIGINT) AS n_vocab, "
+    "round(CAST(sum(tm.tfs * tm.lq) AS DOUBLE) / 1000000.0 "
+    "/ ns.n_toks, 6) AS kl_nats "
+    "FROM terms tm JOIN ns ON tm.source = ns.source "
+    "GROUP BY 1, 2 ORDER BY 1",
+    doc="Per-source KL-divergence novelty (X57): for each source, "
+    "KL(p_source ‖ p_corpus) over the token distribution — "
+    "Σ_t p_s(t)·ln(p_s(t)/q(t)) in nats — the drift/novelty score "
+    "that ranks sources by how far their language deviates from the "
+    "corpus mixture.  The distribution-level complement of X31's "
+    "per-document perplexity (a source can contain individually "
+    "plausible documents whose AGGREGATE distribution is skewed — "
+    "machine-generated spam farms look exactly like this) and the "
+    "measurement DSIR-style importance resampling (X46) implicitly "
+    "optimizes.  Same engine-exact protocol as the perplexity "
+    "family: the ratio (tfs·N)/(Ns·tf) is an identical double "
+    "expression tree on both engines, its ln quantizes to the 1e-6 "
+    "lattice per TERM, per-source sums are exact fixed-point "
+    "DECIMAL (tfs·L products — order-independent), and one double "
+    "division chain at the end.  Scale: the token stream "
+    "pre-collapses to (source, token, tfs) — zipf head crosses the "
+    "token-keyed shuffle once per SOURCE — the corpus LM is "
+    "vocabulary-sized and JOINED on the token hash (never "
+    "broadcast), and the rollup is #sources rows.",
+)
+def q_llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    toks = d.select(
+        "source", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("tfs")
+    )
+    vocab = st.groupBy("tok").agg(F.sum("tfs").cast("long").alias("tf"))
+    tot = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    ns = st.groupBy("source").agg(
+        F.sum("tfs").cast("long").alias("n_toks")
+    )
+    ratio = (F.col("tfs").cast("double") * F.col("n")) / (
+        F.col("n_toks").cast("double") * F.col("tf")
+    )
+    lq = F.floor(F.log(ratio) * 1000000.0 + 0.5).cast("decimal(25,0)")
+    terms = (
+        st.join(vocab, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "tfs", "n_toks", lq.alias("lq"))
+    )
+    return (
+        terms.groupBy("source", "n_toks")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.round(
+                F.sum(F.col("tfs") * F.col("lq")).cast("double")
+                / 1000000.0
+                / F.col("n_toks"),
+                6,
+            ).alias("kl_nats"),
+        )
+        .select("source", "n_toks", "n_vocab", "kl_nats")
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# X56: per-label embedding centroid drift
+# --------------------------------------------------------------------------
+
+_CD_SCALE = 1000.0  # 1e-3 component lattice (the X50/X52 grain)
+
+
+@register(
+    "llm_centroid_drift",
+    oracle="WITH ex AS (SELECT e.vec_id, e.label, t.i - 1 AS dim, "
+    f"CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {_CD_SCALE} "
+    "+ 0.5) AS BIGINT) AS q "
+    "FROM embeddings e, "
+    "UNNEST(generate_series(1, len(e.embedding))) AS t(i)), "
+    "ls AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sl "
+    "FROM ex GROUP BY 1, 2), "
+    "nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs "
+    "FROM embeddings GROUP BY 1), "
+    "g AS (SELECT dim, CAST(sum(sl) AS BIGINT) AS sg FROM ls "
+    "GROUP BY 1), "
+    "gn AS (SELECT sum(CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) "
+    "AS ng2 FROM g), "
+    "dots AS (SELECT ls.label, "
+    "sum(CAST(ls.sl AS HUGEINT) * CAST(g.sg AS HUGEINT)) AS dot, "
+    "sum(CAST(ls.sl AS HUGEINT) * CAST(ls.sl AS HUGEINT)) AS nl2 "
+    "FROM ls JOIN g ON ls.dim = g.dim GROUP BY 1) "
+    "SELECT d.label, nv.n_vecs, "
+    "round(CAST(d.dot AS DOUBLE) / "
+    "(sqrt(CAST(d.nl2 AS DOUBLE)) * sqrt(CAST(gn.ng2 AS DOUBLE))), 6) "
+    "AS cos_to_global, "
+    f"round(sqrt(CAST(d.nl2 AS DOUBLE)) / nv.n_vecs / {_CD_SCALE}, 6) "
+    "AS centroid_norm "
+    "FROM dots d JOIN nv ON d.label = nv.label, gn ORDER BY 1",
+    doc="Per-label embedding centroid drift (X56): each label "
+    "cluster's mean vector compared to the corpus mean by cosine, "
+    "plus the centroid's own norm — the vector-space analogue of "
+    "X57's distributional KL (a label whose centroid swings away "
+    "from the global mean is a subpopulation drifting in embedding "
+    "space — the monitoring probe for embedding-model upgrades and "
+    "for V2-style drift at the representation layer; a centroid "
+    "norm near zero means the label's vectors cancel — an "
+    "incoherent, likely mislabeled cluster).  Cosine is "
+    "SCALE-INVARIANT, so mean vectors never materialize: cos(Σx/n, "
+    "ΣX/N) = cos(Σx, ΣX), and the whole comparison runs on per-"
+    "(label, dim) SUMS of 1e-3-lattice quantized components (the "
+    "X50/X52 grain) — exact integers, with the global sums derived "
+    "from the label sums (one corpus pass total).  Dot products "
+    "widen to HUGEINT/DECIMAL(38,0) in-expression (the X52 "
+    "protocol: a 100 TB corpus's component sums are ~1e15 units, "
+    "their products ~1e30 — exact in 38 digits, overflowing "
+    "BIGINT), and the two sqrt/division steps at the end are "
+    "identical doubles of exact operands.  Scale: the explode is "
+    "scan-local with map-side partials onto a (labels × 64)-row "
+    "frame; everything downstream is label-count-sized.",
+)
+def q_llm_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+    ex = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _CD_SCALE + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    ls = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("sl")
+    )
+    nv = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    g = ls.groupBy("dim").agg(F.sum("sl").cast("long").alias("sg"))
+    wide = "decimal(38,0)"
+    gn = g.agg(
+        F.sum(F.col("sg").cast(wide) * F.col("sg").cast(wide)).alias("ng2")
+    )
+    dots = (
+        ls.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sl").cast(wide) * F.col("sg").cast(wide)).alias(
+                "dot"
+            ),
+            F.sum(F.col("sl").cast(wide) * F.col("sl").cast(wide)).alias(
+                "nl2"
+            ),
+        )
+    )
+    return (
+        dots.join(F.broadcast(nv), "label")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nl2").cast("double"))
+                    * F.sqrt(F.col("ng2").cast("double"))
+                ),
+                6,
+            ).alias("cos_to_global"),
+            F.round(
+                F.sqrt(F.col("nl2").cast("double"))
+                / F.col("n_vecs")
+                / _CD_SCALE,
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

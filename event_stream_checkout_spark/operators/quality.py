@@ -843,3 +843,108 @@ def q_dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# V8: order <-> lineitem financial reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_order_reconciliation",
+    oracle="WITH ls AS (SELECT l_orderkey, "
+    "CAST(count(*) AS BIGINT) AS n_lines, "
+    "SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * "
+    "(1.0 + l_tax) * 10000.0 + 0.5) AS DECIMAL(25,0))) AS line_q "
+    "FROM lineitem GROUP BY 1), "
+    "j AS (SELECT o.o_orderstatus, o.o_orderkey, ls.n_lines, "
+    "CAST(floor(o.o_totalprice * 10000.0 + 0.5) AS DECIMAL(25,0)) "
+    "AS total_q, ls.line_q "
+    "FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey) "
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_no_lines, "
+    "CAST(sum(CASE WHEN n_lines IS NOT NULL AND "
+    "abs(CAST(total_q - line_q AS DOUBLE)) > CAST(total_q AS DOUBLE) * 0.01 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_gt_1pct, "
+    "round(CAST(max(CASE WHEN n_lines IS NOT NULL "
+    "THEN abs(total_q - line_q) END) AS DOUBLE) / 10000.0, 4) "
+    "AS max_abs_drift, "
+    "round(CAST(sum(CASE WHEN n_lines IS NOT NULL "
+    "THEN total_q - line_q ELSE 0 END) AS DOUBLE) / 10000.0, 4) "
+    "AS net_drift "
+    "FROM j GROUP BY 1 ORDER BY 1",
+    doc="Order/lineitem financial reconciliation (V8): per order "
+    "status, how many header totals disagree with the recomputed "
+    "sum of their lines (extendedprice x (1-discount) x (1+tax)), "
+    "plus headers with no lines at all, the worst absolute drift, "
+    "and the signed net drift — the close-of-books audit that "
+    "catches partial writes, double-applied discounts, and lost "
+    "line batches that per-table checks (V6 counts orphan KEYS; "
+    "this reconciles AMOUNTS) cannot see.  Engine-exact by the "
+    "repo's fixed-point money policy: the per-line expression tree "
+    "is identical double IEEE ops on both engines, each line "
+    "quantizes to 1e-4 units BEFORE the sum (functions/numeric.py), "
+    "drifts are integer differences, and the 1% threshold compares "
+    "against the exact header quantity.  Scale: ONE lineitem scan "
+    "pre-collapsed to per-order (count, sum) with map-side partials "
+    "before the uniform o_orderkey join; the status rollup is "
+    "3 groups.  The left join keeps headerless detection free.",
+)
+def q_dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import quant
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_line = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    ls = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(quant(per_line)).alias("line_q"),
+    )
+    j = o.join(
+        ls, o["o_orderkey"] == ls["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        "n_lines",
+        quant("o_totalprice").alias("total_q"),
+        "line_q",
+    )
+    has_lines = F.col("n_lines").isNotNull()
+    drift = F.col("total_q") - F.col("line_q")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(has_lines, 0).otherwise(1))
+            .cast("long")
+            .alias("n_no_lines"),
+            F.sum(
+                F.when(
+                    has_lines
+                    & (
+                        F.abs(drift.cast("double"))
+                        > F.col("total_q").cast("double") * 0.01
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_drift_gt_1pct"),
+            F.round(
+                F.max(F.when(has_lines, F.abs(drift))).cast("double")
+                / 10000.0,
+                4,
+            ).alias("max_abs_drift"),
+            F.round(
+                F.sum(F.when(has_lines, drift).otherwise(F.lit(0)))
+                .cast("double")
+                / 10000.0,
+                4,
+            ).alias("net_drift"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -169,6 +169,7 @@ def load_all() -> dict[str, Query]:
         llm_ingest,
         llm_prep,
         llm_retrieval,
+        llm_sketch,
         multimodal,
         quality,
         relational,
