@@ -139,6 +139,17 @@ QUERIES = [
     "dq_pk_uniqueness",          # r9: key-tuple groupBy per table
     "llm_pca_projection_topk",   # r9: scan-local fold vs learned direction
     "agg_revenue_concentration", # r9: fact collapse + bucketed-rank Gini
+    "llm_pca_components",        # r10: deflation on the memoized moments
+    "llm_pca_residual_topk",     # r10: k-direction scan-local residual fold
+    "evt_ewma_long",             # r10: the chunk-and-carry branch under grade
+    "llm_containment_pairs",     # r10: lang-blocked df-capped gram self-join
+    "llm_cm_heavy_hitters",      # r10: 1024-cell sketch, broadcast legs
+    "llm_source_kl",             # r10: (source,tok) collapse + vocab join
+    "llm_centroid_drift",        # r10: scan-local explode to (label,dim) sums
+    "evt_session_duration",      # r10: sessionize + bucketed per-day rank
+    "evt_cohort_ltv",            # r10: (cohort,age) collapse + week² window
+    "evt_new_vs_returning",      # r10: distinct user-day + first-seen map
+    "dq_order_reconciliation",   # r10: per-order collapse + header left join
 ]
 
 
