@@ -1545,3 +1545,194 @@ def q_evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# E19: inactivity (churn-risk) distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_churn_risk",
+    oracle="WITH u AS (SELECT user_id, "
+    "max(CAST(ts AS DATE) - DATE '1970-01-01') AS led "
+    "FROM events GROUP BY 1), "
+    "wm AS (SELECT max(led) AS m FROM u), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u), "
+    "g AS (SELECT CAST(wm.m - u.led AS BIGINT) AS days_inactive, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM u, wm GROUP BY 1) "
+    "SELECT g.days_inactive, g.n_users, "
+    "round(CAST(g.n_users AS DOUBLE) / t.n_total, 6) AS user_share, "
+    "CAST(sum(g.n_users) OVER (ORDER BY g.days_inactive "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users, "
+    "round(CAST(sum(g.n_users) OVER (ORDER BY g.days_inactive "
+    "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.n_total, 6) AS cum_share "
+    "FROM g, t ORDER BY 1",
+    doc="Inactivity distribution (E19): users bucketed by days since "
+    "their last event, against the corpus watermark — the churn-risk "
+    "curve (cum_share at day d answers 'what fraction of the base "
+    "has been silent ≤ d days'; the complement at the team's "
+    "churn threshold is the at-risk mass).  E18 splits a DAY into "
+    "new vs returning; this splits the USER BASE by recency — "
+    "together they are the two halves of growth accounting.  Day "
+    "arithmetic is integer epoch days (engine-neutral).  Scale: one "
+    "per-user MAX collapse (uniform user_id shuffle), a 1-row "
+    "watermark broadcast, then a calendar-bounded rollup — the "
+    "cumulative window runs over at most span-many rows.",
+)
+def q_evt_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.unix_date(F.col("ts").cast("date")).cast("long")).alias("led")
+    )
+    wm = u.agg(F.max("led").alias("m"))
+    t = u.agg(F.count(F.lit(1)).alias("n_total"))
+    g = (
+        u.crossJoin(F.broadcast(wm))
+        .groupBy((F.col("m") - F.col("led")).cast("long").alias("days_inactive"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wcum = Window.orderBy("days_inactive").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "days_inactive",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("n_total"), 6).alias(
+                "user_share"
+            ),
+            F.sum("n_users").over(wcum).cast("long").alias("cum_users"),
+            F.round(
+                F.sum("n_users").over(wcum).cast("double") / F.col("n_total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("days_inactive")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E20: day-of-week × hour traffic profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_traffic_profile",
+    oracle="WITH b AS (SELECT "
+    "CAST(((CAST(ts AS DATE) - DATE '1970-01-01') + 3) % 7 + 1 AS BIGINT) "
+    "AS dow, CAST(hour(ts) AS BIGINT) AS hr FROM events), "
+    "g AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n FROM b "
+    "GROUP BY 1, 2) "
+    "SELECT dow, hr, n, "
+    "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY dow), 6) "
+    "AS dow_share "
+    "FROM g ORDER BY 1, 2",
+    doc="Traffic profile (E20): event volume by ISO day-of-week × "
+    "hour with each cell's share of its weekday — the seasonality "
+    "heatmap capacity planning and anomaly baselines start from "
+    "(E6's z-score flags a day AGAINST this shape; this is the "
+    "shape).  Weekday is pure integer arithmetic on epoch days "
+    "((ed+3) mod 7 + 1 — 1970-01-01 was a Thursday), never a "
+    "locale-dependent dayofweek(); the hour comes off the NTZ "
+    "timestamp identically on both engines.  Scale: one scan "
+    "collapsing straight to ≤168 cells with map-side partials; the "
+    "share window runs over 24-row weekday partitions.",
+)
+def q_evt_traffic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        (
+            (F.unix_date(F.col("ts").cast("date")).cast("long") + F.lit(3))
+            % F.lit(7)
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    g = b.groupBy("dow", "hr").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("dow")
+    return g.select(
+        "dow",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wd), 6).alias(
+            "dow_share"
+        ),
+    ).orderBy("dow", "hr")
+
+
+# ---------------------------------------------------------------------------
+# E21: power-user concentration deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_power_users",
+    oracle="WITH pv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(cnt) AS BIGINT) AS n_events FROM pv), "
+    "r AS (SELECT user_id, cnt, row_number() OVER "
+    "(ORDER BY cnt DESC, user_id) AS pos FROM pv), "
+    "d AS (SELECT CAST(((pos - 1) * 10) // t.n_users AS BIGINT) "
+    "AS decile, cnt FROM r, t), "
+    "g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(cnt) AS BIGINT) AS events FROM d GROUP BY 1) "
+    "SELECT g.decile, g.n_users, g.events, "
+    "round(CAST(g.events AS DOUBLE) / t.n_events, 6) AS event_share, "
+    "round(CAST(sum(g.events) OVER (ORDER BY g.decile "
+    "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.n_events, 6) "
+    "AS cum_event_share "
+    "FROM g, t ORDER BY 1",
+    doc="Power-user deciles (E21): users ranked by activity and cut "
+    "into tenths; each decile's share and cumulative share of total "
+    "events — the concentration TABLE behind E13's Gini scalar (the "
+    "'top decile is 40% of traffic' statement product reviews "
+    "actually quote; a scalar can't say which decile).  Decile id "
+    "is exact integer arithmetic on the global rank — "
+    "((pos-1)*10) div n — not ntile, whose remainder-distribution "
+    "convention would have to be trusted across engines.  Scale: "
+    "the global rank is the TWO-PASS bucketed rank (quantile_"
+    "bucketed sampled boundaries + rank_from_buckets per-bucket "
+    "row_number — the O1 machinery), so no single-partition sort "
+    "window ever sees the user frame; everything after is a "
+    "10-row rollup.",
+)
+def q_evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import quantile_bucketed, rank_from_buckets
+
+    e = load_table(spark, sf_dir, "events")
+    pv = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = pv.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+    bucketed = quantile_bucketed(pv, "cnt", nb=32)
+    ranked = rank_from_buckets(
+        bucketed, [F.col("cnt").desc(), F.col("user_id")]
+    )
+    d = ranked.crossJoin(F.broadcast(t)).select(
+        F.expr("((pos - 1) * 10) div n_users").cast("long").alias("decile"),
+        "cnt",
+        "n_events",
+    )
+    g = d.groupBy("decile", "n_events").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").cast("long").alias("events"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "decile",
+        "n_users",
+        "events",
+        F.round(F.col("events").cast("double") / F.col("n_events"), 6).alias(
+            "event_share"
+        ),
+        F.round(
+            F.sum("events").over(wcum).cast("double") / F.col("n_events"), 6
+        ).alias("cum_event_share"),
+    ).orderBy("decile")

@@ -948,3 +948,154 @@ def q_dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# V9: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_SHARE_SQL = "log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))"
+
+
+@register(
+    "dq_benford",
+    oracle="WITH q AS (SELECT CAST(floor(o_totalprice * 10000.0 + 0.5) "
+    "AS BIGINT) AS qp FROM orders), "
+    "d AS (SELECT CAST(substr(CAST(qp AS VARCHAR), 1, 1) AS BIGINT) "
+    "AS digit FROM q), "
+    "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d) "
+    "SELECT g.digit, g.n, "
+    "round(CAST(g.n AS DOUBLE) / t.n_total, 6) AS obs_share, "
+    f"round({_BENFORD_SHARE_SQL}, 6) AS benford_share, "
+    f"round(pow(CAST(g.n AS DOUBLE) - CAST(t.n_total AS DOUBLE) * "
+    f"{_BENFORD_SHARE_SQL}, 2) / (CAST(t.n_total AS DOUBLE) * "
+    f"{_BENFORD_SHARE_SQL}), 6) AS chi2_term "
+    "FROM g, t ORDER BY 1",
+    doc="Benford first-digit audit (V9): the distribution of the "
+    "first significant digit of order totals against Benford's law — "
+    "the classic fabricated-amounts screen (hand-typed or generated "
+    "money values over-represent low leading digits differently than "
+    "organic multiplicative processes; auditors chi-square the gap). "
+    "The digit comes from the INTEGER quantized amount (the repo "
+    "money policy: floor(x*1e4+0.5) as BIGINT, then the first "
+    "character of the integer's decimal string) — never from "
+    "formatting a double, whose shortest-representation rendering "
+    "differs between engines.  Expected shares and chi-square terms "
+    "are identical double expression trees on both engines, rounded "
+    "1e-6.  Scale: one scan, one 9-group aggregate, a 1-row total "
+    "broadcast — O(1) output at any corpus size.",
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    g = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = o.agg(F.count(F.lit(1)).alias("n_total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    e = F.col("n_total").cast("double") * p
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "obs_share"
+            ),
+            F.round(p, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n").cast("double") - e, F.lit(2.0)) / e, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V10: calendar-continuity audit (missing days / max gap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_calendar_gaps",
+    oracle="WITH d AS ("
+    "SELECT DISTINCT 'events' AS table_name, CAST(ts AS DATE) AS day "
+    "FROM events "
+    "UNION ALL "
+    "SELECT DISTINCT 'orders', CAST(o_orderdate AS DATE) FROM orders), "
+    "e AS (SELECT table_name, day, day - DATE '1970-01-01' AS ed FROM d), "
+    "g AS (SELECT table_name, day, ed, "
+    "ed - lag(ed) OVER (PARTITION BY table_name ORDER BY ed) - 1 AS gap "
+    "FROM e) "
+    "SELECT table_name, min(day) AS first_day, max(day) AS last_day, "
+    "CAST(max(ed) - min(ed) + 1 AS BIGINT) AS span_days, "
+    "CAST(count(*) AS BIGINT) AS present_days, "
+    "CAST(max(ed) - min(ed) + 1 - count(*) AS BIGINT) AS missing_days, "
+    "CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days "
+    "FROM g GROUP BY 1 ORDER BY 1",
+    doc="Calendar-continuity audit (V10): for each time-bearing "
+    "table, the span of its day domain, how many days actually have "
+    "rows, and the longest run of silent days — the "
+    "ingest-went-dark detector (a lost day of events keeps every "
+    "row-level constraint green; only the calendar notices).  Day "
+    "arithmetic is integer epoch days on both engines (no datediff "
+    "on timestamps, whose boundary conventions differ).  Scale: "
+    "each table collapses to DISTINCT (table, day) at the scan — "
+    "the gap window then runs over calendar-bounded frames (a "
+    "decade is ~3 653 rows per table) partitioned by table, so no "
+    "corpus-sized data ever reaches a window; output is one row "
+    "per audited table.",
+)
+def q_dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.lit("events").alias("table_name"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    d = ev.unionAll(od).withColumn(
+        "ed", F.unix_date(F.col("day")).cast("long")
+    )
+    w = Window.partitionBy("table_name").orderBy("ed")
+    g = d.withColumn(
+        "gap", F.col("ed") - F.lag("ed").over(w) - F.lit(1)
+    )
+    return (
+        g.groupBy("table_name")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            (F.max("ed") - F.min("ed") + F.lit(1))
+            .cast("long")
+            .alias("span_days"),
+            F.count(F.lit(1)).alias("present_days"),
+            (F.max("ed") - F.min("ed") + F.lit(1) - F.count(F.lit(1)))
+            .cast("long")
+            .alias("missing_days"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+                "max_gap_days"
+            ),
+        )
+        .orderBy("table_name")
+    )

@@ -1,0 +1,196 @@
+"""Relational surface, wave 10: the two classic decision-support
+shapes relational7/8 left on the table — Q3 (shipping-priority top-k
+over the customer→orders→lineitem chain) and Q5 (local-supplier
+volume, the nation-equality join between the customer and supplier
+legs).  With these the driver star schema has a graded key for every
+TPC-H access pattern it can express.
+
+Like relational8, these extend the reference's order-verification
+analytics (/root/reference/src/order_processor/check_db.py:33-43) to
+the revenue questions the same star schema answers.
+
+Cross-engine policy (unchanged): money reductions ride the dsum
+fixed-point policy (functions/numeric.py); top-k orders sort on the
+EXACT integer quantized sum with a unique-key tiebreak, never on the
+rescaled double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import quant, sql_quant
+from ..registry import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+_REVENUE = "l.l_extendedprice * (1 - l.l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# J16: shipping-priority top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "TIMESTAMP '1998-06-01 00:00:00'"
+
+
+@register(
+    "join_shipping_priority",
+    oracle="SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
+    f"round(CAST(sum({sql_quant(_REVENUE)}) AS DOUBLE) / 10000.0, 4) "
+    "AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    f"WHERE c.c_mktsegment = '{_Q3_SEGMENT}' "
+    f"AND o.o_orderdate < {_Q3_DATE} AND l.l_shipdate > {_Q3_DATE} "
+    "GROUP BY 1, 2, 3 "
+    f"ORDER BY sum({sql_quant(_REVENUE)}) DESC, l.l_orderkey LIMIT 10",
+    doc="Shipping-priority top-k (J16, TPC-H Q3 shape): the 10 "
+    "highest-revenue orders from one market segment that were placed "
+    "before the anchor date but still have lines shipping after it — "
+    "the unshipped-backlog triage query.  Plan: both date predicates "
+    "push to the parquet scans (orders and lineitem each arrive "
+    "pre-pruned); the segment predicate prunes customer to ~1/5 "
+    "before its join — customer GROWS with SF so the join carries no "
+    "broadcast hint (AQE owns the strategy, degrading to shuffle "
+    "when the segment leg outgrows the threshold); the only "
+    "guaranteed shuffle is lineitem→orders on the natural orderkey. "
+    "The top-k orders on the EXACT quantized integer revenue with "
+    "the orderkey tiebreak (TakeOrderedAndProject — no global sort "
+    "materializes), and only the final projection rescales to "
+    "double.",
+)
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.expr(_Q3_DATE))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (  # noqa: E741
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.expr(_Q3_DATE))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(quant(_rev())).alias("_rq"))
+        .orderBy(F.col("_rq").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("_rq").cast("double") / 10000.0, 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A29: local-supplier volume (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_START = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q5_END = "TIMESTAMP '1997-01-01 00:00:00'"
+
+
+@register(
+    "agg_local_supplier_volume",
+    oracle="SELECT n.n_name, "
+    f"round(CAST(sum({sql_quant(_REVENUE)}) AS DOUBLE) / 10000.0, 4) "
+    "AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    f"WHERE r.r_name = '{_Q5_REGION}' "
+    f"AND o.o_orderdate >= {_Q5_START} AND o.o_orderdate < {_Q5_END} "
+    "GROUP BY 1 "
+    f"ORDER BY sum({sql_quant(_REVENUE)}) DESC, n.n_name",
+    doc="Local-supplier volume (A29, TPC-H Q5 shape): revenue per "
+    "nation in one region and year, counting ONLY lines where the "
+    "supplier and the ordering customer share the nation — the "
+    "domestic-fulfilment slice, and the one classic shape whose join "
+    "graph is cyclic (the c_nationkey = s_nationkey edge closes the "
+    "customer and supplier legs into a cycle Catalyst must plan "
+    "around).  Plan: region→nation is a 2-level bounded-dim chain "
+    "(broadcast hinted, ≤25 rows at any SF) that prunes supplier to "
+    "the region's nations BEFORE the fact joins; the year predicate "
+    "pushes to the orders scan; orders⋈customer shuffles on custkey, "
+    "then lineitem joins on the natural orderkey and the supplier "
+    "probe carries the nation-equality edge as part of its join "
+    "condition — the cycle resolves as a join predicate, never a "
+    "post-join filter over the cross product.  Supplier and the "
+    "segment-pruned customer GROW with SF, so their joins carry no "
+    "hint (AQE owns them).  25-row output, deterministic order on "
+    "the exact integer revenue.",
+)
+def q_agg_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr(_Q5_START))
+            & (F.col("o_orderdate") < F.expr(_Q5_END))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (  # noqa: E741
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(quant(_rev())).alias("_rq"))
+        .orderBy(F.col("_rq").desc(), F.col("n_name"))
+        .select(
+            "n_name",
+            F.round(F.col("_rq").cast("double") / 10000.0, 4).alias("revenue"),
+        )
+    )

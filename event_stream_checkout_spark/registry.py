@@ -180,6 +180,7 @@ def load_all() -> dict[str, Query]:
         relational6,
         relational7,
         relational8,
+        relational9,
         scalar_fns,
         streaming_analogues,
         windows,

@@ -1,0 +1,320 @@
+"""Wave-10b semantics: Q3 predicate/top-k geometry, Q5's
+nation-equality join edge, Benford digit extraction from the
+quantized integer, calendar-gap detection, churn-recency rollup,
+engine-neutral weekday arithmetic, and exact decile arithmetic —
+crafted inputs with hand-computed answers.  Oracle parity
+(tests/test_parity.py) pins cross-engine equality; these pin the
+SEMANTIC claims the docstrings make.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime, timedelta
+
+import pandas as pd
+
+from event_stream_checkout_spark.operators.events_analytics import (
+    q_evt_churn_risk,
+    q_evt_power_users,
+    q_evt_traffic_profile,
+)
+from event_stream_checkout_spark.operators.quality import (
+    q_dq_benford,
+    q_dq_calendar_gaps,
+)
+from event_stream_checkout_spark.operators.relational9 import (
+    q_agg_local_supplier_volume,
+    q_join_shipping_priority,
+)
+
+EV_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _write(tmp_path, tables, sf="sfx"):
+    sf_dir = str(tmp_path / sf)
+    os.makedirs(sf_dir, exist_ok=True)
+    for name, pdf in tables.items():
+        pdf = pdf.copy()
+        for col in pdf.columns:
+            if pd.api.types.is_datetime64_any_dtype(pdf[col]):
+                pdf[col] = pdf[col].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return sf_dir
+
+
+# ---------------------------------------------------------------------------
+# J16: Q3 shape — segment + both date predicates + exact top-k revenue
+# ---------------------------------------------------------------------------
+
+
+def test_shipping_priority_predicates_and_revenue(spark, tmp_path):
+    anchor = datetime(1998, 6, 1)
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            # 11 is AFTER the anchor (excluded); 12 is the wrong segment
+            "o_orderdate": [
+                anchor - timedelta(days=30),
+                anchor + timedelta(days=1),
+                anchor - timedelta(days=30),
+            ],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [10, 10, 10, 11, 12],
+            "l_partkey": [1] * 5,
+            "l_suppkey": [1] * 5,
+            "l_linenumber": [1, 2, 3, 1, 1],
+            "l_quantity": [1.0] * 5,
+            "l_extendedprice": [100.0, 50.0, 999.0, 10.0, 10.0],
+            "l_discount": [0.1, 0.0, 0.0, 0.0, 0.0],
+            "l_tax": [0.0] * 5,
+            "l_returnflag": ["N"] * 5,
+            "l_linestatus": ["O"] * 5,
+            # third line of order 10 shipped BEFORE the anchor: excluded
+            "l_shipdate": [
+                anchor + timedelta(days=5),
+                anchor + timedelta(days=9),
+                anchor - timedelta(days=5),
+                anchor + timedelta(days=5),
+                anchor + timedelta(days=5),
+            ],
+        }
+    )
+    sf = _write(
+        tmp_path, {"customer": customer, "orders": orders, "lineitem": lineitem}
+    )
+    got = q_join_shipping_priority(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["l_orderkey"] == 10
+    assert r["o_orderpriority"] == "1-URGENT"
+    # 100*(1-0.1) + 50 = 140; the pre-anchor line never contributes
+    assert abs(r["revenue"] - 140.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# A29: Q5 shape — the c_nationkey = s_nationkey edge is a JOIN condition
+# ---------------------------------------------------------------------------
+
+
+def test_local_supplier_volume_nation_edge(spark, tmp_path):
+    region = pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [1, 2],
+            "n_name": ["N_ASIA", "N_EUR"],
+            "n_regionkey": [0, 1],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [100, 200],
+            "s_name": ["s1", "s2"],
+            "s_nationkey": [1, 2],
+            "s_acctbal": [0.0, 0.0],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [1, 2],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING"] * 2,
+        }
+    )
+    d96 = datetime(1996, 5, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 20],
+            "o_custkey": [1, 2],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 1.0],
+            "o_orderdate": [d96, d96],
+            "o_orderpriority": ["1-URGENT"] * 2,
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            # o10/c1(N1): line via s1(N1) counts, line via s2(N2) doesn't;
+            # o20/c2(N2): line via s1(N1) fails BOTH the nation edge and
+            # the region prune — never reaches the aggregate.
+            "l_orderkey": [10, 10, 20],
+            "l_partkey": [1] * 3,
+            "l_suppkey": [100, 200, 100],
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0] * 3,
+            "l_extendedprice": [100.0, 77.0, 55.0],
+            "l_discount": [0.1, 0.0, 0.0],
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": [d96] * 3,
+        }
+    )
+    sf = _write(
+        tmp_path,
+        {
+            "region": region,
+            "nation": nation,
+            "supplier": supplier,
+            "customer": customer,
+            "orders": orders,
+            "lineitem": lineitem,
+        },
+    )
+    got = q_agg_local_supplier_volume(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0]["n_name"] == "N_ASIA"
+    assert abs(got[0]["revenue"] - 90.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# V9: first digit comes from the quantized integer, not double formatting
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction(spark, tmp_path):
+    # quantized: 10000, 100000, 199900, 20000, 250000, 3000000
+    # first digits: 1, 1, 1, 2, 2, 3
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(6)),
+            "o_custkey": [1] * 6,
+            "o_orderstatus": ["O"] * 6,
+            "o_totalprice": [1.0, 10.0, 19.99, 2.0, 25.0, 300.0],
+            "o_orderdate": [datetime(2024, 1, 1)] * 6,
+            "o_orderpriority": ["1-URGENT"] * 6,
+        }
+    )
+    sf = _write(tmp_path, {"orders": orders})
+    got = {r["digit"]: r for r in q_dq_benford(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n"] == 3 and got[2]["n"] == 2 and got[3]["n"] == 1
+    assert abs(got[1]["obs_share"] - 0.5) < 1e-9
+    assert abs(got[1]["benford_share"] - round(math.log10(2.0), 6)) < 1e-12
+    # chi2 term for digit 1: (3 - 6*log10(2))^2 / (6*log10(2))
+    e1 = 6 * math.log10(2.0)
+    assert abs(got[1]["chi2_term"] - round((3 - e1) ** 2 / e1, 6)) < 1e-9
+    assert all(r["chi2_term"] >= 0 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# V10: gap arithmetic — missing days and the longest silent run
+# ---------------------------------------------------------------------------
+
+
+def test_calendar_gaps_span_and_max_gap(spark, tmp_path):
+    d = lambda off, h=9: datetime(2024, 3, 1 + off, h)
+    events = pd.DataFrame(
+        # days 1, 2, 5 of March: missing 3-4 → missing=2, max_gap=2
+        [(i, ts, 1, "view", 1.0, "{}") for i, ts in enumerate(
+            [d(0), d(0, 15), d(1), d(4)]
+        )],
+        columns=EV_COLS,
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [1, 1],
+            "o_orderstatus": ["O"] * 2,
+            "o_totalprice": [1.0] * 2,
+            "o_orderdate": [datetime(2024, 4, 1), datetime(2024, 4, 2)],
+            "o_orderpriority": ["1-URGENT"] * 2,
+        }
+    )
+    sf = _write(tmp_path, {"events": events, "orders": orders})
+    got = {r["table_name"]: r for r in q_dq_calendar_gaps(spark, sf).collect()}
+    ev = got["events"]
+    assert ev["first_day"] == date(2024, 3, 1)
+    assert ev["last_day"] == date(2024, 3, 5)
+    assert (ev["span_days"], ev["present_days"]) == (5, 3)
+    assert (ev["missing_days"], ev["max_gap_days"]) == (2, 2)
+    od = got["orders"]
+    assert (od["span_days"], od["missing_days"], od["max_gap_days"]) == (2, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# E19: recency rollup against the corpus watermark
+# ---------------------------------------------------------------------------
+
+
+def test_churn_risk_recency_buckets(spark, tmp_path):
+    d = lambda off, h=9: datetime(2024, 5, 10 + off, h)
+    rows = [
+        (0, d(0), 1, "view", 1.0, "{}"),    # u1 last seen at watermark
+        (1, d(-7), 1, "view", 1.0, "{}"),   # earlier event ignored by MAX
+        (2, d(0), 2, "view", 1.0, "{}"),    # u2 at watermark
+        (3, d(-3), 3, "view", 1.0, "{}"),   # u3 three days silent
+    ]
+    sf = _write(tmp_path, {"events": pd.DataFrame(rows, columns=EV_COLS)})
+    got = {r["days_inactive"]: r for r in q_evt_churn_risk(spark, sf).collect()}
+    assert set(got) == {0, 3}
+    assert got[0]["n_users"] == 2 and got[3]["n_users"] == 1
+    assert got[0]["cum_users"] == 2 and got[3]["cum_users"] == 3
+    assert abs(got[3]["cum_share"] - 1.0) < 1e-9
+    assert abs(got[0]["user_share"] - round(2 / 3, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# E20: weekday arithmetic is epoch-based (1970-01-01 → Thursday = ISO 4)
+# ---------------------------------------------------------------------------
+
+
+def test_traffic_profile_weekday_and_share(spark, tmp_path):
+    rows = [
+        (0, datetime(1970, 1, 1, 5), 1, "view", 1.0, "{}"),   # Thu 05
+        (1, datetime(1970, 1, 1, 5), 2, "view", 1.0, "{}"),   # Thu 05
+        (2, datetime(1970, 1, 1, 7), 1, "view", 1.0, "{}"),   # Thu 07
+        (3, datetime(1970, 1, 5, 23), 1, "view", 1.0, "{}"),  # Mon 23
+    ]
+    sf = _write(tmp_path, {"events": pd.DataFrame(rows, columns=EV_COLS)})
+    got = {(r["dow"], r["hr"]): r for r in q_evt_traffic_profile(
+        spark, sf
+    ).collect()}
+    assert set(got) == {(4, 5), (4, 7), (1, 23)}
+    assert got[(4, 5)]["n"] == 2
+    assert abs(got[(4, 5)]["dow_share"] - round(2 / 3, 6)) < 1e-9
+    assert abs(got[(1, 23)]["dow_share"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# E21: exact decile arithmetic on the two-pass rank
+# ---------------------------------------------------------------------------
+
+
+def test_power_users_exact_deciles(spark, tmp_path):
+    # 10 users with 10, 9, ..., 1 events → one user per decile,
+    # decile 0 = the 10-event user; total 55 events.
+    rows = []
+    eid = 0
+    for u in range(10):
+        for _ in range(10 - u):
+            rows.append((eid, datetime(2024, 5, 1, 9), u, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write(tmp_path, {"events": pd.DataFrame(rows, columns=EV_COLS)})
+    got = q_evt_power_users(spark, sf).collect()
+    assert [r["decile"] for r in got] == list(range(10))
+    assert all(r["n_users"] == 1 for r in got)
+    assert [r["events"] for r in got] == list(range(10, 0, -1))
+    assert abs(got[0]["event_share"] - round(10 / 55, 6)) < 1e-9
+    assert abs(got[-1]["cum_event_share"] - 1.0) < 1e-9

@@ -150,6 +150,13 @@ QUERIES = [
     "evt_cohort_ltv",            # r10: (cohort,age) collapse + week² window
     "evt_new_vs_returning",      # r10: distinct user-day + first-seen map
     "dq_order_reconciliation",   # r10: per-order collapse + header left join
+    "join_shipping_priority",    # r10b: Q3 — pruned scans + TakeOrdered
+    "agg_local_supplier_volume", # r10b: Q5 — cyclic nation edge as join cond
+    "dq_benford",                # r10b: 9-group digit agg + 1-row broadcast
+    "dq_calendar_gaps",          # r10b: distinct-day collapse + gap window
+    "evt_churn_risk",            # r10b: per-user MAX + watermark broadcast
+    "evt_traffic_profile",       # r10b: ≤168-cell rollup, map-side partials
+    "evt_power_users",           # r10b: two-pass bucketed decile rank
 ]
 
 
