@@ -154,7 +154,20 @@ def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     """One Lloyd round over an embeddings frame; returns the final
     round's FULL distance frame d2 (every (vec, cluster) pair — the
     IVF probe needs the query's distance to every centroid, not just
-    its argmin) and the final assignment a2."""
+    its argmin) and the final assignment a2.
+
+    Memory note (r10, the sf10 8g-heap OOM): the pinned diamond is
+    the k-row CENTROID-ARRAY frame, not d2 itself.  Checkpointing d2
+    materializes n·k rows (51M at sf10 × K=256 — ~1.5 GB per PQ
+    subspace, twice per PQ query; execution memory then starves under
+    the default heap).  Every cross-branch consumer either filters d2
+    to the query row (the LUT legs — the vec_id predicate pushes
+    below the broadcast cross join to the scan, reading ONE row) or
+    folds it straight into the argmin aggregate (scan-local, nothing
+    retained), so re-deriving d2 lazily from the tiny pinned
+    centroids costs one extra codegen pass and zero materialized
+    bytes.  The first Lloyd pass still runs exactly once — its
+    result IS the checkpointed centroid frame."""
     seeds = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"),
         F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
@@ -172,7 +185,8 @@ def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
         .groupBy("cluster", "dim")
         .agg(davg("val").alias("cval"))
     )
-    d2 = _distances(e, _centroid_arrays(c1)).localCheckpoint()
+    cent2 = _centroid_arrays(c1).localCheckpoint()
+    d2 = _distances(e, cent2)
     return d2, _argmin(d2)
 
 
