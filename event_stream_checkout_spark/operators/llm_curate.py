@@ -29,10 +29,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, quant, sql_dsum, sql_quant
 from ..registry import register
 from ..tables import load_table
 from .llm_advanced import (
+    _N_HASHES,
     _SQL_BANDS,
     _SQL_CAPPED,
     _SQL_SIGS,
@@ -1477,4 +1478,125 @@ def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_a", "source_b", "shared_spans", "dup_mass")
         .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# X58: minhash-estimator calibration against exact Jaccard
+# --------------------------------------------------------------------------
+
+_SQL_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)"
+    for s in range(_N_HASHES)
+)
+_SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_CAPPED}, {_SQL_CAND}, "
+    f"m AS (SELECT c.doc_a, c.doc_b, CAST({_SQL_MATCHES} AS BIGINT) "
+    "AS n_match FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
+    "JOIN sigs sb ON sb.doc_id = c.doc_b), "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM grams), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg "
+    "GROUP BY 1), "
+    "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) "
+    "AS n_common FROM cand c JOIN dg a ON a.doc_id = c.doc_a "
+    "JOIN dg b ON b.doc_id = c.doc_b AND b.gram = a.gram GROUP BY 1, 2), "
+    "j AS (SELECT m.n_match, "
+    "CAST(coalesce(i.n_common, 0) AS DOUBLE) / "
+    "(sa.n + sb.n - coalesce(i.n_common, 0)) AS jac "
+    "FROM m LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b "
+    "JOIN sizes sa ON m.doc_a = sa.doc_id "
+    "JOIN sizes sb ON m.doc_b = sb.doc_id) "
+    "SELECT j.n_match, "
+    "round(CAST(j.n_match AS DOUBLE) / 8.0, 6) AS est_jaccard, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    f"round(CAST(sum({sql_quant('j.jac')}) AS DOUBLE) / 10000.0 "
+    "/ count(*), 6) AS mean_exact, "
+    f"round(CAST(sum({sql_quant(f'abs({_SQL_EST} - j.jac)')}) AS DOUBLE) "
+    "/ 10000.0 / count(*), 6) AS mean_abs_err "
+    "FROM j GROUP BY 1 ORDER BY 1",
+    doc="Minhash-estimator calibration (X58): for every LSH candidate "
+    "pair, the 8-component signature agreement n_match/8 IS the "
+    "minwise estimate of Jaccard (Broder); this key groups candidates "
+    "by n_match and puts the estimator next to the EXACT gram-set "
+    "Jaccard — n_pairs, mean exact similarity, and mean absolute "
+    "estimator error per agreement level.  This is the measurement "
+    "that justifies every banding threshold the dedup family uses "
+    "(X2/X6/X21 act on the sketch; this key reports what the sketch "
+    "is worth on THIS corpus — the DataSketches practice of shipping "
+    "the estimator with its measured error).  Banding false "
+    "positives surface as high-n_match/low-exact rows: the exact leg "
+    "is a LEFT join, so zero-overlap candidates keep jac = 0 instead "
+    "of silently dropping.  Engine shape: signatures are scan-local "
+    "array folds (no explode); the pair space is the banding "
+    "candidates (bucket-capped, never all-pairs); the exact leg "
+    "reuses X21's bounded candidate⋈gram join; means ride the "
+    "fixed-point quantize policy; output is ≤9 rows.",
+)
+def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    cand = _pairs_from_sigs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    )
+    n_match = None
+    for s in range(_N_HASHES):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    m = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
+    )
+    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = dg.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = dg.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nzb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    jac = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)
+    j = (
+        m.join(inter, ["doc_a", "doc_b"], "left")
+        .join(nza, "doc_a")
+        .join(nzb, "doc_b")
+        .select("n_match", jac.alias("jac"))
+    )
+    est = F.col("n_match").cast("double") / F.lit(8.0)
+    return (
+        j.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(quant("jac")).alias("_sj"),
+            F.sum(quant(F.abs(est - F.col("jac")))).alias("_se"),
+        )
+        .select(
+            "n_match",
+            F.round(F.col("n_match").cast("double") / F.lit(8.0), 6).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            F.round(
+                F.col("_sj").cast("double") / 10000.0 / F.col("n_pairs"), 6
+            ).alias("mean_exact"),
+            F.round(
+                F.col("_se").cast("double") / 10000.0 / F.col("n_pairs"), 6
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("n_match")
     )

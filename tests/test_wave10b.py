@@ -318,3 +318,36 @@ def test_power_users_exact_deciles(spark, tmp_path):
     assert [r["events"] for r in got] == list(range(10, 0, -1))
     assert abs(got[0]["event_share"] - round(10 / 55, 6)) < 1e-9
     assert abs(got[-1]["cum_event_share"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# X58: identical docs calibrate to est = exact = 1, err = 0
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_calibration_identical_pair(spark, tmp_path):
+    from event_stream_checkout_spark.operators.llm_curate import (
+        q_llm_minhash_calibration,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [text, text, "completely different words entirely here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(text)] * 2 + [40],
+        }
+    )
+    sf = _write(tmp_path, {"documents": docs})
+    got = q_llm_minhash_calibration(spark, sf).collect()
+    # Only the identical pair is a banding candidate: all 8 components
+    # agree, exact Jaccard is 1, and the estimator error is 0.
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_match"] == 8
+    assert abs(r["est_jaccard"] - 1.0) < 1e-12
+    assert r["n_pairs"] == 1
+    assert abs(r["mean_exact"] - 1.0) < 1e-9
+    assert abs(r["mean_abs_err"]) < 1e-9

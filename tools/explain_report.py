@@ -157,6 +157,7 @@ QUERIES = [
     "evt_churn_risk",            # r10b: per-user MAX + watermark broadcast
     "evt_traffic_profile",       # r10b: ≤168-cell rollup, map-side partials
     "evt_power_users",           # r10b: two-pass bucketed decile rank
+    "llm_minhash_calibration",   # r10b: banding candidates + exact-leg join
 ]
 
 
