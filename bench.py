@@ -133,6 +133,12 @@ EXTRA = [
     # regression stay visible.
     "llm_pca_components",
     "llm_pq_rerank_topk",
+    # r10b: the two closing decision-support shapes — Q3 (segment-
+    # pruned join + exact-integer TakeOrdered) and Q5 (cyclic
+    # nation-equality edge riding the supplier join condition) —
+    # lineitem-driven, so their exponents extend the fact-scan story.
+    "join_shipping_priority",
+    "agg_local_supplier_volume",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

@@ -1478,3 +1478,138 @@ def q_llm_pca_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X59: IVF-PQ composed — coarse probe + ADC within probed cells + rerank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ivfpq_topk",
+    oracle=f"WITH {_SQL_EX}, "
+    f"seeds AS (SELECT vec_id AS cluster, dim, val AS cval FROM ex "
+    f"WHERE vec_id < {_KM_K}), "
+    + _sql_assign("seeds", "d1", "a1")
+    + ", "
+    "c1 AS (SELECT a1.cluster, ex.dim, "
+    f"{sql_davg('ex.val')} AS cval "
+    "FROM ex JOIN a1 ON ex.vec_id = a1.vec_id GROUP BY 1, 2), "
+    + _sql_assign("c1", "d2", "a2")
+    + ", "
+    f"probe AS (SELECT cluster FROM d2 WHERE vec_id = 0 "
+    f"ORDER BY dq, cluster LIMIT {_IVF_NPROBE}), "
+    "ivfcand AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cluster) "
+    "WHERE a2.vec_id <> 0), "
+    "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
+    + _sql_pq_half("a", "dim < (SELECT h FROM h)")
+    + ", "
+    + _sql_pq_half("b", "dim >= (SELECT h FROM h)")
+    + ", luta AS (SELECT cluster, dq FROM d2a WHERE vec_id = 0), "
+    "lutb AS (SELECT cluster, dq FROM d2b WHERE vec_id = 0), "
+    "short AS (SELECT a.vec_id FROM a2a a "
+    "JOIN a2b b ON a.vec_id = b.vec_id "
+    "JOIN ivfcand c ON a.vec_id = c.vec_id "
+    "JOIN luta la ON a.cluster = la.cluster "
+    "JOIN lutb lb ON b.cluster = lb.cluster "
+    f"ORDER BY la.dq + lb.dq, a.vec_id LIMIT {_ADC_SHORTLIST}), "
+    "exq AS (SELECT dim, val FROM ex WHERE vec_id = 0), "
+    "rr AS (SELECT x.vec_id, "
+    f"SUM({sql_quant('(x.val - qq.val) * (x.val - qq.val)')}) AS dq "
+    "FROM ex x JOIN short s ON x.vec_id = s.vec_id "
+    "JOIN exq qq ON x.dim = qq.dim GROUP BY 1) "
+    "SELECT vec_id, round(CAST(dq AS DOUBLE) / 10000.0, 6) AS dist "
+    f"FROM rr ORDER BY dq, vec_id LIMIT {_ADC_TOPK}",
+    doc="IVF-PQ composed query path (X59): the full FAISS-style "
+    "IVFADC pipeline in one graded plan — the learned coarse "
+    "quantizer (X26/X27's cells) restricts the search to the "
+    "query's nprobe=2 nearest inverted lists, the PQ codes "
+    "(X35's 2×256 codebooks) score ONLY those candidates by "
+    "LUT lookup, and exact fixed-point L2 reranks the 50-deep "
+    "shortlist (X37's verify leg).  X27 pays an exact rerank of "
+    "everything in the probed cells (~nprobe/k of the corpus — "
+    "still millions of raw-vector reads at 100 TB); this composition "
+    "caps the raw-vector reads at the SHORTLIST depth regardless of "
+    "cell population, which is precisely why IVFADC is the "
+    "billion-vector default (Jegou et al. §V).  Plan: cells and "
+    "codes are three independent seeded-Lloyd rounds over the same "
+    "scan; the IVF membership probe joins the code frame on vec_id "
+    "(uniform key — at 100 TB the cell id is the vector store's "
+    "partition column and this join becomes partition pruning); the "
+    "shortlist is a TakeOrdered heap; only 50 raw vectors are ever "
+    "read back.  Engine-exact end to end: integer distances, "
+    "deterministic vec_id tiebreaks at every ordered stage.",
+)
+def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # Coarse quantizer: one Lloyd round at k=8, probe the query's 2
+    # nearest cells, membership from the final assignment.
+    d2, a2 = kmeans_refined(e, _KM_K)
+    probe = (
+        d2.filter(F.col("vec_id") == 0)
+        .orderBy("dq", "cluster")
+        .limit(_IVF_NPROBE)
+        .select("cluster")
+    )
+    ivfcand = (
+        a2.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cluster")
+        .select("vec_id")
+    )
+    # PQ codes: per-subspace 256-codeword codebooks on the half-vectors.
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+    sub_a = e.select(
+        "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
+    )
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+    )
+    d2a, aa = kmeans_refined(sub_a, _PQ_K)
+    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    luta = d2a.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("la")
+    )
+    lutb = d2b.filter(F.col("vec_id") == 0).select(
+        "cluster", F.col("dq").alias("lb")
+    )
+    short = (
+        aa.filter(F.col("vec_id") != 0)
+        .select("vec_id", "cluster")
+        .join(F.broadcast(luta), "cluster")
+        .select("vec_id", "la")
+        .join(
+            ab.select("vec_id", "cluster")
+            .join(F.broadcast(lutb), "cluster")
+            .select("vec_id", "lb"),
+            "vec_id",
+        )
+        .join(ivfcand, "vec_id")
+        .orderBy((F.col("la") + F.col("lb")).asc(), "vec_id")
+        .limit(_ADC_SHORTLIST)
+        .select("vec_id")
+    )
+    # Exact rerank of the shortlist against the raw query vector.
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    term = lambda v, c: quant(  # noqa: E731
+        (v.cast("double") - c.cast("double"))
+        * (v.cast("double") - c.cast("double"))
+    ).cast("long")
+    dq = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qv"), term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dq.alias("dq"))
+        .orderBy("dq", "vec_id")
+        .limit(_ADC_TOPK)
+        .select(
+            "vec_id",
+            F.round(F.col("dq").cast("double") / F.lit(SCALE), 6).alias(
+                "dist"
+            ),
+        )
+    )

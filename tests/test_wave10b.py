@@ -351,3 +351,44 @@ def test_minhash_calibration_identical_pair(spark, tmp_path):
     assert r["n_pairs"] == 1
     assert abs(r["mean_exact"] - 1.0) < 1e-9
     assert abs(r["mean_abs_err"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# X59: IVF-PQ composition returns same-blob neighbors end to end
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_topk_same_blob(spark, tmp_path):
+    """Two far-apart blobs; the query sits at blob A's center.  The
+    coarse probe must select A-side cells, the ADC pass must
+    shortlist A members, and the exact rerank's top-10 must all be
+    blob-A vectors (seeds 1-3 and members 8-17) — never blob B."""
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_ivfpq_topk,
+    )
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])]  # query + coarse seed 0
+    # coarse seeds 1..7: three in blob A, four in blob B
+    for i in range(1, 4):
+        rows.append((i, [float(i), 0.0, 0.0, 0.0]))
+    for i in range(4, 8):
+        rows.append((i, [1000.0 + i, 1000.0, 1000.0, 1000.0]))
+    # members: 10 in A (8..17), 10 in B (18..27)
+    for i in range(8, 18):
+        rows.append((i, [float(i - 8), 1.0, 0.0, 1.0]))
+    for i in range(18, 28):
+        rows.append((i, [1000.0 + (i - 18), 1001.0, 1000.0, 1001.0]))
+    a_side = set(range(1, 4)) | set(range(8, 18))
+    sf = _write(
+        tmp_path,
+        {"embeddings": pd.DataFrame(rows, columns=["vec_id", "embedding"])},
+    )
+    got = [r["vec_id"] for r in q_llm_ivfpq_topk(spark, sf).collect()]
+    # nprobe=2 of 8 cells bounds how much of blob A is reachable (IVF
+    # recall theory); what the COMPOSITION must guarantee is that
+    # nothing outside the probed blob ever surfaces and the nearest
+    # in-cell vector ranks first.
+    assert 1 <= len(got) <= 10
+    assert set(got) <= a_side, got
+    # nearest crafted vector to the origin-query is seed 1 at dist 1
+    assert got[0] == 1

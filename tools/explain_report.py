@@ -158,6 +158,7 @@ QUERIES = [
     "evt_traffic_profile",       # r10b: ≤168-cell rollup, map-side partials
     "evt_power_users",           # r10b: two-pass bucketed decile rank
     "llm_minhash_calibration",   # r10b: banding candidates + exact-leg join
+    "llm_ivfpq_topk",            # r10b: coarse probe + in-cell ADC + rerank
 ]
 
 
