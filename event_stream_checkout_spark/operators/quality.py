@@ -1099,3 +1099,237 @@ def q_dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# V11: IQR outlier audit over the numeric measure columns
+# ---------------------------------------------------------------------------
+
+_IQR_COLS: tuple[tuple[str, str], ...] = (
+    ("events", "value"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("orders", "o_totalprice"),
+)
+
+
+def _sql_iqr_leg(i: int, table: str, col: str) -> str:
+    lo = "q.q1 - 1.5 * (q.q3 - q.q1)"
+    hi = "q.q3 + 1.5 * (q.q3 - q.q1)"
+    return (
+        f"r{i} AS (SELECT {col} AS v, "
+        f"CAST(row_number() OVER (ORDER BY {col}) AS BIGINT) AS rnk, "
+        f"CAST(count(*) OVER () AS BIGINT) AS n FROM {table} "
+        f"WHERE {col} IS NOT NULL), "
+        f"q{i} AS (SELECT max(n) AS n, "
+        "max(CASE WHEN rnk = (n * 25 + 99) // 100 THEN v END) AS q1, "
+        "max(CASE WHEN rnk = (n * 75 + 99) // 100 THEN v END) AS q3 "
+        f"FROM r{i}), "
+        f"o{i} AS (SELECT '{table}' AS table_name, "
+        f"'{col}' AS column_name, q.n, q.q1, q.q3, q.q3 - q.q1 AS iqr, "
+        f"CAST(sum(CASE WHEN t.{col} < {lo} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_below, "
+        f"CAST(sum(CASE WHEN t.{col} > {hi} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_above, "
+        f"round(CAST(sum(CASE WHEN t.{col} < {lo} OR t.{col} > {hi} "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / q.n, 6) AS outlier_rate "
+        f"FROM {table} t, q{i} q WHERE t.{col} IS NOT NULL "
+        "GROUP BY 1, 2, 3, 4, 5, 6)"
+    )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="WITH "
+    + ", ".join(_sql_iqr_leg(i, t, c) for i, (t, c) in enumerate(_IQR_COLS))
+    + " "
+    + " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(len(_IQR_COLS)))
+    + " ORDER BY table_name, column_name",
+    doc="IQR outlier audit (V11): for each numeric measure column, "
+    "the EXACT first/third quartiles (rank-selected data values, "
+    "ceil(n·q) integer arithmetic — not an approx sketch, whose "
+    "engine-specific internals an oracle can't grade), the Tukey "
+    "1.5·IQR fences, and the count/share outside them — the "
+    "standard pre-model screen for corrupted feeds (a fat outlier "
+    "tail in a money column usually means a unit or parser "
+    "regression upstream; V1's static constraints can't see it "
+    "because every row is individually plausible).  Scale: each "
+    "column's rank is the TWO-PASS bucketed prefix sum (sampled "
+    "boundaries + per-bucket row_number — the E16/O1 machinery; no "
+    "single-partition sort ever sees the data), the fence frame is "
+    "one broadcast row, and the outlier count is a second "
+    "column-pruned scan.  Tie runs at a quartile boundary select "
+    "the same VALUE under any tie order, so the pick is "
+    "engine-exact without a unique tiebreak.",
+)
+def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    legs = []
+    for table, col in _IQR_COLS:
+        t = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(col).alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+        bucketed = quantile_bucketed(t, "v", nb=32)
+        ranked = _cumsum_from_buckets(
+            bucketed, [], [F.col("v").desc()], F.lit(1), "rnk"
+        )
+        nrow = ranked.agg(F.count(F.lit(1)).alias("n"))
+
+        def pick(q: int):
+            # asc rank ceil(n*q/100) == desc rank n + 1 - (n*q+99) div 100
+            return F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.expr(f"n + 1 - ((n * {q} + 99) div 100)"),
+                    F.col("v"),
+                )
+            )
+
+        qrow = (
+            ranked.crossJoin(F.broadcast(nrow))
+            .agg(
+                F.max("n").alias("n"),
+                pick(25).alias("q1"),
+                pick(75).alias("q3"),
+            )
+        )
+        lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+        hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+        legs.append(
+            t.crossJoin(F.broadcast(qrow))
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.max("n").alias("n"),
+                F.max("q1").alias("q1"),
+                F.max("q3").alias("q3"),
+                F.max(F.col("q3") - F.col("q1")).alias("iqr"),
+                F.sum(F.when(F.col("v") < lo, 1).otherwise(0))
+                .cast("long")
+                .alias("n_below"),
+                F.sum(F.when(F.col("v") > hi, 1).otherwise(0))
+                .cast("long")
+                .alias("n_above"),
+                F.round(
+                    F.sum(
+                        F.when((F.col("v") < lo) | (F.col("v") > hi), 1)
+                        .otherwise(0)
+                    ).cast("double")
+                    / F.max("n"),
+                    6,
+                ).alias("outlier_rate"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# V12: null-completeness profile across the star schema
+# ---------------------------------------------------------------------------
+
+_NULL_COLS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment")),
+    ("documents", ("doc_id", "text", "lang", "source", "n_chars")),
+    ("embeddings", ("vec_id", "embedding", "label")),
+    ("events", ("event_id", "ts", "user_id", "event_type", "value",
+                "props")),
+    ("lineitem", ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")),
+    ("part", ("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+              "p_retailprice")),
+    ("supplier", ("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+)
+
+
+def _sql_null_leg(table: str, cols: tuple[str, ...]) -> tuple[str, str]:
+    agg = (
+        f"a_{table} AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_{i}"
+            for i, c in enumerate(cols)
+        )
+        + f" FROM {table})"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{table}' AS table_name, '{c}' AS column_name, n_rows, "
+        f"n_{i} AS n_null, "
+        f"round(CAST(n_{i} AS DOUBLE) / n_rows, 6) AS null_rate "
+        f"FROM a_{table}"
+        for i, c in enumerate(cols)
+    )
+    return agg, rows
+
+
+@register(
+    "dq_null_profile",
+    oracle="WITH "
+    + ", ".join(_sql_null_leg(t, cs)[0] for t, cs in _NULL_COLS)
+    + " "
+    + " UNION ALL ".join(_sql_null_leg(t, cs)[1] for t, cs in _NULL_COLS)
+    + " ORDER BY table_name, column_name",
+    doc="Null-completeness profile (V12): per column of every star-"
+    "schema table, the row count, NULL count, and NULL rate — the "
+    "completeness ledger every ingest SLA is written against (V10 "
+    "notices a missing DAY; this notices a field going dark inside "
+    "rows that keep arriving, the classic symptom of an upstream "
+    "schema change).  Scale: ONE column-pruned scan per table "
+    "computes every column's NULL count as parallel aggregates "
+    "(map-side partials), then the 1-row result explodes to the "
+    "per-column report — the explode touches #columns rows, never "
+    "data.  Output is bounded by the schema (46 rows), sorted "
+    "deterministically.",
+)
+def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = []
+    for table, cols in _NULL_COLS:
+        t = load_table(spark, sf_dir, table)
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_n_{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+        stacked = agg.select(
+            "n_rows",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(f"_n_{i}").alias("n_null"),
+                        )
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        legs.append(
+            stacked.select(
+                F.lit(table).alias("table_name"),
+                F.col("_s.column_name").alias("column_name"),
+                "n_rows",
+                F.col("_s.n_null").alias("n_null"),
+                F.round(
+                    F.col("_s.n_null").cast("double") / F.col("n_rows"), 6
+                ).alias("null_rate"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("table_name", "column_name")

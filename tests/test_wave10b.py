@@ -392,3 +392,110 @@ def test_ivfpq_topk_same_blob(spark, tmp_path):
     assert set(got) <= a_side, got
     # nearest crafted vector to the origin-query is seed 1 at dist 1
     assert got[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# V11: exact quartile selection, Tukey fences, outlier counts
+# ---------------------------------------------------------------------------
+
+
+def test_outlier_iqr_exact_quartiles(spark, tmp_path):
+    from event_stream_checkout_spark.operators.quality import q_dq_outlier_iqr
+
+    # events.value = 1..8 plus one 100.0 outlier: n=9, q1 = value at
+    # rank ceil(9/4)=3 -> 3.0, q3 at rank ceil(27/4)=7 -> 7.0, fences
+    # [-3, 13] -> exactly one high outlier.
+    ev = pd.DataFrame(
+        [(i, datetime(2024, 5, 1, 9), 1, "view", float(v), "{}")
+         for i, v in enumerate(list(range(1, 9)) + [100])],
+        columns=EV_COLS,
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1], "l_partkey": [1, 2], "l_suppkey": [1, 1],
+            "l_linenumber": [1, 2], "l_quantity": [1.0, 2.0],
+            "l_extendedprice": [10.0, 20.0], "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0], "l_returnflag": ["N", "N"],
+            "l_linestatus": ["O", "O"],
+            "l_shipdate": [datetime(2024, 1, 1)] * 2,
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2], "o_custkey": [1, 1],
+            "o_orderstatus": ["O", "O"], "o_totalprice": [10.0, 20.0],
+            "o_orderdate": [datetime(2024, 1, 1)] * 2,
+            "o_orderpriority": ["1-URGENT"] * 2,
+        }
+    )
+    sf = _write(tmp_path, {"events": ev, "lineitem": li, "orders": od})
+    got = {
+        (r["table_name"], r["column_name"]): r
+        for r in q_dq_outlier_iqr(spark, sf).collect()
+    }
+    r = got[("events", "value")]
+    assert r["n"] == 9
+    assert r["q1"] == 3.0 and r["q3"] == 7.0
+    assert r["iqr"] == 4.0
+    assert (r["n_below"], r["n_above"]) == (0, 1)
+    assert abs(r["outlier_rate"] - round(1 / 9, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# V12: a dark field is counted, complete fields are zero
+# ---------------------------------------------------------------------------
+
+
+def test_null_profile_counts_dark_field(spark, tmp_path):
+    from event_stream_checkout_spark.operators.quality import q_dq_null_profile
+
+    tables = {
+        "customer": pd.DataFrame(
+            {"c_custkey": [1], "c_name": ["a"], "c_nationkey": [0],
+             "c_acctbal": [0.0], "c_mktsegment": ["BUILDING"]}
+        ),
+        "documents": pd.DataFrame(
+            {"doc_id": [1], "text": ["hello world now"], "lang": ["en"],
+             "source": ["s"], "n_chars": [15]}
+        ),
+        "embeddings": pd.DataFrame(
+            {"vec_id": [0], "embedding": [[0.0, 1.0]], "label": ["a"]}
+        ),
+        "events": pd.DataFrame(
+            [(0, datetime(2024, 5, 1, 9), 1, "view", 1.0, "{}")],
+            columns=EV_COLS,
+        ),
+        "lineitem": pd.DataFrame(
+            {"l_orderkey": [1], "l_partkey": [1], "l_suppkey": [1],
+             "l_linenumber": [1], "l_quantity": [1.0],
+             "l_extendedprice": [1.0], "l_discount": [0.0], "l_tax": [0.0],
+             "l_returnflag": ["N"], "l_linestatus": ["O"],
+             "l_shipdate": [datetime(2024, 1, 1)]}
+        ),
+        "orders": pd.DataFrame(
+            {"o_orderkey": [1, 2, 3, 4],
+             "o_custkey": pd.array([1, None, 1, 1], dtype="Int64"),
+             "o_orderstatus": ["O"] * 4, "o_totalprice": [1.0] * 4,
+             "o_orderdate": [datetime(2024, 1, 1)] * 4,
+             "o_orderpriority": ["1-URGENT"] * 4}
+        ),
+        "part": pd.DataFrame(
+            {"p_partkey": [1], "p_name": ["p"], "p_brand": ["b"],
+             "p_type": ["t"], "p_size": [1], "p_retailprice": [1.0]}
+        ),
+        "supplier": pd.DataFrame(
+            {"s_suppkey": [1], "s_name": ["s"], "s_nationkey": [0],
+             "s_acctbal": [0.0]}
+        ),
+    }
+    sf = _write(tmp_path, tables)
+    got = {
+        (r["table_name"], r["column_name"]): r
+        for r in q_dq_null_profile(spark, sf).collect()
+    }
+    assert len(got) == 46
+    dark = got[("orders", "o_custkey")]
+    assert (dark["n_rows"], dark["n_null"]) == (4, 1)
+    assert abs(dark["null_rate"] - 0.25) < 1e-9
+    assert got[("orders", "o_orderkey")]["n_null"] == 0
+    assert got[("events", "value")]["n_null"] == 0

@@ -159,6 +159,8 @@ QUERIES = [
     "evt_power_users",           # r10b: two-pass bucketed decile rank
     "llm_minhash_calibration",   # r10b: banding candidates + exact-leg join
     "llm_ivfpq_topk",            # r10b: coarse probe + in-cell ADC + rerank
+    "dq_outlier_iqr",            # r10c: bucketed-rank quartiles + fences
+    "dq_null_profile",           # r10c: one scan/table, schema-bounded rows
 ]
 
 
