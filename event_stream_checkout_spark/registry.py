@@ -134,6 +134,14 @@ ROUND_MODIFIED: tuple[str, ...] = (
     "src_jsonl_documents",  # rollup localCheckpoint + staging-dir
     "src_csv_events",     # cleanup (ADVICE r9 temp leak): output
                           # identical, plan gains the pinned rollup
+    # r10 second wave: kmeans_refined now pins the k-row centroid
+    # frame instead of the n·k distance frame (the sf10 8g-heap OOM
+    # fix).  Output provably identical (same expressions; checkpoint
+    # placement only), but every kmeans consumer's PLAN changed, so
+    # they queue for re-grade behind the behavioral rewrites.
+    "llm_kmeans_refine",
+    "llm_similarity_ivf_kmeans",
+    "llm_semantic_dedup",
 )
 
 
