@@ -1736,3 +1736,99 @@ def q_evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("events").over(wcum).cast("double") / F.col("n_events"), 6
         ).alias("cum_event_share"),
     ).orderBy("decile")
+
+# ---------------------------------------------------------------------------
+# E22: seasonally-adjusted hourly anomaly (E20 baseline × E6 z-score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_anomaly_seasonal",
+    oracle="WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS eh, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "k AS (SELECT eh, cnt, "
+    "CAST((eh // 24 + 3) % 7 + 1 AS BIGINT) AS dow, "
+    "CAST(eh % 24 AS BIGINT) AS hr FROM hc), "
+    "b AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cnt) AS BIGINT) AS s1, "
+    "CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM k GROUP BY 1, 2), "
+    "j AS (SELECT k.eh, k.dow, k.hr, k.cnt, b.n, "
+    "CAST(b.s1 AS DOUBLE) / b.n AS mu, "
+    "CASE WHEN b.n > 1 THEN sqrt((CAST(b.s2 AS DOUBLE) - "
+    "CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n) / (b.n - 1)) "
+    "END AS sd "
+    "FROM k JOIN b ON k.dow = b.dow AND k.hr = b.hr) "
+    "SELECT eh AS epoch_hour, dow, hr, cnt, n, "
+    "round(mu, 6) AS mean_cnt, "
+    "round(CASE WHEN sd > 0 THEN (CAST(cnt AS DOUBLE) - mu) / sd END, 6) "
+    "AS z, "
+    "coalesce(abs(CASE WHEN sd > 0 THEN (CAST(cnt AS DOUBLE) - mu) / sd "
+    "END) > 2.0, FALSE) AS is_anomaly "
+    "FROM j ORDER BY 1",
+    doc="Seasonally-adjusted hourly anomaly (E22): each hour's event "
+    "count z-scored against the baseline of ITS OWN (weekday, hour) "
+    "cell — the composition of E20's seasonality profile and E6's "
+    "z-score that production alerting actually runs (a quiet Sunday "
+    "03:00 is normal; the same count at Monday 14:00 is an outage — "
+    "a per-series mean can't tell them apart).  All-integer inputs: "
+    "hour id is epoch-microseconds div 3600e6 (session TZ pinned "
+    "UTC; engine-neutral), weekday the E20 epoch arithmetic, and the "
+    "baseline's mean/std expand from exact BIGINT Σcnt/Σcnt² in "
+    "identical double trees (sample std, NULL-guarded for n<2 and "
+    "flat cells — the E6/dstddev convention).  Scale: the corpus "
+    "collapses to calendar-bounded hourly counts at the scan (one "
+    "shuffle, map-side partials); the 168-cell baseline joins back "
+    "broadcast-small; output is one row per corpus hour, "
+    "calendar-bounded at any data size.",
+)
+def q_evt_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.select(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("eh")
+        )
+        .groupBy("eh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    k = hc.select(
+        "eh",
+        "cnt",
+        F.expr("CAST((eh div 24 + 3) % 7 + 1 AS BIGINT)").alias("dow"),
+        F.expr("CAST(eh % 24 AS BIGINT)").alias("hr"),
+    )
+    b = k.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ),
+    )
+    zraw = F.when(sd > 0, (F.col("cnt").cast("double") - mu) / sd)
+    return (
+        k.join(F.broadcast(b), ["dow", "hr"])
+        .select(
+            F.col("eh").alias("epoch_hour"),
+            "dow",
+            "hr",
+            "cnt",
+            "n",
+            F.round(mu, 6).alias("mean_cnt"),
+            F.round(zraw, 6).alias("z"),
+            F.coalesce(F.abs(zraw) > F.lit(2.0), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("epoch_hour")
+    )

@@ -499,3 +499,42 @@ def test_null_profile_counts_dark_field(spark, tmp_path):
     assert abs(dark["null_rate"] - 0.25) < 1e-9
     assert got[("orders", "o_orderkey")]["n_null"] == 0
     assert got[("events", "value")]["n_null"] == 0
+
+
+# ---------------------------------------------------------------------------
+# E22: the seasonal baseline separates what a per-series mean cannot
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_seasonal_flags_against_cell_baseline(spark, tmp_path):
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_anomaly_seasonal,
+    )
+
+    # Seven Mondays at 09:00 with counts 10×6 then 40: the 40 is
+    # z = (40 - 100/7) / sqrt((2200 - 100²/7)/6) ≈ 2.268 > 2 against
+    # its OWN (Mon, 09) cell — flagged.  One Sunday 03:00 hour with
+    # the SAME raw count 40 but n=1 — no baseline, z NULL, never
+    # flagged.  A per-series mean would treat both identically.
+    rows = []
+    eid = 0
+    for wk in range(7):
+        ts = datetime(2024, 5, 6, 9) + timedelta(days=7 * wk)
+        for _ in range(10 if wk < 6 else 40):
+            rows.append((eid, ts, 1, "view", 1.0, "{}")); eid += 1
+    for _ in range(40):
+        rows.append((eid, datetime(2024, 5, 5, 3), 1, "view", 1.0, "{}"))
+        eid += 1
+    sf = _write(tmp_path, {"events": pd.DataFrame(rows, columns=EV_COLS)})
+    got = q_evt_anomaly_seasonal(spark, sf).collect()
+    by_key = {(r["dow"], r["hr"], r["cnt"]): r for r in got}
+    hot = by_key[(1, 9, 40)]           # Monday=ISO 1, 09:00 spike
+    assert hot["n"] == 7 and hot["is_anomaly"]
+    mu = 100 / 7
+    sd = math.sqrt((2200 - 100 * 100 / 7) / 6)
+    assert abs(hot["z"] - round((40 - mu) / sd, 6)) < 1e-9
+    low = by_key[(1, 9, 10)]
+    assert not low["is_anomaly"]
+    quiet = by_key[(7, 3, 40)]         # Sunday=ISO 7, 03:00, n=1
+    assert quiet["n"] == 1 and quiet["z"] is None
+    assert not quiet["is_anomaly"]

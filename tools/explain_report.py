@@ -161,6 +161,7 @@ QUERIES = [
     "llm_ivfpq_topk",            # r10b: coarse probe + in-cell ADC + rerank
     "dq_outlier_iqr",            # r10c: bucketed-rank quartiles + fences
     "dq_null_profile",           # r10c: one scan/table, schema-bounded rows
+    "evt_anomaly_seasonal",      # r10c: hourly collapse + 168-cell baseline
 ]
 
 
