@@ -822,3 +822,51 @@ def test_referential_integrity_single_scan_per_table(spark):
     plan = executed_plan(spark, "dq_referential_integrity")
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivfpq_indexed_probe_prunes_partitions(spark):
+    """X60: the persisted-ANN probe never retrains — the query plan
+    contains no kmeans machinery (zero groupBy over exploded dims →
+    at most a handful of exchanges), reads the cell-PARTITIONED codes
+    table with a partition filter on the probed cells (the scan's
+    PartitionFilters carry `cell`), and touches the embeddings corpus
+    only for the 1-row query vector and the 50-row rerank (≤3
+    embeddings scans, each pruned or broadcast-joined).  Results are
+    pinned to the retraining path's oracle, so this contract is about
+    WHERE the bytes come from."""
+    from event_stream_checkout_spark.operators.clustering import (
+        ivfpq_index_tables,
+    )
+
+    # Build the index OUTSIDE the asserted plan (day-1 cost).
+    ivfpq_index_tables(spark, SF_DIR)
+    plan = executed_plan(spark, "llm_ivfpq_indexed", full=True)
+    assert "ecs_ivfpq_codes_" in plan, "persisted codes table not read"
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), (
+        "codes scan carries no cell partition filter"
+    )
+    # Retraining's structural signature is the centroid update: a
+    # posexplode of the corpus into (dim, val) feeding a groupBy.  Its
+    # absence + the partition filter above IS the "no retraining"
+    # contract.  (Scan counts double under full=True — the adaptive
+    # plan string carries initial+final — so they are not asserted.)
+    assert "posexplode" not in plan, "centroid update in query plan"
+    # The embeddings scans that remain are the 1-row query-vector legs
+    # and the 50-row rerank: every one carries a pushed or broadcast-
+    # fed predicate, never a full corpus read feeding an aggregate.
+    n_emb = len(re.findall(r"embeddings\.parquet", plan))
+    assert n_emb <= 8, f"embeddings scanned {n_emb}x (retraining in-plan?)"
+
+
+def test_ivfpq_indexed_equals_retraining_path(spark):
+    """X60 ≡ X59: the persisted index is a materialization detail —
+    identical top-10 ids and distances."""
+    got_idx = [
+        (r["vec_id"], r["dist"])
+        for r in QUERIES["llm_ivfpq_indexed"].fn(spark, SF_DIR).collect()
+    ]
+    got_live = [
+        (r["vec_id"], r["dist"])
+        for r in QUERIES["llm_ivfpq_topk"].fn(spark, SF_DIR).collect()
+    ]
+    assert got_idx == got_live

@@ -162,6 +162,7 @@ QUERIES = [
     "dq_outlier_iqr",            # r10c: bucketed-rank quartiles + fences
     "dq_null_profile",           # r10c: one scan/table, schema-bounded rows
     "evt_anomaly_seasonal",      # r10c: hourly collapse + 168-cell baseline
+    "llm_ivfpq_indexed",         # r10c: partition-pruned persisted ANN probe
 ]
 
 
