@@ -1739,6 +1739,15 @@ _IVFPQ_SHARED_ORACLE = _QUERIES["llm_ivfpq_topk"].oracle
 )
 def q_llm_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_t, cents_t = ivfpq_index_tables(spark, sf_dir)
+    return _ivfpq_probe(spark, sf_dir, codes_t, cents_t)
+
+
+def _ivfpq_probe(
+    spark: SparkSession, sf_dir: str, codes_t: str, cents_t: str
+) -> DataFrame:
+    """The query half of the persisted-index family (X60/X61): LUTs
+    from the stored codebooks, static cell partition filter, ADC over
+    the probed partitions, exact rerank of the shortlist."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
     n = F.size("embedding")
@@ -1799,3 +1808,167 @@ def q_llm_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# X61: ANN index maintenance — batch coded against STORED codebooks
+# ---------------------------------------------------------------------------
+
+_ANN_BASE_PRED = "vec_id % 10 != 9"
+_ANN_BATCH_PRED = "vec_id % 10 = 9"
+
+
+def _sql_ta(tag: str, dimpred: str, k: int) -> str:
+    """Train-on-base / assign-on-all CTE chain for one (sub)space:
+    seeds and the Lloyd update see only the base slice; the final
+    assignment covers EVERY vector with the base-trained centroids —
+    exactly what coding an arriving batch against stored codebooks
+    computes."""
+    return (
+        f"exq{tag} AS (SELECT * FROM ex WHERE {dimpred}), "
+        f"exqb{tag} AS (SELECT * FROM exq{tag} WHERE {_ANN_BASE_PRED}), "
+        f"seeds{tag} AS (SELECT vec_id AS cluster, dim, val AS cval "
+        f"FROM exqb{tag} WHERE vec_id < {k}), "
+        + _sql_pq_assign(f"exqb{tag}", f"seeds{tag}", f"d1{tag}", f"a1{tag}")
+        + f", c1{tag} AS (SELECT a.cluster, x.dim, {sql_davg('x.val')} "
+        f"AS cval FROM exqb{tag} x JOIN a1{tag} a ON x.vec_id = a.vec_id "
+        "GROUP BY 1, 2), "
+        + _sql_pq_assign(f"exq{tag}", f"c1{tag}", f"d2{tag}", f"a2{tag}")
+    )
+
+
+def ivfpq_refreshed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-2 state of the X60 index: the base build (vectors outside
+    the arriving batch) plus the batch's rows coded against the
+    STORED codebooks — read back from the cents table, never
+    retrained — and appended into their cells (partition-aligned
+    insertInto).  Maintenance cost is O(batch): the batch scan's
+    predicate pushes to the embeddings read, the codebooks are ≤520
+    broadcast rows, and the append moves only the batch's slim code
+    rows into existing partitions."""
+    from ..scratch import scratch_dir
+
+    tag = _ann_index_tag(sf_dir)
+    codes = f"ecs_ivfpq_codes_r_{tag}"
+    cents = f"ecs_ivfpq_cents_r_{tag}"
+    if spark.catalog.tableExists(codes) and spark.catalog.tableExists(cents):
+        return codes, cents
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.expr(_ANN_BASE_PRED))
+    ccent, _cd2, ca2 = kmeans_refined_full(base, _KM_K)
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+
+    def half_a(df):
+        return df.select(
+            "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
+        )
+
+    def half_b(df):
+        return df.select(
+            "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+        )
+
+    acent, _d2a, aa = kmeans_refined_full(half_a(base), _PQ_K)
+    bcent, _d2b, ab = kmeans_refined_full(half_b(base), _PQ_K)
+    base_codes = (
+        ca2.select("vec_id", F.col("cluster").alias("cell"))
+        .join(aa.select("vec_id", F.col("cluster").alias("ca")), "vec_id")
+        .join(ab.select("vec_id", F.col("cluster").alias("cb")), "vec_id")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {codes}")
+    (
+        base_codes.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .option("path", scratch_dir("ecs_ivfpq_codes_r", tag))
+        .saveAsTable(codes)
+    )
+    cents_df = (
+        ccent.select(F.lit("coarse").alias("kind"), "cluster", "carr")
+        .unionAll(acent.select(F.lit("pqa").alias("kind"), "cluster", "carr"))
+        .unionAll(bcent.select(F.lit("pqb").alias("kind"), "cluster", "carr"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {cents}")
+    (
+        cents_df.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_ivfpq_cents_r", tag))
+        .saveAsTable(cents)
+    )
+    # Day-2 append: code the batch against the codebooks READ BACK
+    # from the cents table (the persisted path, not the in-memory
+    # frames — a lossy round-trip would surface here and break the
+    # oracle hash).
+    cf = spark.table(cents)
+    batch = e.filter(F.expr(_ANN_BATCH_PRED))
+    bcell = _argmin(
+        _distances(
+            batch, cf.filter(F.col("kind") == "coarse").select("cluster", "carr")
+        )
+    ).select("vec_id", F.col("cluster").alias("cell"))
+    bca = _argmin(
+        _distances(
+            half_a(batch),
+            cf.filter(F.col("kind") == "pqa").select("cluster", "carr"),
+        )
+    ).select("vec_id", F.col("cluster").alias("ca"))
+    bcb = _argmin(
+        _distances(
+            half_b(batch),
+            cf.filter(F.col("kind") == "pqb").select("cluster", "carr"),
+        )
+    ).select("vec_id", F.col("cluster").alias("cb"))
+    batch_codes = bcell.join(bca, "vec_id").join(bcb, "vec_id")
+    cols = spark.table(codes).columns  # data cols first, partition last
+    batch_codes.select(*cols).write.mode("append").insertInto(codes)
+    return codes, cents
+
+
+@register(
+    "llm_ivfpq_index_append",
+    oracle=f"WITH {_SQL_EX}, "
+    "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
+    + _sql_ta("c", "TRUE", _KM_K)
+    + ", "
+    + _sql_ta("a", "dim < (SELECT h FROM h)", _PQ_K)
+    + ", "
+    + _sql_ta("b", "dim >= (SELECT h FROM h)", _PQ_K)
+    + ", "
+    "probe AS (SELECT cluster FROM d2c WHERE vec_id = 0 "
+    f"ORDER BY dq, cluster LIMIT {_IVF_NPROBE}), "
+    "ivfcand AS (SELECT a2c.vec_id FROM a2c JOIN probe USING (cluster) "
+    "WHERE a2c.vec_id <> 0), "
+    "luta AS (SELECT cluster, dq FROM d2a WHERE vec_id = 0), "
+    "lutb AS (SELECT cluster, dq FROM d2b WHERE vec_id = 0), "
+    "short AS (SELECT a.vec_id FROM a2a a "
+    "JOIN a2b b ON a.vec_id = b.vec_id "
+    "JOIN ivfcand c ON a.vec_id = c.vec_id "
+    "JOIN luta la ON a.cluster = la.cluster "
+    "JOIN lutb lb ON b.cluster = lb.cluster "
+    f"ORDER BY la.dq + lb.dq, a.vec_id LIMIT {_ADC_SHORTLIST}), "
+    "exq AS (SELECT dim, val FROM ex WHERE vec_id = 0), "
+    "rr AS (SELECT x.vec_id, "
+    f"SUM({sql_quant('(x.val - qq.val) * (x.val - qq.val)')}) AS dq "
+    "FROM ex x JOIN short s ON x.vec_id = s.vec_id "
+    "JOIN exq qq ON x.dim = qq.dim GROUP BY 1) "
+    "SELECT vec_id, round(CAST(dq AS DOUBLE) / 10000.0, 6) AS dist "
+    f"FROM rr ORDER BY dq, vec_id LIMIT {_ADC_TOPK}",
+    doc="ANN index maintenance + probe (X61, the X12c refresh pattern "
+    "applied to X60): the index is built on the BASE corpus (vectors "
+    "outside the arriving batch), the batch's vectors are coded "
+    "against the STORED codebooks — read back from the cents table, "
+    "zero retraining, O(batch) work with the batch predicate pushed "
+    "to the embeddings scan — and appended into their coarse-cell "
+    "partitions; the graded result is the standard probe over the "
+    "REFRESHED table, so an appended vector that lands in a probed "
+    "cell must surface in the top-k exactly as if it had been "
+    "indexed on day 1.  The oracle replays the same "
+    "train-on-base/assign-on-all math (batch coding against "
+    "base-trained centroids IS assignment with frozen codebooks), so "
+    "the hash covers the codebook round-trip, the cell routing, the "
+    "partition append, and the probe.  At 100 TB this is the vector "
+    "store's ingest path: per-batch cost is the batch's own coding + "
+    "a partition-aligned append — the corpus is never rescanned.",
+)
+def q_llm_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes_t, cents_t = ivfpq_refreshed_tables(spark, sf_dir)
+    return _ivfpq_probe(spark, sf_dir, codes_t, cents_t)

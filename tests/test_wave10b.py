@@ -538,3 +538,38 @@ def test_anomaly_seasonal_flags_against_cell_baseline(spark, tmp_path):
     quiet = by_key[(7, 3, 40)]         # Sunday=ISO 7, 03:00, n=1
     assert quiet["n"] == 1 and quiet["z"] is None
     assert not quiet["is_anomaly"]
+
+
+# ---------------------------------------------------------------------------
+# X61: an appended vector that is the true NN must surface in the probe
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_append_surfaces_new_nearest(spark, tmp_path):
+    from event_stream_checkout_spark.operators.clustering import (
+        q_llm_ivfpq_index_append,
+    )
+
+    # Base: query at origin + seeds/members in blob A (near origin)
+    # and blob B (far).  vec_id 19 (mod 10 == 9) is the ARRIVING
+    # batch: placed closer to the query than any base vector.  After
+    # the append it must be the probe's top-1; day-1-only indexing
+    # would never return it.
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])]
+    for i in range(1, 4):                      # blob A base members
+        rows.append((i, [float(i + 1), 0.0, 0.0, 0.0]))
+    for i in range(4, 8):                      # blob B seeds
+        rows.append((i, [1000.0 + i, 1000.0, 1000.0, 1000.0]))
+    for i in range(8, 18):
+        if i % 10 == 9:
+            continue
+        rows.append((i, [float(i - 4), 1.0, 0.0, 1.0]))  # blob A spread
+    rows.append((19, [0.5, 0.0, 0.0, 0.0]))    # the batch vector: NN
+    sf = _write(
+        tmp_path,
+        {"embeddings": pd.DataFrame(rows, columns=["vec_id", "embedding"])},
+    )
+    got = [r["vec_id"] for r in q_llm_ivfpq_index_append(spark, sf).collect()]
+    assert got, "probe returned nothing"
+    assert got[0] == 19, got
+    assert 19 in got and all(g not in range(4, 8) for g in got)

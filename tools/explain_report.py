@@ -163,6 +163,7 @@ QUERIES = [
     "dq_null_profile",           # r10c: one scan/table, schema-bounded rows
     "evt_anomaly_seasonal",      # r10c: hourly collapse + 168-cell baseline
     "llm_ivfpq_indexed",         # r10c: partition-pruned persisted ANN probe
+    "llm_ivfpq_index_append",    # r10c: O(batch) coding vs stored codebooks
 ]
 
 
