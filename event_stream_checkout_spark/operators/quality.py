@@ -1333,3 +1333,89 @@ def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# V9b: Benford decision row — one-glance χ² gate over all nine digits
+# ---------------------------------------------------------------------------
+
+# Upper 1% critical value of χ² with 8 degrees of freedom (standard
+# table value; public constant).
+_BENFORD_CHI2_CRIT_1PCT = 20.0902
+
+_SQL_BENFORD_P = "log10(1.0 + 1.0 / CAST(ds.digit AS DOUBLE))"
+
+
+@register(
+    "dq_benford_decision",
+    oracle="WITH q AS (SELECT CAST(floor(o_totalprice * 10000.0 + 0.5) "
+    "AS BIGINT) AS qp FROM orders), "
+    "d AS (SELECT CAST(substr(CAST(qp AS VARCHAR), 1, 1) AS BIGINT) "
+    "AS digit FROM q), "
+    "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d), "
+    "ds AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) "
+    "AS digit), "
+    "terms AS (SELECT "
+    "pow(CAST(coalesce(g.n, 0) AS DOUBLE) - CAST(t.n_total AS DOUBLE) * "
+    f"{_SQL_BENFORD_P}, 2) / (CAST(t.n_total AS DOUBLE) * "
+    f"{_SQL_BENFORD_P}) AS term "
+    "FROM ds LEFT JOIN g ON ds.digit = g.digit CROSS JOIN t) "
+    "SELECT round(CAST(sum(CAST(floor(term * 10000.0 + 0.5) "
+    "AS DECIMAL(25,0))) AS DOUBLE) / 10000.0, 4) AS chi2_total, "
+    "CAST(8 AS BIGINT) AS df, "
+    f"{_BENFORD_CHI2_CRIT_1PCT} AS critical_1pct, "
+    "CAST(sum(CAST(floor(term * 10000.0 + 0.5) AS DECIMAL(25,0))) "
+    f"AS DOUBLE) / 10000.0 > {_BENFORD_CHI2_CRIT_1PCT} AS reject "
+    "FROM terms",
+    doc="Benford decision row (V9b): V9's per-digit chi-square terms "
+    "collapsed to the one-glance gate an auditor reads — total χ² "
+    "over ALL NINE digit categories (a digit absent from the data "
+    "still contributes its full expected mass, which the "
+    "observed-digits-only V9 rows cannot show), df = 8, the standard "
+    "1% critical value, and the reject verdict.  The term sum rides "
+    "the fixed-point policy (each term quantized 1e-4, DECIMAL sum — "
+    "9 doubles summed in engine-specific order would not be "
+    "bit-stable).  Same one-scan shape as V9 plus a 9-row generated "
+    "digit domain.",
+)
+def q_dq_benford_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    g = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = o.agg(F.count(F.lit(1)).alias("n_total"))
+    ds = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    e = F.col("n_total").cast("double") * p
+    term = (
+        F.pow(F.coalesce(F.col("n"), F.lit(0)).cast("double") - e, F.lit(2.0))
+        / e
+    )
+    terms = (
+        ds.join(g, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(term.alias("term"))
+    )
+    tq = F.sum(
+        F.floor(F.col("term") * F.lit(10000.0) + F.lit(0.5)).cast(
+            "decimal(25,0)"
+        )
+    )
+    return terms.agg(
+        F.round(tq.cast("double") / 10000.0, 4).alias("chi2_total"),
+        F.lit(8).cast("long").alias("df"),
+        F.lit(_BENFORD_CHI2_CRIT_1PCT).alias("critical_1pct"),
+        (tq.cast("double") / 10000.0 > F.lit(_BENFORD_CHI2_CRIT_1PCT)).alias(
+            "reject"
+        ),
+    )

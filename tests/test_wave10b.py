@@ -573,3 +573,46 @@ def test_ivfpq_append_surfaces_new_nearest(spark, tmp_path):
     assert got, "probe returned nothing"
     assert got[0] == 19, got
     assert 19 in got and all(g not in range(4, 8) for g in got)
+
+
+# ---------------------------------------------------------------------------
+# V9b: absent digits still contribute expected mass; verdict is exact
+# ---------------------------------------------------------------------------
+
+
+def test_benford_decision_counts_absent_digits(spark, tmp_path):
+    from event_stream_checkout_spark.operators.quality import (
+        q_dq_benford_decision,
+    )
+
+    # All six prices lead with digit 9 — the LEAST Benford-likely
+    # digit (p≈0.046), so the d=9 term alone is ~119 and the eight
+    # absent categories add their full N·p expected mass: χ² ≈ 125,
+    # the 1% gate rejects.  (Six digit-1 values would NOT reject —
+    # χ² ≈ 13.9 < 20.09 — leading digit 1 is the Benford mode.)
+    # Replicated independently in python with the identical
+    # quantize-then-sum protocol.
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(6)),
+            "o_custkey": [1] * 6,
+            "o_orderstatus": ["O"] * 6,
+            "o_totalprice": [9.0, 90.0, 99.0, 900.0, 950.0, 9999.0],
+            "o_orderdate": [datetime(2024, 1, 1)] * 6,
+            "o_orderpriority": ["1-URGENT"] * 6,
+        }
+    )
+    sf = _write(tmp_path, {"orders": orders})
+    got = q_dq_benford_decision(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    n = 6
+    total_q = 0
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        obs = n if d == 9 else 0
+        term = (obs - n * p) ** 2 / (n * p)
+        total_q += math.floor(term * 10000.0 + 0.5)
+    assert abs(r["chi2_total"] - round(total_q / 10000.0, 4)) < 1e-9
+    assert r["df"] == 8
+    assert bool(r["reject"]) is True

@@ -164,6 +164,7 @@ QUERIES = [
     "evt_anomaly_seasonal",      # r10c: hourly collapse + 168-cell baseline
     "llm_ivfpq_indexed",         # r10c: partition-pruned persisted ANN probe
     "llm_ivfpq_index_append",    # r10c: O(batch) coding vs stored codebooks
+    "dq_benford_decision",       # r10c: fixed-point χ² gate, 9-digit domain
 ]
 
 
