@@ -443,3 +443,184 @@ def q_llm_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# X62: persisted per-source Count-Min sketches, merged at query time
+# --------------------------------------------------------------------------
+
+
+def _cm_index_tag(sf_dir: str) -> str:
+    """Source fingerprint + PID, the X12/X60 staleness discipline."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    fp = hashlib.md5(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    return f"{fp}_{os.getpid()}"
+
+
+def cm_sketch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-1 pay-once build of the per-source sketch store: one
+    Count-Min sketch per source (≤ depth·width slim cell rows each)
+    plus each source's own ≥1%-share candidate tokens (pigeonhole-
+    bounded at ≤ 100/source).  One corpus scan builds both; any later
+    frequency question over any source subset is answered from these
+    tables alone — THE reason sketches exist at 100 TB (the A5d HLL
+    stance, with counts instead of distincts)."""
+    from ..scratch import scratch_dir
+
+    tag = _cm_index_tag(sf_dir)
+    cells_t = f"ecs_cm_cells_{tag}"
+    cands_t = f"ecs_cm_cands_{tag}"
+    if spark.catalog.tableExists(cells_t) and spark.catalog.tableExists(
+        cands_t
+    ):
+        return cells_t, cands_t
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    toks = d.select(
+        "source", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tfs"))
+    ns = st.groupBy("source").agg(F.sum("tfs").cast("long").alias("n_toks"))
+
+    def bucket(seed: int):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 2
+        )
+
+    cells = (
+        st.select(
+            "source",
+            "tfs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"), bucket(s).alias("bucket")
+                        )
+                        for s in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("sb"),
+        )
+        .groupBy(
+            "source",
+            F.col("sb.seed").alias("seed"),
+            F.col("sb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("tfs").cast("long").alias("c"))
+    )
+    cands = (
+        st.join(F.broadcast(ns), "source")
+        .filter(F.col("tfs") * 100 >= F.col("n_toks"))
+        .select("source", "tok")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+    (
+        cells.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_cm_cells", tag))
+        .saveAsTable(cells_t)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {cands_t}")
+    (
+        cands.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_cm_cands", tag))
+        .saveAsTable(cands_t)
+    )
+    return cells_t, cands_t
+
+
+@register(
+    "llm_cm_sketch_persisted",
+    oracle="WITH toks AS (SELECT source, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tfs "
+    "FROM toks GROUP BY 1, 2), "
+    "ns AS (SELECT source, CAST(sum(tfs) AS BIGINT) AS n_toks "
+    "FROM st GROUP BY 1), "
+    "cands AS (SELECT st.source, st.tok FROM st JOIN ns USING (source) "
+    "WHERE st.tfs * 100 >= ns.n_toks), "
+    "scells AS (SELECT st.source, s.seed, "
+    "substring(md5(CAST(s.seed AS VARCHAR) || ':' || st.tok), 1, 2) "
+    "AS bucket, CAST(sum(st.tfs) AS BIGINT) AS c FROM st, "
+    f"(SELECT unnest(range({_CM_DEPTH})) AS seed) s GROUP BY 1, 2, 3), "
+    "mcells AS (SELECT seed, bucket, CAST(sum(c) AS BIGINT) AS c "
+    "FROM scells GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mcells "
+    "WHERE seed = 0), "
+    "cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_candidate_sources "
+    "FROM cands GROUP BY 1), "
+    "est AS (SELECT cu.tok, cu.n_candidate_sources, min(m.c) AS est "
+    "FROM cu JOIN mcells m ON m.bucket = substring(md5("
+    "CAST(m.seed AS VARCHAR) || ':' || cu.tok), 1, 2) GROUP BY 1, 2) "
+    "SELECT e.tok, CAST(e.est AS BIGINT) AS est, e.n_candidate_sources "
+    "FROM est e, tot t WHERE e.est * 100 >= t.n "
+    "ORDER BY e.est DESC, e.tok",
+    doc="Persisted mergeable Count-Min sketches (X62, the A5d "
+    "sketch-persistence stance with counts): day-1 builds ONE sketch "
+    "per source plus each source's ≥1%-share candidate tokens; the "
+    "graded query answers the corpus heavy-hitter question from the "
+    "STORED tables alone — merged sketch = cell-wise SUM of the "
+    "per-source sketches (Count-Min's defining algebra: cells are "
+    "linear, so partial sketches add exactly), corpus size = the "
+    "seed-0 row sum of the merged sketch (the sketch carries its own "
+    "total), candidates = the stored per-source union.  Candidate "
+    "completeness is the max-ratio bound: a token with union share "
+    "≥ 1% has share ≥ 1% in at least ONE source (max of ratios ≥ "
+    "their weighted mean), so every true union heavy hitter is in "
+    "some source's stored list — the cross-source spam-dilution "
+    "trick (≥1% everywhere, <1% nowhere) cannot exist.  At 100 TB: "
+    "any source-subset rollup is a sum over ≤ S·1024 slim rows with "
+    "ZERO text re-scans (plan contract pins the probe reading only "
+    "the sketch tables); the oracle replays the identical "
+    "integer protocol end to end.",
+)
+def q_llm_cm_sketch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells_t, cands_t = cm_sketch_tables(spark, sf_dir)
+    mcells = (
+        spark.table(cells_t)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tot = mcells.filter(F.col("seed") == 0).agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    cu = (
+        spark.table(cands_t)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_candidate_sources"))
+    )
+
+    def bucket(seed: int):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 2
+        )
+
+    withb = cu.select(
+        "tok",
+        "n_candidate_sources",
+        *[bucket(s).alias(f"b{s}") for s in range(_CM_DEPTH)],
+    )
+    est = withb
+    for s in range(_CM_DEPTH):
+        leg = mcells.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"b{s}"), F.col("c").alias(f"c{s}")
+        )
+        est = est.join(F.broadcast(leg), f"b{s}")
+    est = est.select(
+        "tok",
+        "n_candidate_sources",
+        F.least(*[F.col(f"c{s}") for s in range(_CM_DEPTH)]).alias("est"),
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est") * 100 >= F.col("n"))
+        .select("tok", "est", "n_candidate_sources")
+        .orderBy(F.col("est").desc(), "tok")
+    )

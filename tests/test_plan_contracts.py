@@ -870,3 +870,18 @@ def test_ivfpq_indexed_equals_retraining_path(spark):
         for r in QUERIES["llm_ivfpq_topk"].fn(spark, SF_DIR).collect()
     ]
     assert got_idx == got_live
+
+
+def test_cm_persisted_probe_reads_sketches_only(spark):
+    """X62: the heavy-hitter probe is served ENTIRELY by the persisted
+    sketch store — zero scans of the documents corpus in the query
+    plan (the build pays the one corpus scan outside it); the merged
+    cells and candidate rollups are the only aggregates."""
+    from event_stream_checkout_spark.operators.llm_sketch import (
+        cm_sketch_tables,
+    )
+
+    cm_sketch_tables(spark, SF_DIR)
+    plan = executed_plan(spark, "llm_cm_sketch_persisted", full=True)
+    assert "documents.parquet" not in plan, "corpus re-scanned in probe"
+    assert "ecs_cm_cells_" in plan and "ecs_cm_cands_" in plan

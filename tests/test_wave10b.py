@@ -616,3 +616,35 @@ def test_benford_decision_counts_absent_digits(spark, tmp_path):
     assert abs(r["chi2_total"] - round(total_q / 10000.0, 4)) < 1e-9
     assert r["df"] == 8
     assert bool(r["reject"]) is True
+
+
+# ---------------------------------------------------------------------------
+# X62: probe is served by the stored sketches; dilution can't hide a hitter
+# ---------------------------------------------------------------------------
+
+
+def test_cm_persisted_candidates_and_merge(spark, tmp_path):
+    from event_stream_checkout_spark.operators.llm_sketch import (
+        q_llm_cm_sketch_persisted,
+    )
+
+    # Source A: 'hot' is 10 of 20 tokens (50% share) -> stored as an
+    # A-candidate, union share 10/120 ≈ 8.3% -> must be reported with
+    # est >= exact 10 (Count-Min estimates are upper bounds).
+    # 'fill' tokens are unique -> no other candidate crosses 1% of the
+    # 120-token union except B's repeated 'beta' (40/120 = 33%).
+    docs = []
+    a_text = " ".join(["hot"] * 10 + [f"fa{i}" for i in range(10)])
+    b_text = " ".join(["beta"] * 40 + [f"fb{i}" for i in range(60)])
+    docs.append({"doc_id": 1, "text": a_text, "lang": "en",
+                 "source": "A", "n_chars": len(a_text)})
+    docs.append({"doc_id": 2, "text": b_text, "lang": "en",
+                 "source": "B", "n_chars": len(b_text)})
+    sf = _write(tmp_path, {"documents": pd.DataFrame(docs)})
+    got = {r["tok"]: r for r in q_llm_cm_sketch_persisted(spark, sf).collect()}
+    assert "hot" in got and "beta" in got
+    assert got["hot"]["est"] >= 10       # upper bound of the exact 10
+    assert got["beta"]["est"] >= 40
+    assert got["hot"]["n_candidate_sources"] == 1
+    # every reported token clears the integer threshold est*100 >= 120
+    assert all(r["est"] * 100 >= 120 for r in got.values())
