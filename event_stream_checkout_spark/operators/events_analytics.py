@@ -1832,3 +1832,138 @@ def q_evt_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# E23: Kaplan-Meier retention survival curve
+# ---------------------------------------------------------------------------
+
+_KM_PROD_GAP_DAYS = 7   # production default for survival_km callers
+# Graded gap: the synthetic corpora have NO 7-day-silent users (max
+# observed inactivity is 2 days at every SF — everyone stays active
+# through the window), so the graded key uses the strictest gap:
+# a user not active on the watermark day itself counts as churned.
+# This makes the curve non-vacuous (real deaths, real censoring)
+# while production callers pass their own gap to survival_km().
+_KM_CHURN_GAP_DAYS = 0
+
+
+@register(
+    "evt_survival_km",
+    oracle="WITH u AS (SELECT user_id, "
+    "min(CAST(ts AS DATE) - DATE '1970-01-01') AS f, "
+    "max(CAST(ts AS DATE) - DATE '1970-01-01') AS l "
+    "FROM events GROUP BY 1), "
+    "wm AS (SELECT max(l) AS w FROM u), "
+    "obs AS (SELECT CAST(u.l - u.f AS BIGINT) AS t, "
+    f"CASE WHEN wm.w - u.l > {_KM_CHURN_GAP_DAYS} THEN 1 ELSE 0 END "
+    "AS churned FROM u, wm), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs), "
+    "g AS (SELECT t, CAST(sum(churned) AS BIGINT) AS d, "
+    "CAST(count(*) AS BIGINT) AS leave FROM obs GROUP BY 1), "
+    "r AS (SELECT g.t, g.d, CAST(tot.n_users - "
+    "coalesce(sum(g.leave) OVER (ORDER BY g.t "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS n_risk FROM g, tot), "
+    "k AS (SELECT t, d, n_risk, "
+    "CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead, "
+    "CASE WHEN d < n_risk THEN CAST(floor(ln(1.0 - "
+    "CAST(d AS DOUBLE) / n_risk) * 1000000.0 + 0.5) AS BIGINT) "
+    "ELSE 0 END AS lnq FROM r WHERE d > 0), "
+    "c AS (SELECT t, d, n_risk, "
+    "CAST(sum(lnq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS slnq, "
+    "max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS anydead "
+    "FROM k) "
+    "SELECT t AS duration_days, n_risk, d AS n_churned, "
+    "round(1.0 - CAST(d AS DOUBLE) / n_risk, 6) AS factor, "
+    "CASE WHEN anydead = 1 THEN 0.0 ELSE "
+    "round(exp(CAST(slnq AS DOUBLE) / 1000000.0), 6) END AS survival "
+    "FROM c ORDER BY 1",
+    doc="Kaplan-Meier retention survival (E23): S(t) = Π (1 − dᵢ/nᵢ) "
+    "over observed churn durations — the censoring-aware lifetime "
+    "curve (E19's recency histogram can't distinguish a user who "
+    "churned at day 3 from one who JOINED 3 days ago; KM counts the "
+    "latter as at-risk until their observation ends).  Protocol: a "
+    "user's duration is last−first epoch day; churned if silent "
+    "longer than the churn gap against the corpus watermark, else "
+    "censored at their observed duration (production default 7 "
+    "days; the GRADED key pins gap=0 — the synthetic corpora have "
+    "no 7-day-silent users, so the strictest gap is the one that "
+    "makes the curve non-vacuous; see _KM_CHURN_GAP_DAYS).  Cross-engine exactness "
+    "rides the perplexity-family ln protocol: each factor's "
+    "ln(1−d/n) — an identical double tree over exact integers — "
+    "quantizes to 1e-6 BEFORE the cumulative sum (order-free integer "
+    "adds), and S(t) = exp of the rescaled sum, rounded 1e-6; a "
+    "d = n step (everyone at risk churns) zeroes the curve exactly "
+    "rather than feeding ln(0).  Scale: one per-user collapse "
+    "(uniform user_id shuffle), then everything lives on the "
+    "calendar-bounded duration domain — the cumulative windows never "
+    "see data-sized frames.",
+)
+def q_evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ed = F.unix_date(F.col("ts").cast("date")).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.min(ed).alias("f"), F.max(ed).alias("l")
+    )
+    wm = u.agg(F.max("l").alias("w"))
+    obs = u.crossJoin(F.broadcast(wm)).select(
+        (F.col("l") - F.col("f")).cast("long").alias("t"),
+        F.when(
+            F.col("w") - F.col("l") > _KM_CHURN_GAP_DAYS, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n_users"))
+    g = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).alias("leave"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("leave").over(wprev), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    lnq = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = r.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(lnq).over(wcum).cast("long").alias("slnq"),
+        F.max(dead).over(wcum).alias("anydead"),
+    )
+    return c.select(
+        F.col("t").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.round(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), 6
+        ).alias("factor"),
+        F.when(F.col("anydead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("slnq").cast("double") / F.lit(1000000.0)), 6)
+        )
+        .alias("survival"),
+    ).orderBy("duration_days")

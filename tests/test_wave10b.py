@@ -648,3 +648,38 @@ def test_cm_persisted_candidates_and_merge(spark, tmp_path):
     assert got["hot"]["n_candidate_sources"] == 1
     # every reported token clears the integer threshold est*100 >= 120
     assert all(r["est"] * 100 >= 120 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# E23: hand-computed KM curve with censoring
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_hand_curve(spark, tmp_path):
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_survival_km,
+    )
+
+    d = lambda off, h=9: datetime(2024, 4, 1 + off, h)
+    rows = []
+    eid = 0
+    def span(u, first, last):
+        nonlocal eid
+        rows.append((eid, d(first), u, "view", 1.0, "{}")); eid += 1
+        if last != first:
+            rows.append((eid, d(last), u, "view", 1.0, "{}")); eid += 1
+    span(1, 0, 2)    # churned at duration 2
+    span(2, 0, 2)    # churned at duration 2
+    span(3, 0, 5)    # churned at duration 5
+    span(4, 0, 29)   # active through the watermark: censored at 29
+    sf = _write(tmp_path, {"events": pd.DataFrame(rows, columns=EV_COLS)})
+    got = {r["duration_days"]: r for r in q_evt_survival_km(
+        spark, sf
+    ).collect()}
+    # KM: t=2 -> n=4, d=2, S=0.5;  t=5 -> n=2, d=1, S=0.25.
+    # The censored user contributes to the risk sets but never a row.
+    assert set(got) == {2, 5}
+    assert (got[2]["n_risk"], got[2]["n_churned"]) == (4, 2)
+    assert abs(got[2]["survival"] - 0.5) < 1e-6
+    assert (got[5]["n_risk"], got[5]["n_churned"]) == (2, 1)
+    assert abs(got[5]["survival"] - 0.25) < 1e-6

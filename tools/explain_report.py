@@ -166,6 +166,7 @@ QUERIES = [
     "llm_ivfpq_index_append",    # r10c: O(batch) coding vs stored codebooks
     "dq_benford_decision",       # r10c: fixed-point χ² gate, 9-digit domain
     "llm_cm_sketch_persisted",   # r10c: zero-corpus-byte sketch-store probe
+    "evt_survival_km",           # r10c: per-user collapse + duration domain
 ]
 
 
