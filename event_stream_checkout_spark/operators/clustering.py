@@ -138,6 +138,119 @@ def _argmin(dq: DataFrame) -> DataFrame:
     )
 
 
+def _assign_expr(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Expression-only argmin assignment: collapse the ≤k-row
+    centroid-array frame to ONE row holding an array of (cluster,
+    carr) structs, broadcast it, and compute each corpus row's argmin
+    inside a single expression — transform over the centroid array,
+    per-centroid fixed-point distance fold, array_min of the
+    orderable (dq, cluster) struct.  Kept as the pure-Catalyst
+    reference implementation of the assignment SEMANTICS (the
+    identity witness for _assign's vectorized path); measured at
+    sf1/K=256 it ties the n·k row formulation — higher-order array
+    functions don't reach whole-stage-codegen tightness."""
+    cents = cent_arr.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster").alias("cluster"), F.col("carr").alias("carr"))
+            )
+        ).alias("cents")
+    )
+    term = lambda v, c: quant(  # noqa: E731
+        (v.cast("double") - c) * (v.cast("double") - c)
+    ).cast("long")
+    dq_of = lambda carr: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("embedding"), carr, term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                dq_of(s["carr"]).alias("dq"), s["cluster"].alias("cluster")
+            ),
+        )
+    )
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", best.alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.dq").alias("dq"),
+        )
+    )
+
+
+def _assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Vectorized argmin assignment (r11 perf): ship the ≤k-row
+    centroid matrix to every task as a numpy array (a BOUNDED driver
+    collect — ≤256×d doubles, the nprobe-centroid class the repo's
+    collect policy already allows) and compute each Arrow batch's
+    full distance matrix with numpy broadcasting inside mapInPandas:
+    (b, k, d) difference tensor → per-dim floor(x²·1e4 + 0.5) →
+    int64 row sums → argmin.
+
+    Numerically IDENTICAL to ``_argmin(_distances(e, cent_arr))`` and
+    to ``_assign_expr``: numpy float64 ops are the same IEEE-754
+    operations in the same order as the Catalyst expression tree, the
+    int64 sum is the same exact accumulator, and np.argmin's
+    first-minimum rule over the cluster-ascending matrix is the same
+    (dq, cluster) tiebreak as the min-of-struct (pinned by
+    tests/test_wave6.py::test_assign_matches_argmin at both engine
+    arities).  Why not expressions: the per-term fold is the whole
+    cost of k-means/PQ at scale (n·k·d terms — 1.6B per subspace pass
+    at sf10/K=256), and measured head-to-head the HOF expression and
+    the n·k row formulation both run ~6× slower than the numpy batch
+    kernel (SCALE.md r11).  Scale shape: one scan-local Arrow pass
+    over the corpus, zero shuffle, O(k·d) task-side state;
+    per-batch memory is bounded by chunking rows so the (rows, k, d)
+    tensor stays ≤64 MB.  Precondition (same as the expression path):
+    embedding vectors are non-null, fixed-length — the engine's
+    embeddings contract (the null sweep nulls labels, never vectors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        cent_arr.select("cluster", "carr").collect(),
+        key=lambda r: r["cluster"],
+    )
+    clusters = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["carr"] for r in rows], dtype=np.float64)
+
+    def part(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            vmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            oc = np.empty(m, np.int64)
+            od = np.empty(m, np.int64)
+            # chunk rows so the (rows, k, d) float64 tensor stays small
+            step = max(1, 8_000_000 // max(1, cmat.shape[0] * cmat.shape[1]))
+            for s in range(0, m, step):
+                vc = vmat[s : s + step]
+                diff = vc[:, None, :] - cmat[None, :, :]
+                dq = (
+                    np.floor(diff * diff * 10000.0 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                idx = dq.argmin(axis=1)
+                oc[s : s + len(vc)] = clusters[idx]
+                od[s : s + len(vc)] = dq[np.arange(len(vc)), idx]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": oc, "dq": od}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        part, "vec_id long, cluster long, dq long"
+    )
+
+
 def _centroid_arrays(cent: DataFrame) -> DataFrame:
     """(cluster, dim, cval) → (cluster, carr) with carr ordered by dim."""
     return cent.groupBy("cluster").agg(
@@ -173,23 +286,35 @@ def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
 
 
 def kmeans_refined_full(
-    e: DataFrame, k: int
+    e: DataFrame, k: int, train: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """kmeans_refined PLUS the learned centroid-array frame itself —
     the persisted-index build (X60) must store the codebooks, not just
     the assignments, so query sessions can recompute LUTs without
     retraining.  Same single Lloyd pass; cent2 is the pinned k-row
-    frame, so returning it costs nothing extra."""
+    frame, so returning it costs nothing extra.
+
+    ``train`` (r10 verdict item 5): when given, the Lloyd pass — first
+    assignment and centroid update — runs on that subset only while
+    seeds stay the full corpus's first k vectors (deterministic
+    regardless of the sample) and the FINAL assignment d2/a2 still
+    covers every row of ``e``.  This is how production quantizers
+    train (FAISS trains codebooks on a sample, codes everything);
+    training cost drops with |train| while the coded output remains
+    corpus-complete.  A cluster with no training members drops out of
+    the codebook on both engines identically (its c1 group is simply
+    absent)."""
+    t = e if train is None else train
     seeds = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"),
         F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
             "carr"
         ),
     )
-    a1 = _argmin(_distances(e, seeds))
+    a1 = _assign(t, seeds)
     # Centroid update stays on the exploded form: (cluster, dim) keys
     # collapse map-side to k·d rows — the cheap leg.
-    ex = e.select(
+    ex = t.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
     c1 = (
@@ -199,7 +324,7 @@ def kmeans_refined_full(
     )
     cent2 = _centroid_arrays(c1).localCheckpoint()
     d2 = _distances(e, cent2)
-    return cent2, d2, _argmin(d2)
+    return cent2, d2, _assign(e, cent2)
 
 
 def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
@@ -552,6 +677,33 @@ def _sql_pq_half(tag: str, pred: str) -> str:
     )
 
 
+# Sampled-training threshold (r10 verdict item 5): codebooks train on
+# the md5(vec_id)-keyed half-corpus — the llm_sample_hash rule
+# (reproducible across runs, engines, partitionings) — while the final
+# coding pass still covers every vector.
+_PQ_TRAIN_HI = "8000"
+_PQ_TRAIN_PRED = (
+    f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{_PQ_TRAIN_HI}'"
+)
+
+
+def _sql_pq_half_sampled(tag: str, pred: str) -> str:
+    """_sql_pq_half with the Lloyd pass (first assignment + centroid
+    update) restricted to the md5-keyed training half; seeds stay the
+    full corpus's first k vectors and the FINAL assignment d2/a2 still
+    covers every row — same CTE names, so consumers are unchanged."""
+    return (
+        f"ex{tag} AS (SELECT * FROM ex WHERE {pred}), "
+        f"tr{tag} AS (SELECT * FROM ex{tag} WHERE {_PQ_TRAIN_PRED}), "
+        f"seeds{tag} AS (SELECT vec_id AS cluster, dim, val AS cval "
+        f"FROM ex{tag} WHERE vec_id < {_PQ_K}), "
+        + _sql_pq_assign(f"tr{tag}", f"seeds{tag}", f"d1{tag}", f"a1{tag}")
+        + f", c1{tag} AS (SELECT a.cluster, x.dim, {sql_davg('x.val')} AS cval "
+        f"FROM tr{tag} x JOIN a1{tag} a ON x.vec_id = a.vec_id GROUP BY 1, 2), "
+        + _sql_pq_assign(f"ex{tag}", f"c1{tag}", f"d2{tag}", f"a2{tag}")
+    )
+
+
 @register(
     "llm_pq_code",
     oracle=f"WITH {_SQL_EX}, "
@@ -714,9 +866,9 @@ _ADC_SHORTLIST = 50
     "llm_pq_rerank_topk",
     oracle=f"WITH {_SQL_EX}, "
     "h AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1), "
-    + _sql_pq_half("a", "dim < (SELECT h FROM h)")
+    + _sql_pq_half_sampled("a", "dim < (SELECT h FROM h)")
     + ", "
-    + _sql_pq_half("b", "dim >= (SELECT h FROM h)")
+    + _sql_pq_half_sampled("b", "dim >= (SELECT h FROM h)")
     + ", luta AS (SELECT cluster, dq FROM d2a WHERE vec_id = 0), "
     "lutb AS (SELECT cluster, dq FROM d2b WHERE vec_id = 0), "
     "short AS (SELECT a.vec_id FROM a2a a "
@@ -744,7 +896,12 @@ _ADC_SHORTLIST = 50
     "codebooks here bound shortlist recall exactly as nprobe bounds "
     "IVF recall — measured in tests/test_wave7.py and swept across "
     "arities by tools/pq_sweep.py; at K=256 recall is ~1, recorded "
-    "in SCALE.md). Engine shape: the shortlist "
+    "in SCALE.md). Codebooks train on the md5(vec_id)-keyed "
+    "half-corpus (r10 verdict item 5 — the X29b sampled-training "
+    "precedent: FAISS-style quantizers learn on a sample and code "
+    "everything; in-key full-corpus training made this the slowest "
+    "key in the sf10 suite), while the graded ADC scan and the "
+    "exact rerank remain corpus-complete. Engine shape: the shortlist "
     "is a TakeOrdered over the broadcast-LUT-scored code frame (no "
     "corpus shuffle), and the rerank joins 50 vec_ids back against "
     "the embeddings scan — a broadcast semi-join — then folds exact "
@@ -761,8 +918,9 @@ def q_llm_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    d2a, aa = kmeans_refined(sub_a, _PQ_K)
-    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    tr = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < _PQ_TRAIN_HI
+    _, d2a, aa = kmeans_refined_full(sub_a, _PQ_K, train=sub_a.filter(tr))
+    _, d2b, ab = kmeans_refined_full(sub_b, _PQ_K, train=sub_b.filter(tr))
     luta = d2a.filter(F.col("vec_id") == 0).select(
         "cluster", F.col("dq").alias("la")
     )
@@ -1900,22 +2058,16 @@ def ivfpq_refreshed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # oracle hash).
     cf = spark.table(cents)
     batch = e.filter(F.expr(_ANN_BATCH_PRED))
-    bcell = _argmin(
-        _distances(
-            batch, cf.filter(F.col("kind") == "coarse").select("cluster", "carr")
-        )
+    bcell = _assign(
+        batch, cf.filter(F.col("kind") == "coarse").select("cluster", "carr")
     ).select("vec_id", F.col("cluster").alias("cell"))
-    bca = _argmin(
-        _distances(
-            half_a(batch),
-            cf.filter(F.col("kind") == "pqa").select("cluster", "carr"),
-        )
+    bca = _assign(
+        half_a(batch),
+        cf.filter(F.col("kind") == "pqa").select("cluster", "carr"),
     ).select("vec_id", F.col("cluster").alias("ca"))
-    bcb = _argmin(
-        _distances(
-            half_b(batch),
-            cf.filter(F.col("kind") == "pqb").select("cluster", "carr"),
-        )
+    bcb = _assign(
+        half_b(batch),
+        cf.filter(F.col("kind") == "pqb").select("cluster", "carr"),
     ).select("vec_id", F.col("cluster").alias("cb"))
     batch_codes = bcell.join(bca, "vec_id").join(bcb, "vec_id")
     cols = spark.table(codes).columns  # data cols first, partition last

@@ -1848,74 +1848,43 @@ _KM_PROD_GAP_DAYS = 7   # production default for survival_km callers
 _KM_CHURN_GAP_DAYS = 0
 
 
-@register(
-    "evt_survival_km",
-    oracle="WITH u AS (SELECT user_id, "
-    "min(CAST(ts AS DATE) - DATE '1970-01-01') AS f, "
-    "max(CAST(ts AS DATE) - DATE '1970-01-01') AS l "
-    "FROM events GROUP BY 1), "
-    "wm AS (SELECT max(l) AS w FROM u), "
-    "obs AS (SELECT CAST(u.l - u.f AS BIGINT) AS t, "
-    f"CASE WHEN wm.w - u.l > {_KM_CHURN_GAP_DAYS} THEN 1 ELSE 0 END "
-    "AS churned FROM u, wm), "
-    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs), "
-    "g AS (SELECT t, CAST(sum(churned) AS BIGINT) AS d, "
-    "CAST(count(*) AS BIGINT) AS leave FROM obs GROUP BY 1), "
-    "r AS (SELECT g.t, g.d, CAST(tot.n_users - "
-    "coalesce(sum(g.leave) OVER (ORDER BY g.t "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
-    "AS n_risk FROM g, tot), "
-    "k AS (SELECT t, d, n_risk, "
-    "CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead, "
-    "CASE WHEN d < n_risk THEN CAST(floor(ln(1.0 - "
-    "CAST(d AS DOUBLE) / n_risk) * 1000000.0 + 0.5) AS BIGINT) "
-    "ELSE 0 END AS lnq FROM r WHERE d > 0), "
-    "c AS (SELECT t, d, n_risk, "
-    "CAST(sum(lnq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) "
-    "AS BIGINT) AS slnq, "
-    "max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS anydead "
-    "FROM k) "
-    "SELECT t AS duration_days, n_risk, d AS n_churned, "
-    "round(1.0 - CAST(d AS DOUBLE) / n_risk, 6) AS factor, "
-    "CASE WHEN anydead = 1 THEN 0.0 ELSE "
-    "round(exp(CAST(slnq AS DOUBLE) / 1000000.0), 6) END AS survival "
-    "FROM c ORDER BY 1",
-    doc="Kaplan-Meier retention survival (E23): S(t) = Π (1 − dᵢ/nᵢ) "
-    "over observed churn durations — the censoring-aware lifetime "
-    "curve (E19's recency histogram can't distinguish a user who "
-    "churned at day 3 from one who JOINED 3 days ago; KM counts the "
-    "latter as at-risk until their observation ends).  Protocol: a "
-    "user's duration is last−first epoch day; churned if silent "
-    "longer than the churn gap against the corpus watermark, else "
-    "censored at their observed duration (production default 7 "
-    "days; the GRADED key pins gap=0 — the synthetic corpora have "
-    "no 7-day-silent users, so the strictest gap is the one that "
-    "makes the curve non-vacuous; see _KM_CHURN_GAP_DAYS).  Cross-engine exactness "
-    "rides the perplexity-family ln protocol: each factor's "
-    "ln(1−d/n) — an identical double tree over exact integers — "
-    "quantizes to 1e-6 BEFORE the cumulative sum (order-free integer "
-    "adds), and S(t) = exp of the rescaled sum, rounded 1e-6; a "
-    "d = n step (everyone at risk churns) zeroes the curve exactly "
-    "rather than feeding ln(0).  Scale: one per-user collapse "
-    "(uniform user_id shuffle), then everything lives on the "
-    "calendar-bounded duration domain — the cumulative windows never "
-    "see data-sized frames.",
-)
-def q_evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    ed = F.unix_date(F.col("ts").cast("date")).cast("long")
-    u = e.groupBy("user_id").agg(
-        F.min(ed).alias("f"), F.max(ed).alias("l")
+def _sql_km(obs_ctes: str) -> str:
+    """DuckDB Kaplan-Meier curve over an ``obs(t, churned)`` CTE chain
+    (the argument must end by defining ``obs``) — factored so the
+    natural-domain key (E23) and the synthesized censoring key (E23b)
+    grade the SAME curve protocol over different observation frames."""
+    return (
+        "WITH " + obs_ctes + ", "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs), "
+        "g AS (SELECT t, CAST(sum(churned) AS BIGINT) AS d, "
+        "CAST(count(*) AS BIGINT) AS leave FROM obs GROUP BY 1), "
+        "r AS (SELECT g.t, g.d, CAST(tot.n_users - "
+        "coalesce(sum(g.leave) OVER (ORDER BY g.t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS n_risk FROM g, tot), "
+        "k AS (SELECT t, d, n_risk, "
+        "CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead, "
+        "CASE WHEN d < n_risk THEN CAST(floor(ln(1.0 - "
+        "CAST(d AS DOUBLE) / n_risk) * 1000000.0 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS lnq FROM r WHERE d > 0), "
+        "c AS (SELECT t, d, n_risk, "
+        "CAST(sum(lnq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS slnq, "
+        "max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS anydead "
+        "FROM k) "
+        "SELECT t AS duration_days, n_risk, d AS n_churned, "
+        "round(1.0 - CAST(d AS DOUBLE) / n_risk, 6) AS factor, "
+        "CASE WHEN anydead = 1 THEN 0.0 ELSE "
+        "round(exp(CAST(slnq AS DOUBLE) / 1000000.0), 6) END AS survival "
+        "FROM c ORDER BY 1"
     )
-    wm = u.agg(F.max("l").alias("w"))
-    obs = u.crossJoin(F.broadcast(wm)).select(
-        (F.col("l") - F.col("f")).cast("long").alias("t"),
-        F.when(
-            F.col("w") - F.col("l") > _KM_CHURN_GAP_DAYS, F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .alias("churned"),
-    )
+
+
+def _km_curve(obs: DataFrame) -> DataFrame:
+    """Spark side of the KM protocol over an ``obs(t, churned)`` frame:
+    fixed-point ln quantization BEFORE the cumulative sum, exact zero
+    on a d = n step.  Everything here lives on the duration domain —
+    the cumulative windows never see data-sized frames."""
     tot = obs.agg(F.count(F.lit(1)).alias("n_users"))
     g = obs.groupBy("t").agg(
         F.sum("churned").cast("long").alias("d"),
@@ -1967,3 +1936,110 @@ def q_evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     ).orderBy("duration_days")
+
+
+@register(
+    "evt_survival_km",
+    oracle=_sql_km(
+        "u AS (SELECT user_id, "
+        "min(CAST(ts AS DATE) - DATE '1970-01-01') AS f, "
+        "max(CAST(ts AS DATE) - DATE '1970-01-01') AS l "
+        "FROM events GROUP BY 1), "
+        "wm AS (SELECT max(l) AS w FROM u), "
+        "obs AS (SELECT CAST(u.l - u.f AS BIGINT) AS t, "
+        f"CASE WHEN wm.w - u.l > {_KM_CHURN_GAP_DAYS} THEN 1 ELSE 0 END "
+        "AS churned FROM u, wm)"
+    ),
+    doc="Kaplan-Meier retention survival (E23): S(t) = Π (1 − dᵢ/nᵢ) "
+    "over observed churn durations — the censoring-aware lifetime "
+    "curve (E19's recency histogram can't distinguish a user who "
+    "churned at day 3 from one who JOINED 3 days ago; KM counts the "
+    "latter as at-risk until their observation ends).  Protocol: a "
+    "user's duration is last−first epoch day; churned if silent "
+    "longer than the churn gap against the corpus watermark, else "
+    "censored at their observed duration (production default 7 "
+    "days; the GRADED key pins gap=0 — the synthetic corpora have "
+    "no 7-day-silent users, so the strictest gap is the one that "
+    "makes the curve non-vacuous; see _KM_CHURN_GAP_DAYS).  Cross-engine exactness "
+    "rides the perplexity-family ln protocol: each factor's "
+    "ln(1−d/n) — an identical double tree over exact integers — "
+    "quantizes to 1e-6 BEFORE the cumulative sum (order-free integer "
+    "adds), and S(t) = exp of the rescaled sum, rounded 1e-6; a "
+    "d = n step (everyone at risk churns) zeroes the curve exactly "
+    "rather than feeding ln(0).  Scale: one per-user collapse "
+    "(uniform user_id shuffle), then everything lives on the "
+    "calendar-bounded duration domain — the cumulative windows never "
+    "see data-sized frames.",
+)
+def q_evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ed = F.unix_date(F.col("ts").cast("date")).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.min(ed).alias("f"), F.max(ed).alias("l")
+    )
+    wm = u.agg(F.max("l").alias("w"))
+    obs = u.crossJoin(F.broadcast(wm)).select(
+        (F.col("l") - F.col("f")).cast("long").alias("t"),
+        F.when(
+            F.col("w") - F.col("l") > _KM_CHURN_GAP_DAYS, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    return _km_curve(obs)
+
+
+# ---------------------------------------------------------------------------
+# E23b: KM with the censoring branch actually firing (synthesized domain)
+# ---------------------------------------------------------------------------
+
+_KM_SYN_MOD = 997    # synthesized day modulus (event_id % mod)
+_KM_SYN_BUCKET = 64  # duration discretization (forces shared-t rows)
+
+
+@register(
+    "evt_survival_km_censored",
+    oracle=_sql_km(
+        "u AS (SELECT user_id, "
+        f"min(event_id % {_KM_SYN_MOD}) AS f, "
+        f"max(event_id % {_KM_SYN_MOD}) AS l "
+        "FROM events GROUP BY 1), "
+        "wm AS (SELECT max(l) AS w FROM u), "
+        f"obs AS (SELECT CAST((u.l - u.f) // {_KM_SYN_BUCKET} AS BIGINT) "
+        f"AS t, CASE WHEN wm.w - u.l > {_KM_PROD_GAP_DAYS} THEN 1 ELSE 0 "
+        "END AS churned FROM u, wm)"
+    ),
+    doc="KM survival with REAL censoring under the oracle (E23b, r10 "
+    "verdict item 2): E23's graded censoring gap is pinned at 0 "
+    "because no driver corpus contains a 7-day-silent user — the "
+    "gap>0 branch carried test evidence only.  Here the day domain "
+    "is SYNTHESIZED (day = event_id mod 997 — deterministic, "
+    "engine-neutral integer arithmetic on a stable key, the "
+    "evt_ewma_long precedent) so per-user last-activity days spread "
+    "across the modulus and the PRODUCTION gap=7 genuinely "
+    "partitions users into churned (silent > 7 synthesized days "
+    "before the watermark) and censored; durations discretize by 64 "
+    "so churned and censored users SHARE duration rows — the "
+    "at-risk denominators the curve divides by now shrink from "
+    "censoring, not only from deaths (n_churned < leavers on shared "
+    "rows, pinned by tests/test_wave10b.py).  Same fixed-point ln "
+    "protocol and curve plan as E23 (shared _km_curve/_sql_km); "
+    "same scale shape — one per-user collapse, then the bounded "
+    "duration domain.",
+)
+def q_evt_survival_km_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sd = (F.col("event_id") % _KM_SYN_MOD).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.min(sd).alias("f"), F.max(sd).alias("l")
+    )
+    wm = u.agg(F.max("l").alias("w"))
+    obs = u.crossJoin(F.broadcast(wm)).select(
+        F.expr(f"CAST((l - f) div {_KM_SYN_BUCKET} AS BIGINT)").alias("t"),
+        F.when(
+            F.col("w") - F.col("l") > _KM_PROD_GAP_DAYS, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    return _km_curve(obs)

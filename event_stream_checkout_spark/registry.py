@@ -116,32 +116,30 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r10: engine changed on previously green keys.
-    "evt_ewma_daily",     # in-key delegation removed (ADVICE r9): the
-                          # graded key is now unconditionally the
-                          # closed form; crossover moved to the
-                          # explicit ewma_daily_auto helper (the
-                          # delegation regime is graded by the new
-                          # evt_ewma_long key)
-    "dq_referential_integrity",  # the three lineitem FK edges now
-                          # share ONE scan via a scan-local stack
-                          # (r9 verdict item 2)
-    "llm_pq_code",        # codebook arity K: 4 → 256 (r9 verdict
-    "llm_pq_adc_topk",    # item 1, production arity): same plan,
-    "llm_pq_rerank_topk",  # 256 seeds / 512 LUT scalars; outputs
-                          # change (finer codes), so engine AND
-                          # oracle re-grade together
-    "src_jsonl_documents",  # rollup localCheckpoint + staging-dir
-    "src_csv_events",     # cleanup (ADVICE r9 temp leak): output
-                          # identical, plan gains the pinned rollup
-    # r10 second wave: kmeans_refined now pins the k-row centroid
-    # frame instead of the n·k distance frame (the sf10 8g-heap OOM
-    # fix).  Output provably identical (same expressions; checkpoint
-    # placement only), but every kmeans consumer's PLAN changed, so
-    # they queue for re-grade behind the behavioral rewrites.
+    # r11 behavioral rewrites (engine AND oracle changed together):
+    "llm_pq_rerank_topk",  # codebooks now train on the md5(vec_id)
+                           # half-corpus (r10 verdict item 5); the
+                           # learned centroids — hence codes and the
+                           # shortlist — change, so both sides
+                           # re-grade (sampled _sql_pq_half_sampled
+                           # oracle)
+    # r11 plan rewrites, output provably identical (bit-identity
+    # pinned by tests/test_wave6.py::test_assign_matches_argmin):
+    # every k-means assignment pass moved from the n·k row frame +
+    # argmin exchange to the vectorized scan-local Arrow kernel
+    # (_assign), so every kmeans consumer's PLAN changed.
     "llm_kmeans_refine",
     "llm_similarity_ivf_kmeans",
     "llm_semantic_dedup",
+    "llm_pq_code",
+    "llm_pq_adc_topk",
+    "llm_ivfpq_topk",
+    "llm_ivfpq_indexed",
+    "llm_ivfpq_index_append",
+    # r11 pristine refactor (same oracle string, same plan): the KM
+    # curve body factored into _km_curve/_sql_km so the new censored
+    # key (evt_survival_km_censored, rule-2 entry) shares it.
+    "evt_survival_km",
 )
 
 

@@ -683,3 +683,42 @@ def test_survival_km_hand_curve(spark, tmp_path):
     assert abs(got[2]["survival"] - 0.5) < 1e-6
     assert (got[5]["n_risk"], got[5]["n_churned"]) == (2, 1)
     assert abs(got[5]["survival"] - 0.25) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# E23b: censoring fires under the driver corpora (r10 verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_censored_branch_fires(spark):
+    """On the REAL driver corpus (sf0.001), the synthesized-domain key
+    must produce at least one duration row where censored users leave
+    alongside churned ones (n_churned strictly below the risk-set drop
+    to the next row) — the gap>0 branch the natural-domain key can
+    never exercise (no 7-day-silent users in any driver corpus)."""
+    from event_stream_checkout_spark.operators.events_analytics import (
+        q_evt_survival_km_censored,
+    )
+
+    rows = q_evt_survival_km_censored(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "curve must be non-empty"
+    # Censored mass exists: the initial risk set exceeds total deaths,
+    # so some users left the study without churning — the branch E23's
+    # natural domain can never exercise.
+    deaths = sum(r["n_churned"] for r in rows)
+    assert deaths < rows[0]["n_risk"]
+    # And at least one curve row carries BOTH kinds of leavers: its
+    # death count is strictly below its total exits (risk drop to the
+    # next row, or the final row's full remaining risk set).
+    exits = [
+        a["n_risk"] - b["n_risk"] for a, b in zip(rows, rows[1:])
+    ] + [rows[-1]["n_risk"]]
+    assert any(
+        r["n_churned"] < x for r, x in zip(rows, exits)
+    )
+    # and the curve stays a valid survival function
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))

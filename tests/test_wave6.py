@@ -371,3 +371,42 @@ def test_semdedup_oversized_cell_dropped(spark):
     assert ids and ids <= {100, 101, 102}, ids
     # sanity: uncapped, the dense cell would emit hundreds of pairs.
     assert len(semantic_pairs(e, 2, cap=1000).collect()) > 100
+
+
+def test_assign_matches_argmin(spark):
+    """The r11 scan-local assignment (_assign: broadcast centroid
+    ARRAY, in-expression argmin, zero shuffle) must be bit-identical
+    to the original _argmin(_distances(...)) formulation — same
+    quantized terms, same (dq, cluster) struct tiebreak — on the real
+    corpus at BOTH arities the engine uses (K=8 coarse, K=256 PQ)."""
+    from event_stream_checkout_spark.operators.clustering import (
+        _KM_K,
+        _PQ_K,
+        _argmin,
+        _assign,
+        _assign_expr,
+        _distances,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    for k in (_KM_K, _PQ_K):
+        seeds = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cluster"),
+            F.transform(
+                F.col("embedding"), lambda v: v.cast("double")
+            ).alias("carr"),
+        )
+        old = {
+            r["vec_id"]: (r["cluster"], r["dq"])
+            for r in _argmin(_distances(e, seeds)).collect()
+        }
+        expr = {
+            r["vec_id"]: (r["cluster"], r["dq"])
+            for r in _assign_expr(e, seeds).collect()
+        }
+        new = {
+            r["vec_id"]: (r["cluster"], r["dq"])
+            for r in _assign(e, seeds).collect()
+        }
+        assert old == expr, f"K={k}: expression argmin diverged"
+        assert old == new, f"K={k}: vectorized argmin diverged"
