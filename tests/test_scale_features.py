@@ -5,6 +5,7 @@ fact-fact joins at 100 TB)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1184,3 +1185,56 @@ def test_rank_based_keys_partition_layout_invariant(spark, tmp_path):
         )
         alt = sorted(map(str, QUERIES[key].fn(spark, alt_dir).collect()))
         assert base == alt, f"{key} depends on physical layout"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/tmp/ecs_sf1"),
+    reason="needs the sf1 scaled replica (scripts/make_scaled_sf.py)",
+)
+def test_headline_scaling_exponent_tripwire(spark):
+    """Per-key scaling-exponent tripwire (r10 verdict item 7): on a
+    decade scale-up (sf0.1 → sf1) no headline key may scale
+    super-linearly — exponent log10(t_sf1/t_sf0.1) must stay ≤ 1.0.
+    Both scale points run in the SAME session back-to-back (the
+    llm_pca_components phantom: cross-session minima mixed cold and
+    warm JVMs and showed a fake 1.06 decade; same-session pairing is
+    the discipline SCALE.md r10 adopted).  A warm-up run per (key,
+    sf) absorbs first-touch parquet/codegen costs; the timed figure
+    is the min of two runs."""
+    import math
+    import time
+
+    from event_stream_checkout_spark.registry import load_all
+
+    probes = [
+        "agg_pricing_summary",   # wide hash aggregate
+        "agg_filtered_sum",      # pushdown + global agg
+        "topk_revenue_orders",   # join + agg + top-k
+        "join_multiway",         # 5-way star join
+        "llm_exact_dedup",       # content-hash dedup
+        "win_topk_per_group",    # window family
+    ]
+    reg = load_all()
+
+    def timed(key, sf_dir):
+        def run():
+            reg[key].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        run()  # warm-up: parquet footers, codegen, broadcast build
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    bad = {}
+    for key in probes:
+        t_small = timed(key, "/root/testdata/sf0.1")
+        t_big = timed(key, "/tmp/ecs_sf1")
+        exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
+        if exp > 1.0:
+            bad[key] = round(exp, 3)
+    assert not bad, f"super-linear decade exponents: {bad}"
