@@ -261,6 +261,14 @@ def main() -> None:
                 _PCA_MOMENT_CACHE.clear()
             t = _time(lambda: _noop(registry[key].fn(spark, sf_dir)))
             timings[key] = min(timings.get(key, float("inf")), round(t, 3))
+            # progress to STDERR (stdout carries only the JSON line):
+            # when a scaled run dies mid-suite (the r11 sf10 OOM), the
+            # log must say which key was in flight.
+            print(
+                f"[bench] cycle {_cycle} {key}: {t:.3f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
     total = round(sum(timings[k] for k in HEADLINE), 3)
     extended = round(sum(timings[k] for k in EXTENDED), 3)

@@ -2124,3 +2124,112 @@ def ivfpq_refreshed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def q_llm_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_t, cents_t = ivfpq_refreshed_tables(spark, sf_dir)
     return _ivfpq_probe(spark, sf_dir, codes_t, cents_t)
+
+
+# ---------------------------------------------------------------------------
+# X63: drift-triggered ANN retrain decision — the index lifecycle gate
+# ---------------------------------------------------------------------------
+
+# Rebuild a cell when its arrival load or its centroid drift crosses
+# threshold.  Ratio rule: n_new·9 ≥ n_base (arrivals ≥ 1/9 of base —
+# the X61 batch is 10% of the corpus, so per-cell binomial variation
+# puts cells on BOTH sides at every SF).  Drift rule: ‖mean_now −
+# codebook_centroid‖² ≥ 0.006 in the fixed-point lattice (driftq ≥
+# 60) — sized to the corpus's unit-scale embeddings so it fires
+# independently of the ratio rule on the small corpora (a ~1% per-dim
+# mean shift over 64 dims).  Both thresholds are deployment knobs;
+# what the oracle grades is the metric arithmetic and the gate.
+_RETRAIN_RATIO = 9
+_RETRAIN_DRIFTQ = 60
+
+
+@register(
+    "llm_ann_retrain_decision",
+    oracle=f"WITH {_SQL_EX}, " + _sql_ta("c", "TRUE", _KM_K) + ", "
+    "cnt AS (SELECT cluster, "
+    "CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_base, "
+    "CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_new FROM a2c GROUP BY 1), "
+    f"ma AS (SELECT a.cluster, x.dim, {sql_davg('x.val')} AS mval "
+    "FROM ex x JOIN a2c a ON x.vec_id = a.vec_id GROUP BY 1, 2), "
+    "dr AS (SELECT m.cluster, "
+    f"CAST(SUM({sql_quant('(m.mval - c.cval) * (m.mval - c.cval)')}) "
+    "AS BIGINT) AS driftq "
+    "FROM ma m JOIN c1c c ON m.cluster = c.cluster AND m.dim = c.dim "
+    "GROUP BY 1) "
+    "SELECT cnt.cluster AS cell, cnt.n_base, cnt.n_new, "
+    "round(CAST(dr.driftq AS DOUBLE) / 10000.0, 6) AS drift, "
+    f"(cnt.n_new * {_RETRAIN_RATIO} >= cnt.n_base OR "
+    f"dr.driftq >= {_RETRAIN_DRIFTQ}) AS rebuild "
+    "FROM cnt JOIN dr ON cnt.cluster = dr.cluster ORDER BY 1",
+    doc="Drift-triggered ANN retrain decision (X63 — SURVEY's "
+    "documented lifecycle gap: X61 appends without re-balancing).  "
+    "Per coarse cell of the base-trained quantizer (train-on-base / "
+    "assign-on-all, the X60/X61 convention: vec_id%10=9 is the "
+    "arriving batch), report base/arrival membership, the drift "
+    "between the STORED codebook centroid and the cell's current "
+    "member mean (fixed-point ‖Δ‖² over the davg-stable per-dim "
+    "means — engine-exact), and the rebuild verdict: arrivals ≥ 1/9 "
+    "of base OR drift ≥ 0.006.  This is the decision a production "
+    "index maintenance job runs after every append wave — rebuild "
+    "ONLY the cells the new data actually moved, never the whole "
+    "index; cells below both thresholds keep their codebooks and "
+    "their partitions untouched.  Both branches carry oracle "
+    "evidence: per-cell binomial variation in the 10% batch puts "
+    "cells on both sides of the ratio gate at every SF, and the "
+    "drift gate fires independently on the small corpora.  Scale: "
+    "one vectorized assignment pass (scan-local _assign), one "
+    "exploded (cluster, dim) mean collapse — k·d rows out — and "
+    "everything after lives on k-row frames.",
+)
+def q_llm_ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.expr(_ANN_BASE_PRED))
+    cent2, _d2, a2 = kmeans_refined_full(e, _KM_K, train=base)
+    is_new = F.expr(_ANN_BATCH_PRED)
+    cnt = a2.groupBy("cluster").agg(
+        F.sum(F.when(is_new, 0).otherwise(1)).cast("long").alias("n_base"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    ma = (
+        ex.join(a2.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(davg("val").alias("mval"))
+    )
+    stored = cent2.select(
+        "cluster", F.posexplode("carr").alias("dim", "cval")
+    )
+    dr = (
+        ma.join(stored, ["cluster", "dim"])
+        .groupBy("cluster")
+        .agg(
+            F.sum(
+                quant(
+                    (F.col("mval") - F.col("cval"))
+                    * (F.col("mval") - F.col("cval"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("driftq")
+        )
+    )
+    return (
+        cnt.join(dr, "cluster")
+        .select(
+            F.col("cluster").alias("cell"),
+            "n_base",
+            "n_new",
+            F.round(F.col("driftq").cast("double") / F.lit(SCALE), 6).alias(
+                "drift"
+            ),
+            (
+                (F.col("n_new") * _RETRAIN_RATIO >= F.col("n_base"))
+                | (F.col("driftq") >= _RETRAIN_DRIFTQ)
+            ).alias("rebuild"),
+        )
+        .orderBy("cell")
+    )

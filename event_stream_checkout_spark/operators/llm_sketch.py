@@ -624,3 +624,132 @@ def q_llm_cm_sketch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "est", "n_candidate_sources")
         .orderBy(F.col("est").desc(), "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# X64: windowed-decay Count-Min — per-day sketches, sliding-window rollup
+# --------------------------------------------------------------------------
+
+_CMW_DAYS = 7        # synthesized day domain: day = doc_id % 7
+_CMW_LO, _CMW_HI = 4, 6  # the probed 3-day sliding window
+
+
+@register(
+    "llm_cm_sketch_windowed",
+    oracle="WITH toks AS (SELECT doc_id % 7 AS day, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "vocab AS (SELECT day, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    # the per-day sketch store: one (day, seed, bucket) cell table —
+    # this is the MERGEABLE form a production pipeline persists
+    "cells AS (SELECT v.day, s.seed, "
+    "substring(md5(CAST(s.seed AS VARCHAR) || ':' || v.tok), 1, 2) "
+    "AS bucket, CAST(sum(v.tf) AS BIGINT) AS c FROM vocab v, "
+    f"(SELECT unnest(range({_CM_DEPTH})) AS seed) s GROUP BY 1, 2, 3), "
+    # the windowed read: rollup = SUM over the window's per-day rows
+    f"wcells AS (SELECT seed, bucket, CAST(sum(c) AS BIGINT) AS c "
+    f"FROM cells WHERE day BETWEEN {_CMW_LO} AND {_CMW_HI} "
+    "GROUP BY 1, 2), "
+    f"wvocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS tf FROM vocab "
+    f"WHERE day BETWEEN {_CMW_LO} AND {_CMW_HI} GROUP BY 1), "
+    "wtot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM wvocab), "
+    "est AS (SELECT v.tok, v.tf, min(c.c) AS est FROM wvocab v "
+    "JOIN wcells c ON c.bucket = substring(md5("
+    "CAST(c.seed AS VARCHAR) || ':' || v.tok), 1, 2) GROUP BY 1, 2) "
+    "SELECT e.tok, CAST(e.est AS BIGINT) AS est, e.tf, "
+    "CAST(e.est - e.tf AS BIGINT) AS overcount "
+    "FROM est e, wtot t "
+    f"WHERE e.est * {100 // _CM_PCT} >= t.n "
+    "ORDER BY e.est DESC, e.tok",
+    doc="Windowed-decay Count-Min (X64, the X62 store's sliding-"
+    "window read — SURVEY's documented next step): the sketch store "
+    "keeps one CM per day (day synthesized as doc_id mod 7 — the "
+    "corpus carries no timestamps; the evt_ewma_long precedent), "
+    "and a window query materializes the window's sketch as the "
+    "CELL-WISE SUM of the member days' rows — the same mergeable-"
+    "by-addition algebra that collapses partitions (X55) and "
+    "sources (X62), now collapsing TIME, which is what lets a "
+    "production store answer 'hot tokens in the last N days' "
+    "without ever re-reading corpus bytes: expiring a day is "
+    "dropping its ≤1024 rows from the sum.  Heavy hitters "
+    "(est ≥ 1% of the windowed stream, integer threshold compare) "
+    "report beside their exact windowed counts so the collision "
+    "overcount stays measured.  Scale: per-day cells collapse "
+    "map-side to ≤ days·depth·width rows before the only wide "
+    "shuffle; the window rollup and the min-over-rows run on "
+    "sketch-sized frames.",
+)
+def q_llm_cm_sketch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    toks = d.select(
+        (F.col("doc_id") % _CMW_DAYS).alias("day"),
+        F.explode(F.split("text", " ", -1)).alias("tok"),
+    )
+    vocab = toks.groupBy("day", "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    def bucket(seed: int):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 2
+        )
+
+    cells = (
+        vocab.select(
+            "day",
+            "tf",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            bucket(s).alias("bucket"),
+                        )
+                        for s in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("sb"),
+        )
+        .groupBy(
+            "day",
+            F.col("sb.seed").alias("seed"),
+            F.col("sb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    win = F.col("day").between(_CMW_LO, _CMW_HI)
+    wcells = (
+        cells.filter(win)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wvocab = (
+        vocab.filter(win)
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    wtot = wvocab.agg(F.sum("tf").cast("long").alias("n"))
+    est = wvocab.select(
+        "tok", "tf", *[bucket(s).alias(f"b{s}") for s in range(_CM_DEPTH)]
+    )
+    for s in range(_CM_DEPTH):
+        leg = wcells.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"b{s}"), F.col("c").alias(f"c{s}")
+        )
+        est = est.join(F.broadcast(leg), f"b{s}")
+    est = est.select(
+        "tok",
+        "tf",
+        F.least(*[F.col(f"c{s}") for s in range(_CM_DEPTH)]).alias("est"),
+    )
+    return (
+        est.crossJoin(F.broadcast(wtot))
+        .filter(F.col("est") * (100 // _CM_PCT) >= F.col("n"))
+        .select(
+            "tok",
+            "est",
+            "tf",
+            (F.col("est") - F.col("tf")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), "tok")
+    )

@@ -1419,3 +1419,81 @@ def q_dq_benford_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# V13: functional-dependency audit
+# ---------------------------------------------------------------------------
+
+# Candidate FDs (determinant → dependent), chosen to mix a HELD
+# dependency (nation's region assignment — a real schema invariant)
+# with violated ones at very different group cardinalities, so the
+# audit's output exercises both verdicts on every driver corpus.
+_FD_CANDIDATES = (
+    ("nation_region", "nation", "n_nationkey", "n_regionkey"),
+    ("brand_type", "part", "p_brand", "p_type"),
+    ("order_supplier", "lineitem", "l_orderkey", "l_suppkey"),
+    ("customer_status", "orders", "o_custkey", "o_orderstatus"),
+    ("user_event_type", "events", "user_id", "event_type"),
+)
+
+
+def _sql_fd_leg(name: str, tbl: str, det: str, dep: str) -> str:
+    return (
+        f"SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_violating, CAST(max(nd) AS BIGINT) AS max_distinct, "
+        "round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*), 6) AS violation_rate "
+        f"FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {tbl} "
+        f"WHERE {det} IS NOT NULL GROUP BY 1)"
+    )
+
+
+@register(
+    "dq_fd_violations",
+    oracle=" UNION ALL ".join(
+        _sql_fd_leg(*c) for c in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+    doc="Functional-dependency audit (V13): for each candidate FD "
+    "det → dep, collapse the table to (det, distinct-dep-count) and "
+    "report how many determinant groups carry more than one "
+    "dependent value — the profiling primitive behind schema "
+    "normalization checks, denormalization-drift detection (a "
+    "column that USED to be derivable from another and silently "
+    "stopped), and join-key safety (an FD that holds means the "
+    "dependent can ride a dimension join instead of being carried "
+    "on the fact).  The candidate set mixes a held invariant "
+    "(nation → region, 0 violating groups on every corpus) with "
+    "violated ones at 25-to-15k group cardinalities, so both "
+    "verdicts carry oracle evidence.  NULL determinants are "
+    "excluded on both engines (an FD is a statement about present "
+    "keys).  Scale: each leg is one groupBy(det) count-distinct — "
+    "a two-stage partial aggregate, no joins, no windows; legs on "
+    "different tables are independent jobs.  Output is 5 rows.",
+)
+def q_dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = (
+            t.filter(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        leg = g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("nd").cast("long").alias("max_distinct"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("violation_rate"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("fd")

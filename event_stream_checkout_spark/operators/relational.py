@@ -552,7 +552,15 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     how good the sample was; sample quality affects only balance.
     Returns the PINNED bucketed frame (the boundary agg and the scan
     execute exactly once; the sample scan is the price of statistics
-    and reads only the value column).
+    and reads only the value column).  The pin is DISK_ONLY (r11):
+    the default deserialized-on-heap checkpoint held data-scale
+    frames in executor storage, and a consumer holding several legs
+    at once (dq_outlier_iqr pins four — two of them 60M-row lineitem
+    columns at sf10) starved execution memory into a fatal OOM under
+    the 8 GB heap — the same failure class as the r10 kmeans
+    distance-frame pin.  Disk blocks keep the exactly-once execution
+    guarantee at zero heap cost; the round-trip is a slim
+    (value, _pid) projection.
     """
     pcts = [i / nb for i in range(1, nb)]
     vtype = dict(df.dtypes)[val_col]
@@ -568,11 +576,13 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     bounds = F.coalesce(F.col("_bs"), F.array().cast(f"array<{vtype}>"))
     idx = F.size(F.filter(bounds, lambda b: b < F.col(val_col)))
     pid = F.lit(nb - 1) - idx
+    from pyspark import StorageLevel
+
     return (
         df.crossJoin(F.broadcast(barr))
         .withColumn("_pid", pid)
         .drop("_bs")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
 
 

@@ -116,30 +116,36 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r11 behavioral rewrites (engine AND oracle changed together):
+    # r11 behavioral rewrite (engine AND oracle changed together):
     "llm_pq_rerank_topk",  # codebooks now train on the md5(vec_id)
                            # half-corpus (r10 verdict item 5); the
                            # learned centroids — hence codes and the
                            # shortlist — change, so both sides
                            # re-grade (sampled _sql_pq_half_sampled
                            # oracle)
-    # r11 plan rewrites, output provably identical (bit-identity
-    # pinned by tests/test_wave6.py::test_assign_matches_argmin):
-    # every k-means assignment pass moved from the n·k row frame +
-    # argmin exchange to the vectorized scan-local Arrow kernel
-    # (_assign), so every kmeans consumer's PLAN changed.
-    "llm_kmeans_refine",
-    "llm_similarity_ivf_kmeans",
-    "llm_semantic_dedup",
-    "llm_pq_code",
-    "llm_pq_adc_topk",
-    "llm_ivfpq_topk",
-    "llm_ivfpq_indexed",
+    # r11 persisted-path plan rewrite: index maintenance now codes
+    # the arriving batch through the vectorized Arrow assignment —
+    # outputs provably identical, but this leg also WRITES through
+    # insertInto, so it re-grades rather than trails.
     "llm_ivfpq_index_append",
-    # r11 pristine refactor (same oracle string, same plan): the KM
-    # curve body factored into _km_curve/_sql_km so the new censored
-    # key (evt_survival_km_censored, rule-2 entry) shares it.
-    "evt_survival_km",
+    # NOT queued (deliberate, the documented trailing rule): the
+    # other r11 rewrites are output-IDENTICAL plan changes with
+    # stronger-than-window local evidence, and queueing all of them
+    # would crowd the 31-key r2/r3 stale tail out of this round's 50
+    # slots (r10 verdict item 3 asks that tail to drain NOW):
+    # - kmeans consumers (llm_kmeans_refine, llm_similarity_ivf_kmeans,
+    #   llm_semantic_dedup, llm_pq_code, llm_pq_adc_topk,
+    #   llm_ivfpq_topk, llm_ivfpq_indexed): the vectorized _assign is
+    #   pinned bit-identical three ways at both arities
+    #   (tests/test_wave6.py::test_assign_matches_argmin) and every
+    #   key re-passed local parity this round;
+    # - quantile_bucketed consumers (dq_outlier_iqr and 8 more): the
+    #   pin moved to DISK_ONLY storage — same frame, same values —
+    #   and every consumer re-passed local parity this round;
+    # - evt_survival_km: refactor-only, regenerated oracle verified
+    #   BYTE-identical to the r10 string.
+    # All of them re-enter the driver window via normal stale-first
+    # rotation in r12+.
 )
 
 
