@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import SCALE, quant
 from ..registry import QUERIES, register
 from ..tables import load_table, with_min_scan_parallelism
 
@@ -327,7 +328,7 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_DF_CAP = 10
 
 
-def jaccard_pairs(dg: DataFrame) -> DataFrame:
+def jaccard_pairs(dg: DataFrame, min_jaccard: float = 0.2) -> DataFrame:
     """The capped pairwise-Jaccard plan over a distinct
     ``(doc_id, lang, bucket, gram)`` frame.
 
@@ -367,7 +368,7 @@ def jaccard_pairs(dg: DataFrame) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
 
@@ -1221,3 +1222,145 @@ def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X69: LSH banding parameter tuner (S-curve against the observed pairs)
+# --------------------------------------------------------------------------
+
+# Candidate (bands, rows/band) splits of the 8-component signature
+# budget (the X58 calibration signature).  All values are powers of
+# two, so every s^r and (1-s^r)^b evaluates as an explicit
+# multiplication chain — bit-identical IEEE doubles on both engines
+# with no pow() portability risk.
+_LSH_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+_LSH_THETA = 0.5  # the dedup family's "true near-dup" line
+
+
+def _sql_lsh_leg(b: int, r: int) -> str:
+    sr = {1: "s", 2: "s2", 4: "s4", 8: "s8"}[r]
+    thr = round((1.0 / b) ** (1.0 / r), 6)
+    # (1 - s^r)^b as an explicit squaring chain
+    q = f"(1.0 - {sr})"
+    qb = {1: q, 2: f"({q} * {q})", 4: f"(({q} * {q}) * ({q} * {q}))",
+          8: f"((({q} * {q}) * ({q} * {q})) * (({q} * {q}) * ({q} * {q})))"}[b]
+    p = f"(1.0 - {qb})"
+    from ..functions.numeric import sql_quant as _sq
+
+    return (
+        f"SELECT CAST({b} AS BIGINT) AS bands, "
+        f"CAST({r} AS BIGINT) AS rows_per_band, "
+        f"CAST({thr} AS DOUBLE) AS threshold, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        f"CAST(sum(CASE WHEN s >= {_LSH_THETA} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_high, "
+        f"round(CAST(sum({_sq(p)}) AS DOUBLE) / 10000.0, 6) "
+        "AS exp_candidates, "
+        f"round(CAST(sum(CASE WHEN s >= {_LSH_THETA} THEN {_sq(p)} "
+        "ELSE CAST(0 AS DECIMAL(25,0)) END) AS DOUBLE) / 10000.0, 6) "
+        "AS exp_tp, "
+        f"round(CAST(sum(CASE WHEN s < {_LSH_THETA} THEN {_sq(p)} "
+        "ELSE CAST(0 AS DECIMAL(25,0)) END) AS DOUBLE) / 10000.0, 6) "
+        "AS exp_fp FROM chain"
+    )
+
+
+@register(
+    "llm_lsh_tuning",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "dg AS (SELECT DISTINCT doc_id, lang, n_chars // 50 AS bucket, "
+    "gram FROM grams), "
+    "rare AS (SELECT gram, lang, bucket FROM dg GROUP BY 1, 2, 3 "
+    f"HAVING count(*) <= {_JACCARD_DF_CAP}), "
+    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (gram, lang, bucket)), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dgc "
+    "GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS n_common "
+    "FROM dgc a JOIN dgc b ON a.gram = b.gram AND a.lang = b.lang "
+    "AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jp AS (SELECT CAST(i.n_common AS DOUBLE) / "
+    "(sa.n + sb.n - i.n_common) AS s "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id), "
+    "chain AS (SELECT s, s * s AS s2, (s * s) * (s * s) AS s4, "
+    "((s * s) * (s * s)) * ((s * s) * (s * s)) AS s8 FROM jp) "
+    + " UNION ALL ".join(_sql_lsh_leg(b, r) for b, r in _LSH_CONFIGS)
+    + " ORDER BY bands DESC",
+    doc="LSH banding parameter tuner (X69): for every (bands b, "
+    "rows-per-band r) split of the 8-hash signature budget, evaluate "
+    "the banding S-curve P(candidate | s) = 1 − (1 − s^r)^b against "
+    "the corpus's OBSERVED pair-similarity population (the X2 "
+    "df-capped exact-Jaccard pairs) and report the S-curve threshold "
+    "(1/b)^(1/r), the expected candidate mass, and its split into "
+    "expected true positives (pairs at s ≥ 0.5, the dedup line) and "
+    "expected false candidates (s < 0.5) — the measurement that "
+    "turns 'pick b and r' from folklore into a corpus-specific "
+    "decision (Leskovec-Rajaraman-Ullman §3.4; X58 measures the "
+    "estimator's error, this measures the BANDING's selectivity).  "
+    "Engine-exactness: all b, r are powers of two, so every power "
+    "evaluates as an explicit multiplication chain (no libm pow "
+    "portability risk), each pair's p quantizes at 1e-4 before the "
+    "DECIMAL sum.  Scale: the pair population is the bucket-capped "
+    "X2 space (never all-pairs); the 4-config sweep is a constant "
+    "fan-out over that bounded frame.",
+)
+def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = (
+        grams_df(spark, sf_dir)
+        .select(
+            "doc_id", "lang", F.expr("n_chars div 50").alias("bucket"), "gram"
+        )
+        .distinct()
+    )
+    s = F.col("jaccard")
+    # min_jaccard=0: the tuner's whole point is the LOW-similarity
+    # mass (expected false candidates); the dedup keys' 0.2 floor
+    # would leave the fp branch vacuous (6 pairs, all true, at
+    # sf0.01 — vs 356 mixed pairs unfloored).
+    chain = jaccard_pairs(dg, min_jaccard=0.0).select(
+        s.alias("s"),
+        (s * s).alias("s2"),
+        ((s * s) * (s * s)).alias("s4"),
+        (((s * s) * (s * s)) * ((s * s) * (s * s))).alias("s8"),
+    )
+    legs = []
+    for b, r in _LSH_CONFIGS:
+        sr = {1: F.col("s"), 2: F.col("s2"), 4: F.col("s4"), 8: F.col("s8")}[r]
+        q = F.lit(1.0) - sr
+        qb = {
+            1: q,
+            2: q * q,
+            4: (q * q) * (q * q),
+            8: ((q * q) * (q * q)) * ((q * q) * (q * q)),
+        }[b]
+        p = F.lit(1.0) - qb
+        pq = quant(p)
+        zero = F.lit(0).cast("decimal(25,0)")
+        high = F.col("s") >= _LSH_THETA
+        legs.append(
+            chain.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("threshold"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("n_high"),
+                F.round(F.sum(pq).cast("double") / F.lit(SCALE), 6).alias(
+                    "exp_candidates"
+                ),
+                F.round(
+                    F.sum(F.when(high, pq).otherwise(zero)).cast("double")
+                    / F.lit(SCALE),
+                    6,
+                ).alias("exp_tp"),
+                F.round(
+                    F.sum(F.when(~high, pq).otherwise(zero)).cast("double")
+                    / F.lit(SCALE),
+                    6,
+                ).alias("exp_fp"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy(F.col("bands").desc())

@@ -537,7 +537,7 @@ def rank_from_buckets(bucketed, keys):
 
 
 def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
-                      accuracy: int = 5000):
+                      accuracy: int = 5000, pin: bool = True):
     """Statistics-seeded range bucketing for the two-pass sort (the
     production variant q_sort_orders's docstring promises): boundaries
     come from a percentile_approx sketch over a SAMPLE of the value
@@ -576,14 +576,16 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     bounds = F.coalesce(F.col("_bs"), F.array().cast(f"array<{vtype}>"))
     idx = F.size(F.filter(bounds, lambda b: b < F.col(val_col)))
     pid = F.lit(nb - 1) - idx
+    out = df.crossJoin(F.broadcast(barr)).withColumn("_pid", pid).drop("_bs")
+    if not pin:
+        # pin=False (r11): callers whose consumers are each a cheap
+        # column-pruned scan (the histogram-quantile path) skip the
+        # checkpoint entirely — the deterministic seed keeps the
+        # sampled boundaries identical across re-executions.
+        return out
     from pyspark import StorageLevel
 
-    return (
-        df.crossJoin(F.broadcast(barr))
-        .withColumn("_pid", pid)
-        .drop("_bs")
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    )
+    return out.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
 
 
 @register(

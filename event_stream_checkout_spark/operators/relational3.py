@@ -684,3 +684,68 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, _, _ in _AP_BOUNDS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# A31: exact weighted median (bucketed-rank, value-level)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="WITH w AS (SELECT l_returnflag AS g, l_extendedprice AS v, "
+    "CAST(sum(l_quantity) AS BIGINT) AS wt FROM lineitem "
+    "WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2), "
+    "tot AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY 1), "
+    "r AS (SELECT g, v, wt, CAST(sum(wt) OVER (PARTITION BY g ORDER BY v "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM w) "
+    "SELECT r.g AS l_returnflag, tot.tw AS total_weight, "
+    "min(r.v) AS weighted_median "
+    "FROM r JOIN tot ON r.g = tot.g WHERE 2 * r.cw >= tot.tw "
+    "GROUP BY 1, 2 ORDER BY 1",
+    doc="Exact weighted median (A31): per return flag, the smallest "
+    "price v whose cumulative quantity-weight reaches half the "
+    "group's total — the robust 'typical price weighted by volume' "
+    "the unweighted median misrepresents when cheap items ship in "
+    "bulk.  Tie-free by construction: weights collapse to VALUE "
+    "level first (one map-side-combined groupBy), so the cumulative "
+    "sum walks distinct prices and no row-order ambiguity exists for "
+    "either engine.  Scale: the per-group cumulative weight is the "
+    "two-pass bucketed prefix sum (sampled boundaries + per-bucket "
+    "window + broadcast offsets — the E16/O1 machinery), so no "
+    "single-partition sort ever sees the value domain; the pick is "
+    "one integer-compare aggregate.  The oracle's plain window is "
+    "the same arithmetic on DuckDB's side of the hash.",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_curate import _cumsum_from_buckets
+    from .relational import quantile_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("wt"))
+    )
+    # quantile_bucketed's _pid DESCENDS with the value (it serves the
+    # top-k/desc rank family); this cumsum walks v ASCENDING, and the
+    # helper requires bucket order to match key order — flip the id
+    # (still a pure function of the value).
+    bucketed = quantile_bucketed(w, "v", nb=32).withColumn(
+        "_pid", F.lit(31) - F.col("_pid")
+    )
+    ranked = _cumsum_from_buckets(
+        bucketed, ["g"], [F.col("v").asc()], F.col("wt"), "cw"
+    )
+    tot = w.groupBy("g").agg(F.sum("wt").cast("long").alias("tw"))
+    return (
+        ranked.join(F.broadcast(tot), "g")
+        .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("g").alias("l_returnflag"), F.col("tw").alias("total_weight"))
+        .agg(F.min("v").alias("weighted_median"))
+        .select("l_returnflag", "total_weight", "weighted_median")
+        .orderBy("l_returnflag")
+    )

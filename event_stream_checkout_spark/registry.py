@@ -128,6 +128,12 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # outputs provably identical, but this leg also WRITES through
     # insertInto, so it re-grades rather than trails.
     "llm_ivfpq_index_append",
+    # r11 algorithmic rewrite (engine only, oracle unchanged): exact
+    # quartiles now histogram-locate their bucket and rank ONLY that
+    # bucket's rows — the full-corpus ranking window is gone (its
+    # data-scale pins were the sf10 OOM and, disk-pinned, a 211 s
+    # super-linear key).  New selection arithmetic ⇒ re-grade.
+    "dq_outlier_iqr",
     # NOT queued (deliberate, the documented trailing rule): the
     # other r11 rewrites are output-IDENTICAL plan changes with
     # stronger-than-window local evidence, and queueing all of them
