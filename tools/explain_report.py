@@ -167,6 +167,16 @@ QUERIES = [
     "dq_benford_decision",       # r10c: fixed-point χ² gate, 9-digit domain
     "llm_cm_sketch_persisted",   # r10c: zero-corpus-byte sketch-store probe
     "evt_survival_km",           # r10c: per-user collapse + duration domain
+    "evt_survival_km_censored",  # r11: synthesized domain, gap=7 fires
+    "llm_pq_rerank_topk",        # r11: sampled training + vectorized assign
+    "llm_kmeans_refine",         # r11: scan-local Arrow argmin kernel
+    "llm_ann_retrain_decision",  # r11: per-cell drift + load rebuild gate
+    "llm_cm_sketch_windowed",    # r11: per-day cells, window = cell-wise sum
+    "dq_fd_violations",          # r11: per-leg groupBy + countDistinct
+    "dq_duplicate_orders",       # r11: gated (cust,day) self-join
+    "agg_weighted_median",       # r11: value-level collapse + bucketed cumsum
+    "llm_lsh_tuning",            # r11: S-curve sweep over capped pair space
+    "graph_copurchase_components",  # r11: log-diameter min-label fixpoint
 ]
 
 
