@@ -4,7 +4,10 @@ brute force, as a function of codebook arity K — the measured curve
 behind X35-X37's claim that "recall is governed by codebook arity
 exactly as IVF recall is by nprobe".
 
-Usage: python tools/pq_sweep.py [sf_dir] [n_queries] [K1,K2,...] [m] [shortlist]
+Usage: python tools/pq_sweep.py [sf_dir] [n_queries] [K1,K2,...] [m] [shortlist] [--sampled]
+(--sampled trains codebooks on the md5(vec_id) half-corpus — the
+registered llm_pq_rerank_topk r11 configuration — so the sampled-
+training recall point is measured with the registered machinery.)
 (m = number of subspaces, default 2; r8 verdict item 3 asked for the
 m=4 point — 16-d subspaces on the 64-d corpus — where training rows
 per centroid stay at n/K while composite resolution is K^m.)
@@ -32,7 +35,9 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from event_stream_checkout_spark.operators.clustering import (  # noqa: E402
+    _PQ_TRAIN_HI,
     kmeans_refined,
+    kmeans_refined_full,
 )
 from event_stream_checkout_spark.session import get_session  # noqa: E402
 from event_stream_checkout_spark.tables import load_table  # noqa: E402
@@ -55,6 +60,7 @@ def main() -> None:
 
     m = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     shortlist = int(sys.argv[5]) if len(sys.argv) > 5 else SHORTLIST
+    sampled = "--sampled" in sys.argv
 
     e = load_table(spark, sf_dir, "embeddings")
     rows = e.select("vec_id", "embedding").collect()
@@ -85,7 +91,15 @@ def main() -> None:
         assigns = []  # per-subspace {vec_id: cluster}
         luts = []     # per-subspace {(vec_id, cluster): dq}
         for sub in subs:
-            d2i, ai = kmeans_refined(sub, K)
+            if sampled:
+                tr = F.substring(
+                    F.md5(F.col("vec_id").cast("string")), 1, 4
+                ) < _PQ_TRAIN_HI
+                _, d2i, ai = kmeans_refined_full(
+                    sub, K, train=sub.filter(tr)
+                )
+            else:
+                d2i, ai = kmeans_refined(sub, K)
             assigns.append({r["vec_id"]: r["cluster"] for r in ai.collect()})
             # per-(query, cluster) fixed-point LUTs straight from the
             # refiner's distance frames — only QUERY rows are ever
@@ -128,6 +142,7 @@ def main() -> None:
                 "shortlist": shortlist,
                 "dim": d,
                 "m": m,
+                "sampled_training": sampled,
                 "recall": recall,
             }
         )
