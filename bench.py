@@ -227,6 +227,22 @@ def main() -> None:
         .save()
     )
 
+    # Host-speed calibration (r11): a fixed CPU-bound job that is
+    # INDEPENDENT of SF and of any engine code — 200M xxhash64 rows
+    # through whole-stage codegen.  Cross-round headline comparisons
+    # divide by this to separate code changes from host drift (the
+    # r11 A/B found the host itself 1.5× slower than when the r10
+    # headline was recorded; without a calibration constant every
+    # such shift reads as a regression).
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 997)  # mod keeps the ANSI sum in range
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     timings: dict[str, float] = {}
     for _cycle in range(cycles):
         for key in HEADLINE + EXTENDED + EXTRA:
@@ -287,6 +303,7 @@ def main() -> None:
         "queries": {k: timings[k] for k in HEADLINE + EXTENDED},
         "extended_sec": extended,
         "cycles": cycles,
+        "host_calibration_sec": calib,
         "metric": "headline_suite_sec",
         "unit": "sec",
         "sf": sf,
