@@ -1213,6 +1213,11 @@ def test_headline_scaling_exponent_tripwire(spark):
         "join_multiway",         # 5-way star join
         "llm_exact_dedup",       # content-hash dedup
         "win_topk_per_group",    # window family
+        "dq_outlier_iqr",        # histogram-located quartiles — the
+                                 # one key that HAS gone super-linear
+                                 # (r11: 211 s at sf10 under the old
+                                 # full-ranking path); pinned here so
+                                 # a regression to that class fails CI
     ]
     reg = load_all()
 
