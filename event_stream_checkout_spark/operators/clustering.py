@@ -218,6 +218,16 @@ def _assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
         cent_arr.select("cluster", "carr").collect(),
         key=lambda r: r["cluster"],
     )
+    if not rows:
+        # Degenerate: no centroids (empty training corpus).  The
+        # expression path produced an empty assignment (join against
+        # an empty broadcast); mirror that instead of handing numpy a
+        # shapeless matrix.
+        return e.select("vec_id").limit(0).select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("dq"),
+        )
     clusters = np.array([r["cluster"] for r in rows], dtype=np.int64)
     cmat = np.array([r["carr"] for r in rows], dtype=np.float64)
 

@@ -222,3 +222,28 @@ def test_copurchase_components_structure(spark):
     # sizes are reported in descending order
     sizes = [r["n_parts"] for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_assign_empty_centroids(spark):
+    """Degenerate guard: an empty centroid frame (empty training
+    corpus) yields an empty assignment with the right schema, like
+    the expression path's empty-broadcast join — not a numpy shape
+    error inside the Arrow kernel."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.operators.clustering import _assign
+    from event_stream_checkout_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    empty_cents = (
+        e.filter(F.lit(False))
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+                "carr"
+            ),
+        )
+    )
+    out = _assign(e, empty_cents)
+    assert out.columns == ["vec_id", "cluster", "dq"]
+    assert out.count() == 0
