@@ -180,6 +180,11 @@ EXTRA = [
     "llm_minhash_calibration",
     "llm_pca_residual_topk",
     "llm_ivfpq_topk",
+    # r11b: the two heaviest of the round's new operators — the
+    # support-capped pair self-join + log-diameter fixpoint, and the
+    # S-curve sweep over the unfloored pair space.
+    "graph_copurchase_components",
+    "llm_lsh_tuning",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
