@@ -337,6 +337,21 @@ def main() -> None:
                     if k in scaled.get("queries", {})
                     and t > 0 and scaled["queries"][k] > 0
                 }
+                # ADVICE r11 item 3: a key benched here but absent
+                # from the scaled snapshot silently loses its scaling
+                # exponent — the exact silent-cap failure the tripwire
+                # audit exists to catch.  Warn loudly instead.
+                missing = sorted(
+                    k for k in timings if k not in scaled.get("queries", {})
+                )
+                if missing:
+                    print(
+                        f"[bench] WARNING: {len(missing)} benched keys "
+                        f"missing from {path.name} (stale snapshot? "
+                        f"re-run at sf{scaled['sf']}): {missing}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                 detail[label] = {
                     "sf": scaled["sf"],
                     "value": scaled["value"],
@@ -350,6 +365,15 @@ def main() -> None:
         (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
             json.dumps(detail, indent=1) + "\n"
         )
+        # ADVICE r11 item 3: bench.py writes the SF1/SF10 snapshots
+        # ITSELF from the full per-key detail (never from the
+        # truncated stdout line), so EXTRA-key exponents can't vanish
+        # to a hand-snapshot that grabbed the wrong artifact.
+        snap_path = {1.0: SF1_RESULTS, 10.0: SF10_RESULTS}.get(sf)
+        if snap_path is not None:
+            snap = dict(detail)
+            snap["queries"] = timings
+            snap_path.write_text(json.dumps(snap, indent=1) + "\n")
     except OSError:
         pass
 

@@ -231,12 +231,32 @@ def _assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
     clusters = np.array([r["cluster"] for r in rows], dtype=np.int64)
     cmat = np.array([r["carr"] for r in rows], dtype=np.float64)
 
+    d_expect = cmat.shape[1]
+
     def part(batches):
         for pdf in batches:
+            # Enforce the non-null fixed-length precondition the numpy
+            # conversion assumes (ADVICE r11: a single bad vector used
+            # to fail the whole job for every kmeans/PQ/IVF consumer).
+            # NULLs drop — a null join key matches no centroid, the
+            # semantics of the replaced expression path; a RAGGED
+            # vector is corrupt input and fails loudly with its id.
+            emb = pdf["embedding"]
+            null_mask = emb.isna()
+            if null_mask.any():
+                pdf = pdf[~null_mask]
+                emb = pdf["embedding"]
             m = len(pdf)
             if m == 0:
                 continue
-            vmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            lens = emb.map(len).to_numpy()
+            if (lens != d_expect).any():
+                bad = pdf["vec_id"].to_numpy()[lens != d_expect][:5]
+                raise ValueError(
+                    f"_assign: ragged embedding(s) — expected dim "
+                    f"{d_expect}, offending vec_id(s) {list(bad)}"
+                )
+            vmat = np.array(emb.tolist(), dtype=np.float64)
             oc = np.empty(m, np.int64)
             od = np.empty(m, np.int64)
             # chunk rows so the (rows, k, d) float64 tensor stays small

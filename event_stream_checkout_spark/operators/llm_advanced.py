@@ -840,6 +840,7 @@ def _connected_components(
             .withColumnRenamed("src", "doc_id")
         )
     labels = init_labels.localCheckpoint()
+    changed = 0
     for _ in range(max_rounds):
         propagated = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -867,6 +868,19 @@ def _connected_components(
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # Exiting via the round cap with labels still moving means the
+        # graph's diameter exceeded ~2**max_rounds (path halving) — the
+        # labels are PARTIAL, and returning them would silently split
+        # components (ADVICE r11: graph_copurchase_components feeds an
+        # unbounded-diameter graph, unlike the near-clique LSH buckets
+        # this was built for).  Fail loudly; callers with genuinely
+        # deeper graphs raise max_rounds.
+        raise RuntimeError(
+            f"_connected_components: no fixpoint after {max_rounds} "
+            "rounds (component diameter exceeds ~2**max_rounds); "
+            "labels would be partial — raise max_rounds"
+        )
     return labels
 
 
@@ -1302,8 +1316,14 @@ def _sql_lsh_leg(b: int, r: int) -> str:
     "evaluates as an explicit multiplication chain (no libm pow "
     "portability risk), each pair's p quantizes at 1e-4 before the "
     "DECIMAL sum.  Scale: the pair population is the bucket-capped "
-    "X2 space (never all-pairs); the 4-config sweep is a constant "
-    "fan-out over that bounded frame.",
+    "X2 space (never all-pairs), and the 4-config sweep is ONE "
+    "aggregate pass over it (r12: all four (b, r) legs are constant "
+    "expressions over the same rows, so they fuse into a single "
+    "14-measure agg whose 1-row result explodes into the 4-row "
+    "report — the r11 plan unioned four separate aggregates and "
+    "re-evaluated the whole grams→df-cap→self-join pipeline per "
+    "leg: 506 nodes, 60 exchanges, 0 reuse; the plan contract now "
+    "pins the single pair-pipeline instance).",
 )
 def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = (
@@ -1324,7 +1344,16 @@ def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((s * s) * (s * s)).alias("s4"),
         (((s * s) * (s * s)) * ((s * s) * (s * s))).alias("s8"),
     )
-    legs = []
+    # ONE aggregate pass: every (b, r) leg is a constant expression
+    # over the same pair rows, so all four compute as measures of a
+    # single agg (the pair pipeline executes exactly once) and the
+    # 1-row result explodes into the 4-row report.
+    zero = F.lit(0).cast("decimal(25,0)")
+    high = F.col("s") >= _LSH_THETA
+    measures = [
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("n_high"),
+    ]
     for b, r in _LSH_CONFIGS:
         sr = {1: F.col("s"), 2: F.col("s2"), 4: F.col("s4"), 8: F.col("s8")}[r]
         q = F.lit(1.0) - sr
@@ -1334,33 +1363,44 @@ def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             4: (q * q) * (q * q),
             8: ((q * q) * (q * q)) * ((q * q) * (q * q)),
         }[b]
-        p = F.lit(1.0) - qb
-        pq = quant(p)
-        zero = F.lit(0).cast("decimal(25,0)")
-        high = F.col("s") >= _LSH_THETA
-        legs.append(
-            chain.agg(
-                F.lit(b).cast("long").alias("bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("threshold"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("n_high"),
+        pq = quant(F.lit(1.0) - qb)
+        measures.extend(
+            [
                 F.round(F.sum(pq).cast("double") / F.lit(SCALE), 6).alias(
-                    "exp_candidates"
+                    f"_cand_{b}_{r}"
                 ),
                 F.round(
                     F.sum(F.when(high, pq).otherwise(zero)).cast("double")
                     / F.lit(SCALE),
                     6,
-                ).alias("exp_tp"),
+                ).alias(f"_tp_{b}_{r}"),
                 F.round(
                     F.sum(F.when(~high, pq).otherwise(zero)).cast("double")
                     / F.lit(SCALE),
                     6,
-                ).alias("exp_fp"),
-            )
+                ).alias(f"_fp_{b}_{r}"),
+            ]
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy(F.col("bands").desc())
+    agg = chain.agg(*measures)
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bands"),
+                        F.lit(r).cast("long").alias("rows_per_band"),
+                        F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias(
+                            "threshold"
+                        ),
+                        F.col("n_pairs").alias("n_pairs"),
+                        F.col("n_high").alias("n_high"),
+                        F.col(f"_cand_{b}_{r}").alias("exp_candidates"),
+                        F.col(f"_tp_{b}_{r}").alias("exp_tp"),
+                        F.col(f"_fp_{b}_{r}").alias("exp_fp"),
+                    )
+                    for b, r in _LSH_CONFIGS
+                ]
+            )
+        ).alias("_leg")
+    )
+    return rows.select("_leg.*").orderBy(F.col("bands").desc())

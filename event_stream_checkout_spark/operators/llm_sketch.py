@@ -687,7 +687,15 @@ def q_llm_cm_sketch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _CMW_DAYS).alias("day"),
         F.explode(F.split("text", " ", -1)).alias("tok"),
     )
-    vocab = toks.groupBy("day", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Pin the (day, tok, tf) vocab ONCE: it feeds three consumers
+    # (cells→wcells, wvocab→wtot, est) — unpinned, the corpus explode
+    # + token collapse re-ran per consumer (r11 plan: 17 exchanges,
+    # 0 reused; r12 verdict item 5).
+    vocab = (
+        toks.groupBy("day", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
 
     def bucket(seed: int):
         return F.substring(

@@ -1574,11 +1574,14 @@ _DUP_GROUP_CAP = 8  # skew guard: a (customer, day) with more orders is
     "through).  same_price flags the highest-suspicion pairs.  "
     "Non-vacuous on every driver corpus (355 same-day pairs at "
     "sf0.1).  Scale: the self-join keys on (customer, day) — high-"
-    "cardinality, uniform — and a BETWEEN-2-AND-8 group gate runs "
-    "BEFORE pair expansion, so a poisoned feed (one customer-day "
-    "with thousands of orders) contributes zero pairs instead of a "
-    "quadratic block; the gate itself is one map-side-combined "
-    "count.",
+    "cardinality, uniform — and a BETWEEN-2-AND-8 group gate "
+    "semi-joins BOTH self-join legs BEFORE pair expansion (r12: the "
+    "r11 plan joined the gate aggregate ABOVE the self-join, so a "
+    "poisoned customer-day still formed its quadratic block before "
+    "being discarded; now each leg is filtered first and the "
+    "poisoned key contributes zero join INPUT rows — plan contract "
+    "in tests/test_plan_contracts.py pins the gate below the pair "
+    "join); the gate itself is one map-side-combined count.",
 )
 def q_dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -1593,20 +1596,19 @@ def q_dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n").between(2, _DUP_GROUP_CAP))
         .select("o_custkey", "day")
     )
-    a = o.alias("a")
-    b = o.alias("b")
-    gg = g.alias("g")
+    # Gate each leg BEFORE the self-join: a (customer, day) outside the
+    # 2..CAP band never reaches pair expansion, so the worst a poisoned
+    # feed can do is shrink the join input.  (g has unique keys, so the
+    # semi-join equals the old post-join inner gate row-for-row.)
+    og = o.join(g, ["o_custkey", "day"], "semi")
+    a = og.alias("a")
+    b = og.alias("b")
     return (
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
             & (F.col("a.day") == F.col("b.day"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
-        )
-        .join(
-            gg,
-            (F.col("g.o_custkey") == F.col("a.o_custkey"))
-            & (F.col("g.day") == F.col("a.day")),
         )
         .select(
             F.col("a.o_custkey").alias("o_custkey"),

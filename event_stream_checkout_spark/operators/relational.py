@@ -550,38 +550,47 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     strictly below the value — a pure function of the VALUE, so equal
     sort keys always share a bucket and ranks stay exact regardless of
     how good the sample was; sample quality affects only balance.
-    Returns the PINNED bucketed frame (the boundary agg and the scan
-    execute exactly once; the sample scan is the price of statistics
-    and reads only the value column).  The pin is DISK_ONLY (r11):
-    the default deserialized-on-heap checkpoint held data-scale
-    frames in executor storage, and a consumer holding several legs
-    at once (dq_outlier_iqr pins four — two of them 60M-row lineitem
-    columns at sf10) starved execution memory into a fatal OOM under
-    the 8 GB heap — the same failure class as the r10 kmeans
-    distance-frame pin.  Disk blocks keep the exactly-once execution
-    guarantee at zero heap cost; the round-trip is a slim
-    (value, _pid) projection.
+    The ≤ nb-1 boundary values are collected to the DRIVER once and
+    embedded as a literal array (r12, ADVICE r11 item 1: the r11
+    pin=False path left the percentile_approx agg inside the plan,
+    where a multi-branch consumer could evaluate it more than once —
+    QuantileSummaries merge is not order-invariant and exchange reuse
+    is an optimization, not a guarantee, so two evaluations could
+    yield DIFFERENT boundaries and desynchronize bucket ids across
+    branches.  A 31-value collect is the same bounded-driver-read
+    class as the _assign centroid collect; the boundary frame now
+    cannot execute twice because it no longer exists in the plan).
+
+    Returns the bucketed frame, PINNED by default so the data scan
+    also executes exactly once across consumer branches.  The pin is
+    DISK_ONLY (r11): the default deserialized-on-heap checkpoint held
+    data-scale frames in executor storage, and a consumer holding
+    several legs at once (dq_outlier_iqr pins four — two of them
+    60M-row lineitem columns at sf10) starved execution memory into a
+    fatal OOM under the 8 GB heap.  pin=False callers (each consumer
+    a cheap column-pruned scan — the histogram-quantile path) skip
+    the checkpoint; with literal boundaries that is now safe
+    unconditionally.
     """
     pcts = [i / nb for i in range(1, nb)]
     vtype = dict(df.dtypes)[val_col]
     sample = df.select(val_col).sample(fraction=fraction, seed=42)
-    barr = sample.agg(
+    bs = sample.agg(
         F.percentile_approx(
             val_col, F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
         ).alias("_bs")
-    )
+    ).first()["_bs"]
     # Empty/degenerate sample → null sketch → everything in one bucket
     # (still correct, just unbalanced — same failure mode as an empty
     # statistics table in a production optimizer).
-    bounds = F.coalesce(F.col("_bs"), F.array().cast(f"array<{vtype}>"))
+    if bs:
+        bounds = F.array(*[F.lit(v) for v in bs]).cast(f"array<{vtype}>")
+    else:
+        bounds = F.array().cast(f"array<{vtype}>")
     idx = F.size(F.filter(bounds, lambda b: b < F.col(val_col)))
     pid = F.lit(nb - 1) - idx
-    out = df.crossJoin(F.broadcast(barr)).withColumn("_pid", pid).drop("_bs")
+    out = df.withColumn("_pid", pid)
     if not pin:
-        # pin=False (r11): callers whose consumers are each a cheap
-        # column-pruned scan (the histogram-quantile path) skip the
-        # checkpoint entirely — the deterministic seed keeps the
-        # sampled boundaries identical across re-executions.
         return out
     from pyspark import StorageLevel
 

@@ -694,7 +694,7 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_weighted_median",
     oracle="WITH w AS (SELECT l_returnflag AS g, l_extendedprice AS v, "
-    "CAST(sum(l_quantity) AS BIGINT) AS wt FROM lineitem "
+    "CAST(floor(sum(l_quantity)) AS BIGINT) AS wt FROM lineitem "
     "WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2), "
     "tot AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY 1), "
     "r AS (SELECT g, v, wt, CAST(sum(wt) OVER (PARTITION BY g ORDER BY v "
@@ -728,7 +728,11 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("g"),
             F.col("l_extendedprice").alias("v"),
         )
-        .agg(F.sum("l_quantity").cast("long").alias("wt"))
+        # floor() EXPLICITLY on both sides before the BIGINT cast
+        # (ADVICE r11 item 5: Spark's double→long cast truncates while
+        # DuckDB's rounds half-up — integral l_quantity masked the
+        # divergence; floor pins one semantic in both engines).
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("wt"))
     )
     # quantile_bucketed's _pid DESCENDS with the value (it serves the
     # top-k/desc rank family); this cumsum walks v ASCENDING, and the

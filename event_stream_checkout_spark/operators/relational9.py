@@ -201,12 +201,58 @@ def q_agg_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COPURCHASE_MIN_SUP = 2  # edge = parts co-purchased in >= 2 orders
+_COPURCHASE_BASKET_CAP = 32  # skew guard (r12, the V15/A19 stance): an
+                             # order with more distinct parts is a feed
+                             # anomaly (TPC-H fan is <= 7), not a
+                             # C(n,2) pair-expansion license — one
+                             # degenerate 100k-item basket at 100 TB
+                             # would emit ~5e9 pair rows unguarded
+
+
+def copurchase_edges(pp0: DataFrame) -> DataFrame:
+    """Support-capped co-purchase edge list over a distinct
+    ``(l_orderkey, l_partkey)`` frame.
+
+    Factored out of the registered query (the jaccard_pairs pattern)
+    so property tests can drive it with an adversarial corpus: the
+    BETWEEN-2-AND-CAP basket gate semi-joins the pair leg BEFORE the
+    self-join, so one degenerate basket must contribute zero join
+    INPUT rows — never a C(n,2) pair block (r12, the r11 verdict's
+    robustness note on G2)."""
+    ok = (
+        pp0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n").between(2, _COPURCHASE_BASKET_CAP))
+        .select("l_orderkey")
+    )
+    # Gate BEFORE pair expansion: a basket outside 2..CAP never reaches
+    # the self-join (1-part orders emit no pairs anyway; oversized
+    # baskets are feed anomalies for V1-class gates, not a C(n,2)
+    # license).
+    pp = pp0.join(ok, "l_orderkey", "semi")
+    a, b = pp.alias("a"), pp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _COPURCHASE_MIN_SUP)
+    )
+
 
 
 @register(
     "graph_copurchase_components",
     oracle="WITH RECURSIVE "
-    "pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "ok AS (SELECT l_orderkey FROM pp0 GROUP BY 1 "
+    f"HAVING count(*) BETWEEN 2 AND {_COPURCHASE_BASKET_CAP}), "
+    "pp AS (SELECT pp0.* FROM pp0 JOIN ok USING (l_orderkey)), "
     "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
     "CAST(count(*) AS BIGINT) AS sup "
     "FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey "
@@ -236,36 +282,29 @@ _COPURCHASE_MIN_SUP = 2  # edge = parts co-purchased in >= 2 orders
     "oracle walks the same graph with WITH RECURSIVE min-label "
     "closure — a genuinely different algorithm (transitive closure "
     "then min), so agreement checks the COMPONENT STRUCTURE, not a "
-    "shared implementation.  Scale: the edge list is support-capped "
-    "and order-local (≤ C(items-per-order, 2) pair rows per order "
-    "before the support collapse — order fan is bounded at 7 in "
-    "TPC-H shapes), propagation shuffles slim (node, label) rows, "
-    "and rounds are logarithmic in component diameter.",
+    "shared implementation.  Scale: a BETWEEN-2-AND-32 basket gate "
+    "semi-joins the pair leg BEFORE the self-join (r12, closing the "
+    "r11 verdict's robustness note: previously one degenerate "
+    "100k-item order would have formed its ~5e9-row quadratic block "
+    "— now it contributes zero join input, the V15/A19 bounded-fan "
+    "stance; TPC-H fan is ≤ 7, so driver results are unchanged, and "
+    "the oracle carries the same gate), the edge list is "
+    "support-capped and order-local, propagation shuffles slim "
+    "(node, label) rows, and rounds are logarithmic in component "
+    "diameter — with a fail-loud fixpoint guard instead of silent "
+    "partial labels if the round cap is ever hit.",
 )
 def q_graph_copurchase_components(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .llm_advanced import _connected_components
 
-    pp = (
+    pp0 = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = pp.alias("a"), pp.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= _COPURCHASE_MIN_SUP)
-        .localCheckpoint()
-    )
+    e = copurchase_edges(pp0).localCheckpoint()
     edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )

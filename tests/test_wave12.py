@@ -1,0 +1,248 @@
+"""Round-12 contracts: the r11 verdict's two plan-quality fixes
+(dq_duplicate_orders gate ordering, llm_lsh_tuning single-pass fusion),
+the G2 basket-cap robustness gate, the X64 vocab pin, and the r11
+ADVICE hardening (fixpoint fail-loud, _assign input validation,
+literal quantile boundaries, weighted-median floor semantics)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from event_stream_checkout_spark.registry import load_all
+from tests.conftest import SF_DIR
+from tests.test_plan_contracts import executed_plan
+
+QUERIES = load_all()
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 1: V15 gate BELOW the pair join
+# ---------------------------------------------------------------------------
+
+
+def test_dup_orders_gate_below_pair_join(spark):
+    """dq_duplicate_orders: BOTH self-join legs are semi-joined against
+    the BETWEEN-2-AND-8 gate BEFORE pair expansion, so a poisoned
+    customer-day contributes zero pair-join INPUT rows.  The r11 plan
+    joined the gate aggregate ABOVE the self-join (the quadratic block
+    formed, then was discarded); this pins the fixed ordering."""
+    plan = executed_plan(spark, "dq_duplicate_orders")
+    # both legs gated: two semi joins in the final plan
+    assert plan.count("LeftSemi") >= 2, "self-join legs not both gated"
+    # the gate aggregate (count per (custkey, day)) sits BELOW the pair
+    # join: in toString order (top-down), the Inner pair join prints
+    # BEFORE the first gate HashAggregate.
+    pair_join = re.search(r"Join .*Inner|BroadcastHashJoin .*Inner", plan)
+    gate_agg = re.search(r"HashAggregate\(keys=\[o_custkey", plan)
+    assert pair_join and gate_agg, "pair join / gate aggregate missing"
+    assert pair_join.start() < gate_agg.start(), (
+        "gate aggregate printed above the pair join — the quadratic "
+        "block would form before the gate again"
+    )
+    # and the BETWEEN band is actually applied to the gate count
+    assert re.search(r"_n#\d+L? >= 2", plan), "lower gate bound missing"
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 2: X69 single-pass fusion
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_tuning_single_pair_pipeline(spark):
+    """llm_lsh_tuning: all four (bands, rows) configs are measures of
+    ONE aggregate over the pair population — the plan carries a single
+    explode-of-structs Generate and NO Union (the r11 plan unioned four
+    separate aggregates, re-running the grams→df-cap→self-join pipeline
+    per leg: 506 nodes / 60 exchanges / 0 reuse)."""
+    plan = executed_plan(spark, "llm_lsh_tuning", full=True)
+    assert "Union" not in plan, "legs still unioned — pipeline replicated"
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode(array(struct(bands") == 1, (
+        "expected ONE report explode"
+    )
+    # one pair-pipeline instance: the (doc_a, doc_b) intersection
+    # aggregate appears at most twice in the final plan (partial+final),
+    # not once per config.
+    n_inter = len(re.findall(r"HashAggregate\(keys=\[doc_a", final))
+    assert n_inter <= 2, f"pair aggregate replicated {n_inter}x"
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 4: G2 basket gate before pair expansion
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_basket_gate_blocks_oversized_order(spark):
+    """copurchase_edges: an order with more distinct parts than the cap
+    contributes ZERO pair rows (it is excluded before the self-join),
+    while normal baskets still form their support-counted edges."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        _COPURCHASE_BASKET_CAP,
+        copurchase_edges,
+    )
+
+    rows = []
+    # poisoned basket: cap+8 distinct parts in one order
+    rows += [Row(l_orderkey=1, l_partkey=p)
+             for p in range(100, 100 + _COPURCHASE_BASKET_CAP + 8)]
+    # two normal orders sharing the same 2-part bundle (support 2)
+    rows += [Row(l_orderkey=2, l_partkey=7), Row(l_orderkey=2, l_partkey=9)]
+    rows += [Row(l_orderkey=3, l_partkey=7), Row(l_orderkey=3, l_partkey=9)]
+    pp = spark.createDataFrame(rows)
+    got = {(r["pa"], r["pb"], r["sup"])
+           for r in copurchase_edges(pp).collect()}
+    assert got == {(7, 9, 2)}, got
+
+
+def test_copurchase_gate_below_self_join(spark):
+    """The basket gate is physically BELOW the pair self-join: the gated
+    leg (semi-join against the BETWEEN-count frame) feeds the inner
+    pair join, not the other way around."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        copurchase_edges,
+    )
+
+    pp = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    df = copurchase_edges(pp)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("LeftSemi") >= 1, "basket gate semi-join missing"
+    pair_join = re.search(
+        r"Join .*Inner|BroadcastHashJoin .*Inner|SortMergeJoin .*Inner", plan
+    )
+    gate_agg = re.search(r"HashAggregate\(keys=\[l_orderkey", plan)
+    assert pair_join and gate_agg
+    assert pair_join.start() < gate_agg.start(), (
+        "basket-count gate printed above the pair self-join"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verdict item 5: X64 vocab pinned once
+# ---------------------------------------------------------------------------
+
+
+def test_cm_windowed_vocab_pinned(spark):
+    """llm_cm_sketch_windowed: the (day, tok, tf) vocab is pinned once —
+    the query plan reads the checkpointed RDD and contains NO documents
+    parquet scan (the corpus explode ran exactly once, in the
+    checkpoint's own job; r11 re-ran it per consumer)."""
+    plan = executed_plan(spark, "llm_cm_sketch_windowed", full=True)
+    assert "documents" not in plan, "corpus re-scanned past the pin"
+    assert "Scan ExistingRDD" in plan, "pinned vocab RDD missing"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: _connected_components fail-loud on round cap
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_raises_on_round_cap(spark):
+    """A chain too deep for the round budget must RAISE, not return
+    silently partial labels (ADVICE r11: G2 feeds an unbounded-diameter
+    graph; partial labels would split components without signal)."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _connected_components,
+    )
+
+    n = 64
+    chain = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(n)]
+        + [Row(src=i + 1, dst=i) for i in range(n)]
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _connected_components(chain, max_rounds=2)
+    # and with an adequate budget the same graph converges to ONE label
+    labels = _connected_components(chain, max_rounds=10)
+    assert labels.select("label").distinct().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: _assign input validation (null dropped, ragged fail-loud)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_drops_null_and_rejects_ragged(spark):
+    from event_stream_checkout_spark.operators.clustering import _assign
+
+    cent = spark.createDataFrame(
+        [Row(cluster=0, carr=[0.0, 0.0]), Row(cluster=1, carr=[10.0, 10.0])]
+    )
+    schema = "vec_id long, embedding array<double>"
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, [9.9, 9.8])], schema
+    )
+    got = {r["vec_id"]: r["cluster"] for r in _assign(ok, cent).collect()}
+    # null embedding dropped (matches-no-centroid join semantics)
+    assert got == {1: 0, 3: 1}, got
+
+    ragged = spark.createDataFrame([(1, [0.1, 0.2]), (2, [0.5])], schema)
+    with pytest.raises(Exception, match="ragged"):
+        _assign(ragged, cent).collect()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: quantile_bucketed boundaries are driver-side literals
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bucketed_boundaries_are_literals(spark):
+    """The percentile_approx boundary sketch is collected ONCE to the
+    driver and embedded as a literal array — it no longer exists in the
+    bucketed frame's plan, so no consumer branch can re-evaluate it to
+    a DIFFERENT boundary set (QuantileSummaries merge is not
+    order-invariant; ADVICE r11 item 1)."""
+    from event_stream_checkout_spark.operators.relational import (
+        quantile_bucketed,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucketed = quantile_bucketed(o, "o_totalprice", nb=8, pin=False)
+    plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan, (
+        "boundary sketch still inside the plan — double-eval hazard"
+    )
+    # buckets must still partition the full row set
+    assert bucketed.count() == o.count()
+    n_buckets = bucketed.select("_pid").distinct().count()
+    assert 2 <= n_buckets <= 8
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: weighted-median weight uses floor() on both engines
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_floor_semantics(spark, duck):
+    """On a FRACTIONAL-quantity feed the engine's weight must equal
+    DuckDB's CAST(floor(...) AS BIGINT) — the r11 form relied on
+    Spark's truncating cast agreeing with DuckDB's rounding cast only
+    because l_quantity is integral in the driver corpora."""
+    vals = [("A", 10.0, 2.5), ("A", 10.0, 0.25), ("A", 20.0, 1.9)]
+    df = spark.createDataFrame(
+        vals, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    w = (
+        df.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("wt"))
+        .orderBy("l_extendedprice")
+        .collect()
+    )
+    # sum(2.5 + 0.25) = 2.75 -> floor 2 (truncating cast would also give
+    # 2 here, but DuckDB's round-half-up cast gives 3 — floor pins it)
+    assert [r["wt"] for r in w] == [2, 1]
+    got = duck.sql(
+        "SELECT CAST(floor(2.75) AS BIGINT), CAST(floor(1.9) AS BIGINT)"
+    ).fetchone()
+    assert list(got) == [2, 1]
