@@ -185,6 +185,21 @@ EXTRA = [
     # S-curve sweep over the unfloored pair space.
     "graph_copurchase_components",
     "llm_lsh_tuning",
+    # r12 (verdict item 3): the five remaining r11 keys with no bench
+    # point at any SF — exponents measured, not asserted.
+    "dq_fd_violations",
+    "dq_duplicate_orders",
+    "agg_weighted_median",
+    "llm_ann_retrain_decision",
+    "llm_cm_sketch_windowed",
+    # r12 new operators, benched from birth (no unbenched-key tail):
+    # the triangle census (degree-ordered wedge join), the split-
+    # leakage gram join, the double-median MAD audit, and the
+    # collapsed-domain latency percentiles.
+    "graph_copurchase_triangles",
+    "llm_split_leakage",
+    "dq_outlier_mad",
+    "agg_ship_latency_profile",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

@@ -1600,3 +1600,122 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_match")
     )
+
+
+# ---------------------------------------------------------------------------
+# X66: train/val split-leakage audit (r12)
+# ---------------------------------------------------------------------------
+
+_LEAK_DF_CAP = 10   # same per-(gram, lang) df cap as the X2/X54 family
+_LEAK_MIN = 0.5     # val doc counts as leaked if >= half its rare grams
+                    # appear verbatim in ONE train doc
+
+
+@register(
+    "llm_split_leakage",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "dg AS (SELECT DISTINCT doc_id, lang, gram FROM grams), "
+    "rare AS (SELECT gram, lang FROM dg GROUP BY 1, 2 "
+    f"HAVING count(*) <= {_LEAK_DF_CAP}), "
+    "dgc AS (SELECT dg.*, CASE WHEN "
+    "substring(md5(CAST(dg.doc_id AS VARCHAR)), 1, 4) < 'cccc' "
+    "THEN 'train' WHEN "
+    "substring(md5(CAST(dg.doc_id AS VARCHAR)), 1, 4) < 'e666' "
+    "THEN 'val' ELSE 'test' END AS split "
+    "FROM dg JOIN rare USING (gram, lang)), "
+    "v AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n "
+    "FROM dgc WHERE split = 'val' GROUP BY 1, 2), "
+    "inter AS (SELECT a.doc_id AS vd, b.doc_id AS td, "
+    "CAST(count(*) AS BIGINT) AS c "
+    "FROM dgc a JOIN dgc b ON a.gram = b.gram AND a.lang = b.lang "
+    "WHERE a.split = 'val' AND b.split = 'train' GROUP BY 1, 2), "
+    "best AS (SELECT vd, CAST(max(c) AS BIGINT) AS mc FROM inter "
+    "GROUP BY 1), "
+    "scored AS (SELECT v.lang, "
+    "CAST(coalesce(best.mc, 0) AS DOUBLE) / v.n AS contain "
+    "FROM v LEFT JOIN best ON v.doc_id = best.vd) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_val_docs, "
+    f"CAST(sum(CASE WHEN contain >= {_LEAK_MIN} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_leaked, "
+    "round(max(contain), 6) AS max_containment "
+    "FROM scored GROUP BY 1 ORDER BY 1",
+    doc="Train/val split-leakage audit (X66, r12): after the X30 "
+    "hash split, how many VAL documents have ≥ half of their rare "
+    "3-gram shingles contained verbatim in a single TRAIN document — "
+    "the held-out-set contamination check every eval pipeline must "
+    "run BEFORE trusting a validation loss (X8 decontaminates train "
+    "against an external benchmark; this audits the split against "
+    "ITSELF, catching the near-duplicate pairs that hash-splitting "
+    "by doc_id deliberately does not see).  Directional containment "
+    "|g(v) ∩ g(t)| / |g(v)| (the X54 asymmetric coefficient, "
+    "denominator fixed to the val doc) so a short val doc pasted "
+    "inside a long train doc still scores ~1.0.  Engine-exact: "
+    "max-of-integer-ratio per val doc (the max over train docs is "
+    "max(c)/n since n is fixed per val doc), rounded 1e-6 only in "
+    "the report.  Scale: the pair space is the lang-blocked, "
+    "df-capped gram space (O(|grams|·cap) join output, the measured "
+    "X2/X54 skew bound) FURTHER shrunk by the val×train split "
+    "restriction (~8% of pairs at the 80/10 split); val docs with "
+    "zero surviving pairs cost a left-join null, not a scan.",
+)
+def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_retrieval import _SPLIT_TRAIN_HI, _SPLIT_VAL_HI
+
+    dg = grams_df(spark, sf_dir).select("doc_id", "lang", "gram").distinct()
+    rare = (
+        dg.groupBy("gram", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _LEAK_DF_CAP)
+        .select("gram", "lang")
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(prefix < _SPLIT_TRAIN_HI, "train")
+        .when(prefix < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    # Pin the capped+tagged gram frame once: it feeds the val sizes,
+    # the val join leg, and the train join leg (three consumers of one
+    # corpus explode — the X64 stance).
+    dgc = (
+        dg.join(rare, ["gram", "lang"])
+        .withColumn("split", split)
+        .localCheckpoint()
+    )
+    v = (
+        dgc.filter(F.col("split") == "val")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = dgc.filter(F.col("split") == "val").select(
+        F.col("doc_id").alias("vd"), "lang", "gram"
+    )
+    b = dgc.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("td"), "lang", "gram"
+    )
+    best = (
+        a.join(b, ["gram", "lang"])
+        .groupBy("vd", "td")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("vd")
+        .agg(F.max("c").cast("long").alias("mc"))
+    )
+    scored = v.join(best, v.doc_id == best.vd, "left").select(
+        "lang",
+        (
+            F.coalesce(F.col("mc"), F.lit(0)).cast("double") / F.col("n")
+        ).alias("contain"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_docs"),
+            F.sum(
+                F.when(F.col("contain") >= _LEAK_MIN, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_leaked"),
+            F.round(F.max("contain"), 6).alias("max_containment"),
+        )
+        .orderBy("lang")
+    )

@@ -322,3 +322,243 @@ def q_graph_copurchase_components(
         .select("component", "n_parts", "n_edges")
         .orderBy(F.col("n_parts").desc(), "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: triangle census over the co-purchase graph (r12)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_GATE_SQL = (
+    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "ok AS (SELECT l_orderkey FROM pp0 GROUP BY 1 "
+    "HAVING count(*) BETWEEN 2 AND 32), "
+    "pp AS (SELECT pp0.* FROM pp0 JOIN ok USING (l_orderkey)), "
+    "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+    "CAST(count(*) AS BIGINT) AS sup "
+    "FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey "
+    "GROUP BY 1, 2 HAVING count(*) >= 2)"
+)
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle census over a pinned (pa, pb) edge
+    frame (pa < pb, one row per undirected edge).  Factored out of the
+    registered query so property tests can drive it with a known graph
+    (the copurchase_edges pattern)."""
+    und = e.select(F.col("pa").alias("n")).unionAll(
+        e.select(F.col("pb").alias("n"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # Orient each undirected edge from the lower (degree, id) endpoint.
+    da = deg.select(F.col("n").alias("pa"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("pb"), F.col("d").alias("_db"))
+    ed = e.join(da, "pa").join(db, "pb")
+    ord_a = F.struct(
+        F.col("_da").alias("d"), F.col("pa").alias("node")
+    )
+    ord_b = F.struct(
+        F.col("_db").alias("d"), F.col("pb").alias("node")
+    )
+    a_first = ord_a < ord_b
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, ord_b).otherwise(ord_a).alias("_dord"),
+    ).localCheckpoint()
+    # Wedges rooted at the minimum-order vertex: out-neighbor pairs
+    # (v, w) with ord(v) < ord(w); the triangle closes iff the oriented
+    # edge v->w exists (orientation is a total order, so the closing
+    # edge can only point that way).
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("_dord").alias("_ov"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("_dord").alias("_ow"),
+    )
+    wedges = o1.join(o2, "u").filter(F.col("_ov") < F.col("_ow"))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+
+@register(
+    "graph_copurchase_triangles",
+    oracle="WITH " + _COPURCHASE_GATE_SQL + ", "
+    "und AS (SELECT pa AS a, pb AS b FROM e "
+    "UNION ALL SELECT pb, pa FROM e), "
+    "deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d FROM und "
+    "GROUP BY 1), "
+    "tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e ab "
+    "JOIN e bc ON ab.pb = bc.pa "
+    "JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb), "
+    "wed AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) "
+    "AS w FROM deg) "
+    "SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes, "
+    "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+    "tri.t AS n_triangles, wed.w AS n_wedges, "
+    "CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6) "
+    "ELSE 0.0 END AS global_clustering "
+    "FROM tri, wed",
+    doc="Triangle census over the co-purchase graph (G3, r12): count "
+    "of part triples that are pairwise co-purchased (each pair in "
+    "≥ 2 orders) plus the open-wedge count and the global clustering "
+    "coefficient 3T/W — the graph-density diagnostic that separates "
+    "a catalog of tight product bundles (high clustering) from "
+    "hub-and-spoke accessory graphs (low), and the standard next "
+    "question after G2's component census.  Engine: DEGREE-ORDERED "
+    "orientation (each undirected edge points from its lower- "
+    "(degree, id) endpoint), so every triangle is enumerated exactly "
+    "once from its minimum-order vertex and a hot node of degree d "
+    "contributes pairs only among its HIGHER-ordered neighbors — the "
+    "classic O(m^1.5) bound (Schank-Wagner forward algorithm) "
+    "instead of the O(sum d^2) a naive wedge join pays on skewed "
+    "degree distributions.  The oracle counts the same triangles by "
+    "plain id-ordered closure (ab ⋈ bc ⋈ ac on pa < pb) — a "
+    "different enumeration order, so agreement checks the triangle "
+    "SET, not a shared traversal.  Scale: rides the G2 edge list "
+    "(basket-gated + support-capped, pinned once); the wedge join "
+    "shuffles on node keys; wedge COUNT comes from the degree frame "
+    "(sum C(d,2)), never from materialized wedges.",
+)
+def q_graph_copurchase_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pp0 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    return triangle_census(e)
+
+
+# ---------------------------------------------------------------------------
+# A34: exact ship-latency percentile profile per order priority (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ship_latency_profile",
+    oracle="WITH lat AS (SELECT o.o_orderpriority, "
+    "CAST(date_diff('day', CAST(o.o_orderdate AS DATE), "
+    "CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "v AS (SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM lat GROUP BY 1, 2), "
+    "tot AS (SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n "
+    "FROM v GROUP BY 1), "
+    "r AS (SELECT o_orderpriority, days, cnt, CAST(sum(cnt) OVER ("
+    "PARTITION BY o_orderpriority ORDER BY days "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM v), "
+    "p50 AS (SELECT r.o_orderpriority, min(days) AS p50_days FROM r "
+    "JOIN tot USING (o_orderpriority) WHERE 2 * cw >= n GROUP BY 1), "
+    "p90 AS (SELECT r.o_orderpriority, min(days) AS p90_days FROM r "
+    "JOIN tot USING (o_orderpriority) WHERE 10 * cw >= 9 * n GROUP BY 1), "
+    "mx AS (SELECT o_orderpriority, max(days) AS max_days FROM v GROUP BY 1) "
+    "SELECT tot.o_orderpriority, tot.n AS n_lines, p50.p50_days, "
+    "p90.p90_days, mx.max_days FROM tot "
+    "JOIN p50 USING (o_orderpriority) JOIN p90 USING (o_orderpriority) "
+    "JOIN mx USING (o_orderpriority) ORDER BY tot.o_orderpriority",
+    doc="Exact ship-latency percentile profile per order priority (A34, "
+    "r12): p50/p90/max of order-to-ship days per priority class — the fulfilment-SLA "
+    "report A26's fixed delay buckets can only approximate, with "
+    "EXACT order statistics (lower-median convention: smallest v "
+    "whose cumulative count reaches the rank, identical arithmetic "
+    "in both engines — no interpolation, no approx sketch).  Scale: "
+    "latency is an INTEGER day count with a naturally tiny domain "
+    "(~120 distinct values), so the fact join collapses to a "
+    "(mode, days, cnt) frame of ≤ modes×days rows in one map-side-"
+    "combined aggregate BEFORE any window runs — the cumulative "
+    "count walks that collapsed frame (≤ ~900 rows, partitioned by "
+    "mode), never the fact table, which is what makes exact "
+    "percentiles affordable at 100 TB when the value domain is "
+    "bounded (the same collapse-first discipline as E16/A31; for "
+    "unbounded domains the bucketed-rank machinery takes over).  "
+    "The only data-scale shuffle is lineitem⋈orders on the natural "
+    "orderkey.",
+)
+def q_agg_ship_latency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days"),
+        )
+        .groupBy("o_orderpriority", "days")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds the window, totals, and max branches
+    )
+    tot = v.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = v.withColumn("cw", F.sum("cnt").over(w).cast("long")).join(
+        F.broadcast(tot), "o_orderpriority"
+    )
+    p50 = (
+        r.filter(F.lit(2) * F.col("cw") >= F.col("n"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("days").alias("p50_days"))
+    )
+    p90 = (
+        r.filter(F.lit(10) * F.col("cw") >= F.lit(9) * F.col("n"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("days").alias("p90_days"))
+    )
+    mx = v.groupBy("o_orderpriority").agg(F.max("days").alias("max_days"))
+    return (
+        tot.select("o_orderpriority", F.col("n").alias("n_lines"))
+        .join(p50, "o_orderpriority")
+        .join(p90, "o_orderpriority")
+        .join(mx, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )

@@ -1218,6 +1218,12 @@ def test_headline_scaling_exponent_tripwire(spark):
                                  # (r11: 211 s at sf10 under the old
                                  # full-ranking path); pinned here so
                                  # a regression to that class fails CI
+        # r12 (verdict item 3): the two heaviest r11 operators, whose
+        # exponents were previously asserted by construction — the
+        # support-capped pair self-join + fixpoint CC, and the fused
+        # single-pass LSH S-curve sweep.
+        "graph_copurchase_components",
+        "llm_lsh_tuning",
     ]
     reg = load_all()
 

@@ -246,3 +246,112 @@ def test_weighted_median_floor_semantics(spark, duck):
         "SELECT CAST(floor(2.75) AS BIGINT), CAST(floor(1.9) AS BIGINT)"
     ).fetchone()
     assert list(got) == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# r12 new operators: known-answer and independent-reimplementation tests
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_census_known_graph(spark):
+    """Triangle + pendant: parts {1,2,3} pairwise bundled, part 4 hangs
+    off part 3.  T=1, wedges = C(2,2)x2 + C(3,2) + 0 = 5, clustering =
+    3/5 — checked against hand arithmetic, not another engine."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        triangle_census,
+    )
+
+    e = spark.createDataFrame(
+        [Row(pa=1, pb=2), Row(pa=1, pb=3), Row(pa=2, pb=3), Row(pa=3, pb=4)]
+    ).localCheckpoint()
+    got = triangle_census(e).collect()[0]
+    assert got["n_nodes"] == 4
+    assert got["n_edges"] == 4
+    assert got["n_triangles"] == 1
+    assert got["n_wedges"] == 5
+    assert abs(got["global_clustering"] - 0.6) < 1e-9
+
+
+def test_triangle_census_matches_naive_count(spark):
+    """On the real sf0.001 co-purchase graph, the degree-ordered count
+    equals a brute-force id-ordered closure computed in pandas — an
+    INDEPENDENT enumeration, so an orientation bug can't self-confirm."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        copurchase_edges,
+        triangle_census,
+    )
+
+    pp = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = copurchase_edges(pp).select("pa", "pb").localCheckpoint()
+    got = triangle_census(e).collect()[0]
+    edges = {(r["pa"], r["pb"]) for r in e.collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    naive = sum(
+        1
+        for (a, b) in edges
+        for c in adj[a] & adj[b]
+        if b < c
+    )
+    assert got["n_triangles"] == naive
+    naive_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert got["n_wedges"] == naive_wedges
+
+
+def test_mad_audit_matches_naive_pandas(spark):
+    """dq_outlier_mad's medians and outlier counts equal a naive pandas
+    reimplementation (lower-median convention) on the sf0.001 corpus."""
+    import pandas as pd
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["dq_outlier_mad"].fn(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    days = (
+        j["l_shipdate"].values.astype("datetime64[D]")
+        - j["o_orderdate"].values.astype("datetime64[D]")
+    ).astype("int64")
+    j = j.assign(days=days)
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        # smallest v with 2 * rank >= n
+        return vals[(n - 1) // 2] if n % 2 else vals[n // 2 - 1]
+
+    for g, grp in j.groupby("o_orderpriority"):
+        med = lower_median(grp["days"].tolist())
+        dev = (grp["days"] - med).abs()
+        mad = lower_median(dev.tolist())
+        n_out = int((dev > 3 * mad).sum())
+        row = got[g]
+        assert row["median_days"] == med, g
+        assert row["mad_days"] == mad, g
+        assert row["n_outliers"] == n_out, g
+        assert row["n_rows"] == len(grp), g
+
+
+def test_split_leakage_bounds_and_determinism(spark):
+    """Containment is a ratio in [0, 1], leaked docs never exceed the
+    val census, and two runs are bit-identical (hash split + exact
+    integer ratios — no sampling anywhere)."""
+    rows1 = QUERIES["llm_split_leakage"].fn(spark, SF_DIR).collect()
+    rows2 = QUERIES["llm_split_leakage"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    assert rows1, "empty leakage report"
+    for r in rows1:
+        assert 0.0 <= r["max_containment"] <= 1.0
+        assert 0 <= r["n_leaked"] <= r["n_val_docs"]
