@@ -696,6 +696,8 @@ def write_orders_upsert_jdbc(
     table: str,
     properties: dict[str, str] | None = None,
     key_cols: tuple[str, ...] = ("order_id",),
+    dialect: str = "mysql",
+    stage_column_types: str | None = None,
 ) -> None:
     """Write a latest-wins orders frame to a real MySQL table with the
     reference's upsert semantics (INSERT .. ON DUPLICATE KEY UPDATE,
@@ -727,36 +729,82 @@ def write_orders_upsert_jdbc(
     appends plus one DDL-sized merge, which is the only JDBC pattern
     that survives a 1000-executor writer.
 
-    The container carries no JDBC driver jar, so the first write
-    raises — surfaced as the same documented NotImplementedError
-    contract as the Kafka source (streaming/sources.py:97-131);
-    tests/test_checkout.py pins both the guard and the frame contract
-    (adapter input ≡ the graded ``snk_orders_upsert`` output).
+    The container carries no MySQL Connector/J jar, so the first
+    MySQL-dialect write raises — surfaced as the same documented
+    NotImplementedError contract as the Kafka source
+    (streaming/sources.py:97-131); tests/test_checkout.py pins both
+    the guard and the frame contract (adapter input ≡ the graded
+    ``snk_orders_upsert`` output).
+
+    ``dialect`` (r12): the stage-then-merge shape is standard SQL
+    apart from the merge statement itself, so the adapter carries a
+    dialect table — ``mysql`` (the reference's target: INSERT .. ON
+    DUPLICATE KEY UPDATE, backtick quoting) and ``derby`` (ANSI
+    ``MERGE INTO``, the JDBC database Spark itself bundles).  The
+    derby dialect exists so the ENTIRE path — Spark's parallel
+    ``write.jdbc`` staging, the single server-side set-based merge,
+    the stage drop — executes LIVE against a real JDBC database in
+    this container (tests/test_jdbc_live.py replays the reference's
+    Test-2 idempotency scenario, README.md:210-219, through embedded
+    Derby); only the MySQL merge string itself remains unexecuted
+    until a Connector/J jar or a MySQL appears.
     """
-    props = {"driver": "com.mysql.cj.jdbc.Driver", **(properties or {})}
+    if dialect not in ("mysql", "derby"):
+        raise ValueError(f"unknown jdbc dialect: {dialect!r}")
+    default_driver = {
+        "mysql": "com.mysql.cj.jdbc.Driver",
+        "derby": "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    }[dialect]
+    props = {"driver": default_driver, **(properties or {})}
 
     def _q(ident: str) -> str:
-        # MySQL identifier quoting: table/column names reach the SQL
-        # string verbatim, so quote every identifier and reject the one
-        # character the quote cannot contain (ADVICE r9: unquoted
+        # Identifier hygiene: names reach the SQL string verbatim, so
+        # quote (MySQL) or validate (Derby, where quoting changes case
+        # semantics) every identifier (ADVICE r9: unquoted
         # interpolation).
-        if "`" in ident:
+        if dialect == "mysql":
+            if "`" in ident:
+                raise ValueError(f"invalid SQL identifier: {ident!r}")
+            return f"`{ident}`"
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
             raise ValueError(f"invalid SQL identifier: {ident!r}")
-        return f"`{ident}`"
+        return ident
 
     stage = f"{table}__stage"
     non_keys = [c for c in df.columns if c not in key_cols]
     if not non_keys:
         raise ValueError("upsert frame needs at least one non-key column")
     cols = ", ".join(_q(c) for c in df.columns)
-    merge_sql = (
-        f"INSERT INTO {_q(table)} ({cols}) "
-        f"SELECT {cols} FROM {_q(stage)} "
-        "ON DUPLICATE KEY UPDATE "
-        + ", ".join(f"{_q(c)}=VALUES({_q(c)})" for c in non_keys)
-    )
+    if dialect == "mysql":
+        merge_sql = (
+            f"INSERT INTO {_q(table)} ({cols}) "
+            f"SELECT {cols} FROM {_q(stage)} "
+            "ON DUPLICATE KEY UPDATE "
+            + ", ".join(f"{_q(c)}=VALUES({_q(c)})" for c in non_keys)
+        )
+    else:  # ANSI MERGE (Derby >= 10.11)
+        on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+        merge_sql = (
+            f"MERGE INTO {_q(table)} t USING {_q(stage)} s ON ({on}) "
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+            + f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ("
+            + ", ".join(f"s.{_q(c)}" for c in df.columns)
+            + ")"
+        )
     try:
-        df.write.mode("overwrite").jdbc(url=url, table=stage, properties=props)
+        writer = df.write.mode("overwrite")
+        if stage_column_types:
+            # e.g. "ORDER_ID VARCHAR(64), STATUS VARCHAR(16)" — Derby
+            # maps StringType to CLOB by default, which cannot be
+            # compared against a VARCHAR merge key (SQLState 42818);
+            # callers override the stage DDL types to match the target.
+            writer = writer.option(
+                "createTableColumnTypes", stage_column_types
+            )
+        writer.jdbc(url=url, table=stage, properties=props)
     except Exception as e:
         # ONLY a missing-driver failure is the documented environment
         # gate; auth/network/SQL errors must surface as themselves
@@ -783,7 +831,15 @@ def write_orders_upsert_jdbc(
             st.execute(merge_sql)
         finally:
             try:
-                st.execute(f"DROP TABLE IF EXISTS {_q(stage)}")
+                if dialect == "mysql":
+                    st.execute(f"DROP TABLE IF EXISTS {_q(stage)}")
+                else:
+                    # Derby has no IF EXISTS; a missing stage (failed
+                    # write) surfaces as a benign 42Y55 swallowed here.
+                    try:
+                        st.execute(f"DROP TABLE {_q(stage)}")
+                    except Exception:  # noqa: BLE001 — drop best-effort
+                        pass
             finally:
                 st.close()
     finally:

@@ -1,0 +1,121 @@
+"""Live JDBC execution of the S6 upsert adapter (r12, verdict item 8).
+
+The reference's serving store is MySQL (docker-compose.yml + db/
+init_schema.sql); this container has neither a MySQL server nor the
+Connector/J jar, so the MySQL-dialect merge string remains the one
+environment-gated semantic.  But the adapter's SHAPE — Spark's
+parallel ``write.jdbc`` staging, ONE server-side set-based merge,
+stage drop, latest-wins upsert semantics — is dialect-independent,
+and Spark bundles embedded Derby (a real JDBC database with ANSI
+``MERGE INTO`` since 10.11).  These tests execute the entire path
+live against Derby, replaying the reference's Test-2 idempotency
+scenario (README.md:210-219: double-submitting an order must not
+duplicate it) and its status-update upsert
+(src/order_processor/app.py:66-118).
+
+Identifier note: Derby canonicalizes unquoted identifiers to upper
+case while Spark's DerbyDialect QUOTES the names it writes, so the
+test frames carry uppercase columns — quoted-uppercase (Spark's
+stage DDL) and unquoted (the adapter's merge SQL) then name the same
+columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from event_stream_checkout_spark.operators.checkout import (
+    write_orders_upsert_jdbc,
+)
+
+_SCHEMA = "ORDER_ID string, STATUS string, TOTAL_AMOUNT double"
+_STAGE_TYPES = "ORDER_ID VARCHAR(64), STATUS VARCHAR(16)"
+
+
+def _bootstrap(spark, url: str, log_path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    # keep derby.log out of the repo working dir
+    jvm.java.lang.System.setProperty("derby.stream.error.file", log_path)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        # the reference's init_schema.sql shape: orders keyed by the
+        # content-hash order id
+        st.execute(
+            "CREATE TABLE ORDERS (ORDER_ID VARCHAR(64) PRIMARY KEY, "
+            "STATUS VARCHAR(16), TOTAL_AMOUNT DOUBLE)"
+        )
+    finally:
+        st.close()
+        conn.close()
+
+
+def _read_orders(spark, url: str) -> dict[str, tuple[str, float]]:
+    rows = spark.read.jdbc(url=url, table="ORDERS").collect()
+    return {r["ORDER_ID"]: (r["STATUS"], r["TOTAL_AMOUNT"]) for r in rows}
+
+
+def test_jdbc_upsert_live_derby(spark, tmp_path):
+    """The full staged-write + server-side-MERGE path against a real
+    JDBC database: insert, update-on-conflict, and the reference's
+    double-submit idempotency — all executed, none mocked."""
+    url = f"jdbc:derby:{tmp_path}/ordersdb;create=true"
+    _bootstrap(spark, url, str(tmp_path / "derby.log"))
+
+    # day 1: two fresh orders
+    v1 = spark.createDataFrame(
+        [("o-1", "PENDING", 10.0), ("o-2", "PENDING", 5.0)], _SCHEMA
+    )
+    write_orders_upsert_jdbc(
+        v1, url, "ORDERS", key_cols=("ORDER_ID",), dialect="derby",
+        stage_column_types=_STAGE_TYPES,
+    )
+    assert _read_orders(spark, url) == {
+        "o-1": ("PENDING", 10.0),
+        "o-2": ("PENDING", 5.0),
+    }
+
+    # day 2: o-1 progresses, o-3 arrives — upsert = update + insert
+    v2 = spark.createDataFrame(
+        [("o-1", "PROCESSED", 10.0), ("o-3", "PENDING", 7.5)], _SCHEMA
+    )
+    write_orders_upsert_jdbc(
+        v2, url, "ORDERS", key_cols=("ORDER_ID",), dialect="derby",
+        stage_column_types=_STAGE_TYPES,
+    )
+    after_update = _read_orders(spark, url)
+    assert after_update == {
+        "o-1": ("PROCESSED", 10.0),
+        "o-2": ("PENDING", 5.0),
+        "o-3": ("PENDING", 7.5),
+    }
+
+    # reference Test-2: the SAME payload double-submitted (content-hash
+    # id collision) must leave the table byte-identical, not duplicated
+    write_orders_upsert_jdbc(
+        v2, url, "ORDERS", key_cols=("ORDER_ID",), dialect="derby",
+        stage_column_types=_STAGE_TYPES,
+    )
+    assert _read_orders(spark, url) == after_update
+
+    # the stage table was dropped after the merge
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "ORDERS__STAGE", None)
+        assert not rs.next(), "stage table left behind"
+    finally:
+        conn.close()
+
+
+def test_jdbc_upsert_rejects_bad_identifier(spark, tmp_path):
+    v = spark.createDataFrame([("o-1", "PENDING", 1.0)], _SCHEMA)
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        write_orders_upsert_jdbc(
+            v,
+            f"jdbc:derby:{tmp_path}/x;create=true",
+            'ORDERS"; DROP TABLE ORDERS',
+            dialect="derby",
+        )
+    with pytest.raises(ValueError, match="unknown jdbc dialect"):
+        write_orders_upsert_jdbc(v, "jdbc:x", "ORDERS", dialect="oracle")
