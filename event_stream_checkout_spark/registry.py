@@ -116,42 +116,40 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r11 behavioral rewrite (engine AND oracle changed together):
-    "llm_pq_rerank_topk",  # codebooks now train on the md5(vec_id)
-                           # half-corpus (r10 verdict item 5); the
-                           # learned centroids — hence codes and the
-                           # shortlist — change, so both sides
-                           # re-grade (sampled _sql_pq_half_sampled
-                           # oracle)
-    # r11 persisted-path plan rewrite: index maintenance now codes
-    # the arriving batch through the vectorized Arrow assignment —
-    # outputs provably identical, but this leg also WRITES through
-    # insertInto, so it re-grades rather than trails.
-    "llm_ivfpq_index_append",
-    # r11 algorithmic rewrite (engine only, oracle unchanged): exact
-    # quartiles now histogram-locate their bucket and rank ONLY that
-    # bucket's rows — the full-corpus ranking window is gone (its
-    # data-scale pins were the sf10 OOM and, disk-pinned, a 211 s
-    # super-linear key).  New selection arithmetic ⇒ re-grade.
-    "dq_outlier_iqr",
-    # NOT queued (deliberate, the documented trailing rule): the
-    # other r11 rewrites are output-IDENTICAL plan changes with
-    # stronger-than-window local evidence, and queueing all of them
-    # would crowd the 31-key r2/r3 stale tail out of this round's 50
-    # slots (r10 verdict item 3 asks that tail to drain NOW):
-    # - kmeans consumers (llm_kmeans_refine, llm_similarity_ivf_kmeans,
-    #   llm_semantic_dedup, llm_pq_code, llm_pq_adc_topk,
-    #   llm_ivfpq_topk, llm_ivfpq_indexed): the vectorized _assign is
-    #   pinned bit-identical three ways at both arities
-    #   (tests/test_wave6.py::test_assign_matches_argmin) and every
-    #   key re-passed local parity this round;
-    # - quantile_bucketed consumers (dq_outlier_iqr and 8 more): the
-    #   pin moved to DISK_ONLY storage — same frame, same values —
-    #   and every consumer re-passed local parity this round;
-    # - evt_survival_km: refactor-only, regenerated oracle verified
-    #   BYTE-identical to the r10 string.
+    # r12 — the verdict's named plan fixes; each one's done-criterion
+    # is "same green hash under the driver gate", so all five queue
+    # for re-grade even where the output is provably identical:
+    "dq_duplicate_orders",   # gate now semi-joins BOTH legs BEFORE
+                             # pair expansion (plan rewrite, output
+                             # identical, plan contract added)
+    "llm_lsh_tuning",        # four (b, r) legs fused into ONE
+                             # aggregate + struct explode (was 4x the
+                             # pair pipeline under a Union)
+    "graph_copurchase_components",  # engine AND oracle changed
+                             # together: BETWEEN-2-AND-32 basket gate
+                             # added on both sides (TPC-H fan <= 7, so
+                             # driver values unchanged — but the oracle
+                             # string changed, so re-grade)
+    "llm_cm_sketch_windowed",  # (day, tok, tf) vocab pinned once —
+                             # the corpus explode no longer re-runs
+                             # per consumer
+    "agg_weighted_median",   # oracle changed: floor() before the
+                             # BIGINT weight cast on both sides
+                             # (ADVICE r11 item 5 cast-semantics fix)
+    # NOT queued (deliberate, the documented trailing rule):
+    # - quantile_bucketed consumers (sort_orders_sampled,
+    #   dq_outlier_iqr, evt_gini and the other cumsum users): the
+    #   boundary sketch moved from an in-plan aggregate to a driver-
+    #   side literal array — same deterministic sample, same boundary
+    #   VALUES, same bucket ids, outputs byte-identical; every
+    #   consumer re-passed local parity + the full NULL sweep this
+    #   round;
+    # - _assign consumers (kmeans/PQ/IVF family): input-validation
+    #   guard only (NULL drop + ragged fail-fast), bit-identical on
+    #   every non-degenerate corpus, pinned by
+    #   tests/test_wave12.py::test_assign_drops_null_and_rejects_ragged.
     # All of them re-enter the driver window via normal stale-first
-    # rotation in r12+.
+    # rotation in r13+.
 )
 
 

@@ -177,6 +177,10 @@ QUERIES = [
     "agg_weighted_median",       # r11: value-level collapse + bucketed cumsum
     "llm_lsh_tuning",            # r11: S-curve sweep over capped pair space
     "graph_copurchase_components",  # r11: log-diameter min-label fixpoint
+    "graph_copurchase_triangles",   # r12: degree-ordered triangle census
+    "agg_ship_latency_profile",     # r12: collapsed-domain exact percentiles
+    "dq_outlier_mad",               # r12: double bucketed-median MAD audit
+    "llm_split_leakage",            # r12: val-in-train containment audit
 ]
 
 
