@@ -194,12 +194,18 @@ EXTRA = [
     "llm_cm_sketch_windowed",
     # r12 new operators, benched from birth (no unbenched-key tail):
     # the triangle census (degree-ordered wedge join), the split-
-    # leakage gram join, the double-median MAD audit, and the
-    # collapsed-domain latency percentiles.
+    # leakage gram join, the double-median MAD audit, the collapsed-
+    # domain latency percentiles, the IVF recall audit (one exact
+    # scan + probe by construction), the sketch intersection, the
+    # backlog sweep-line, and the burst-dispersion profile.
     "graph_copurchase_triangles",
     "llm_split_leakage",
     "dq_outlier_mad",
     "agg_ship_latency_profile",
+    "llm_ann_recall",
+    "agg_hll_intersect",
+    "agg_order_backlog",
+    "evt_burst_dispersion",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

@@ -2263,3 +2263,93 @@ def q_llm_ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# X67: IVF recall audit against the exact baseline (r12)
+# ---------------------------------------------------------------------------
+
+_SQL_SCORED_X = (
+    "scored_x AS (SELECT e.vec_id, "
+    "list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), "
+    "(x, y) -> x + y) AS dot, "
+    "sqrt(list_reduce(list_transform(e.embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) "
+    "AS nrm, "
+    "sqrt(list_reduce(list_transform(q.qv, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) "
+    "AS qnrm "
+    "FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0)"
+)
+
+
+@register(
+    "llm_ann_recall",
+    oracle=f"WITH {_SQL_EX}, "
+    f"seeds AS (SELECT vec_id AS cluster, dim, val AS cval FROM ex "
+    f"WHERE vec_id < {_KM_K}), "
+    + _sql_assign("seeds", "d1", "a1")
+    + ", "
+    "c1 AS (SELECT a1.cluster, ex.dim, "
+    f"{sql_davg('ex.val')} AS cval "
+    "FROM ex JOIN a1 ON ex.vec_id = a1.vec_id GROUP BY 1, 2), "
+    + _sql_assign("c1", "d2", "a2")
+    + ", "
+    f"probe AS (SELECT cluster FROM d2 WHERE vec_id = 0 "
+    f"ORDER BY dq, cluster LIMIT {_IVF_NPROBE}), "
+    "cand AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cluster) "
+    "WHERE a2.vec_id <> 0), "
+    "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    + _SQL_COS
+    + ", "
+    f"ivf AS (SELECT vec_id FROM scored "
+    f"ORDER BY dot / (nrm * qnrm) DESC, vec_id LIMIT {_IVF_TOPK}), "
+    + _SQL_SCORED_X
+    + ", "
+    f"ex_top AS (SELECT vec_id FROM scored_x "
+    f"ORDER BY dot / (nrm * qnrm) DESC, vec_id LIMIT {_IVF_TOPK}), "
+    "ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap "
+    "FROM ex_top JOIN ivf USING (vec_id)) "
+    f"SELECT CAST({_IVF_TOPK} AS BIGINT) AS k, n_overlap, "
+    f"round(CAST(n_overlap AS DOUBLE) / {_IVF_TOPK}, 6) AS recall "
+    "FROM ov",
+    doc="IVF recall audit (X67, r12): recall@k of the learned-"
+    "centroid IVF probe (X27, nprobe=2) against the exact brute-"
+    "force top-k (X3) for the same query — the ONE number that "
+    "justifies an ANN configuration, measured instead of asserted "
+    "(X27's docstring has always said 'the exact baseline measures "
+    "recall'; this key makes that measurement a graded, regression-"
+    "guarded output, the same promotion X58 gave the minhash "
+    "estimator's error and X69 gave the banding selectivity).  "
+    "Composition: both inputs are THE registered operators' own "
+    "pipelines (the llm_langid_confusion stance — the audit can "
+    "never drift from the operators it audits); overlap is a top-k "
+    "set intersection with vec_id tiebreaks on both sides, so the "
+    "result is deterministic cross-engine.  Scale: the audit costs "
+    "one exact scan (the baseline being audited) + the probe; run "
+    "it on a SAMPLED query set at 100 TB — per query it is "
+    "corpus-linear only in the exact leg, which is the point of "
+    "measuring before trusting the index.",
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import q_llm_similarity_topk
+
+    ivf = q_llm_similarity_ivf_kmeans(spark, sf_dir).select("vec_id")
+    # X3 returns the exact top-20; its plan is a TakeOrdered, and the
+    # composed limit takes the first _IVF_TOPK of that sorted result.
+    exact = (
+        q_llm_similarity_topk(spark, sf_dir)
+        .limit(_IVF_TOPK)
+        .select("vec_id")
+    )
+    ov = exact.join(ivf, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return ov.select(
+        F.lit(_IVF_TOPK).cast("long").alias("k"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.lit(_IVF_TOPK), 6
+        ).alias("recall"),
+    )

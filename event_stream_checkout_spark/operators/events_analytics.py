@@ -2043,3 +2043,72 @@ def q_evt_survival_km_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("churned"),
     )
     return _km_curve(obs)
+
+
+# ---------------------------------------------------------------------------
+# E24: daily arrival-burst dispersion index (r12)
+# ---------------------------------------------------------------------------
+
+# burst when dispersion > 1.5, compared as integers:
+# (24*ss - n^2) / (24*n) > 3/2  <=>  2*(24*ss - n^2) > 3*(24*n)
+_BURST_NUM, _BURST_DEN = 3, 2
+
+
+@register(
+    "evt_burst_dispersion",
+    oracle="WITH h AS (SELECT CAST(ts AS DATE) AS day, "
+    "date_part('hour', ts) AS hh, CAST(count(*) AS BIGINT) AS c "
+    "FROM events GROUP BY 1, 2), "
+    "p AS (SELECT day, CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM h GROUP BY 1) "
+    "SELECT day, n AS n_events, "
+    "round((24.0 * ss - n * n) / (24.0 * n), 6) AS dispersion, "
+    f"(CAST({_BURST_DEN} AS BIGINT) * (24 * ss - n * n) > "
+    f"CAST({_BURST_NUM} AS BIGINT) * (24 * n)) AS burst "
+    "FROM p ORDER BY day",
+    doc="Daily arrival-burst dispersion index (E24, r12): per day, "
+    "the index of dispersion (variance-to-mean ratio) of the 24 "
+    "hourly event counts — the classic Poisson-ness test (Cox-Lewis) "
+    "that separates organic traffic (D ≈ 1) from bursty days (bot "
+    "storms, retry floods, batch replays: D ≫ 1) and "
+    "over-smoothed/throttled days (D < 1); E22's seasonal z-score "
+    "finds which HOUR is anomalous, this scores the day's SHAPE.  "
+    "Engine-exact: missing hours count as zero via the fixed k=24 "
+    "denominator (never count-of-present-hours, which would hide "
+    "bursts on sparse days), D = (24·Σc² − n²)/(24·n) stays integer "
+    "until one final division, and the burst flag compares INTEGERS "
+    "cross-multiplied against the 3/2 threshold — no float compare "
+    "at the decision boundary.  Scale: one map-side (day, hour) "
+    "collapse bounds every later frame by the calendar (≤ 24 rows "
+    "per day), the day rollup is a second map-side-combined "
+    "aggregate, and nothing after the first collapse touches event "
+    "rows.",
+)
+def q_evt_burst_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("ts")
+    h = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            F.hour("ts").alias("hh"),
+        )
+        .groupBy("day", "hh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = h.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    num = F.lit(24) * F.col("ss") - F.col("n") * F.col("n")
+    return p.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(
+            (F.lit(24.0) * F.col("ss") - F.col("n") * F.col("n"))
+            / (F.lit(24.0) * F.col("n")),
+            6,
+        ).alias("dispersion"),
+        (
+            F.lit(_BURST_DEN).cast("long") * num
+            > F.lit(_BURST_NUM).cast("long") * (F.lit(24) * F.col("n"))
+        ).alias("burst"),
+    ).orderBy("day")

@@ -279,3 +279,125 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(glob).select(
         "scope", "n_exact", bound.alias("in_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# A35: HLL sketch intersection via inclusion-exclusion (r12)
+# ---------------------------------------------------------------------------
+
+_HLL_IX_PAIRS = (("view", "purchase"), ("click", "error"))
+# Inclusion-exclusion compounds three sketch errors, and the ABSOLUTE
+# error scales with the UNION, not the intersection — the documented
+# weakness of |A∩B| = |A|+|B|−|A∪B| (small intersections under big
+# unions need theta sketches instead; Apache DataSketches docs).  The
+# bound is therefore 3·rel·|A∪B|.
+_HLL_IX_BOUND = 3 * _HLL_REL_ERR
+
+
+@register(
+    "agg_hll_intersect",
+    oracle="WITH pairs(type_a, type_b) AS (VALUES "
+    + ", ".join(f"('{a}', '{b}')" for a, b in _HLL_IX_PAIRS)
+    + "), "
+    "m AS (SELECT p.type_a, p.type_b, "
+    "CAST((SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = p.type_a) AS BIGINT) AS n_a, "
+    "CAST((SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = p.type_b) AS BIGINT) AS n_b, "
+    "CAST((SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type IN (p.type_a, p.type_b)) AS BIGINT) AS n_union, "
+    "CAST((SELECT count(DISTINCT e1.user_id) FROM events e1 "
+    "WHERE e1.event_type = p.type_a AND EXISTS (SELECT 1 FROM events "
+    "e2 WHERE e2.user_id = e1.user_id AND e2.event_type = p.type_b)) "
+    "AS BIGINT) AS n_both_exact FROM pairs p) "
+    "SELECT type_a, type_b, n_a, n_b, n_union, n_both_exact, "
+    "TRUE AS in_bound FROM m ORDER BY type_a, type_b",
+    doc="HLL sketch intersection via inclusion-exclusion (A35, r12): "
+    "distinct users who did BOTH event types, estimated from the "
+    "SAME stored per-type sketches A5d persists — "
+    "est(A∩B) = est(A) + est(B) − est(A∪B), where the union is one "
+    "cheap sketch merge — so the audience-overlap question costs "
+    "zero corpus bytes once the per-type sketches exist.  Graded on "
+    "the guarantee (the A5d verdict pattern): the estimate within "
+    "3·rel·|A∪B| of the exact overlap the oracle recomputes — the "
+    "bound is deliberately stated against the UNION because "
+    "inclusion-exclusion's absolute error compounds three sketch "
+    "errors and does NOT shrink with the intersection (the "
+    "documented regime where theta sketches replace HLL; this "
+    "operator carries that caveat as its bound).  Scale: two "
+    "scan-local sketch aggregates + per-pair merges over ≤ "
+    "#types·4 KB sketch rows.",
+)
+def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    types = sorted({t for pair in _HLL_IX_PAIRS for t in pair})
+    sk = (
+        e.filter(F.col("event_type").isin(types))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("n_exact"),
+        )
+        .localCheckpoint()  # ≤ #types rows; feeds every pair twice
+    )
+    legs = []
+    for ta, tb in _HLL_IX_PAIRS:
+        a = sk.filter(F.col("event_type") == ta).select(
+            F.col("sk").alias("sk_a"), F.col("n_exact").alias("n_a")
+        )
+        b = sk.filter(F.col("event_type") == tb).select(
+            F.col("sk").alias("sk_b"), F.col("n_exact").alias("n_b")
+        )
+        u = (
+            e.filter(F.col("event_type").isin([ta, tb]))
+            .agg(F.count_distinct("user_id").alias("n_union"))
+        )
+        both = (
+            e.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .distinct()
+            .join(
+                e.filter(F.col("event_type") == tb)
+                .select("user_id")
+                .distinct(),
+                "user_id",
+                "semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_both_exact"))
+        )
+        merged = (
+            a.crossJoin(b)
+            .select(
+                F.lit(ta).alias("type_a"),
+                F.lit(tb).alias("type_b"),
+                "n_a",
+                "n_b",
+                (
+                    F.hll_sketch_estimate("sk_a")
+                    + F.hll_sketch_estimate("sk_b")
+                    - F.hll_sketch_estimate(
+                        F.hll_union("sk_a", "sk_b")
+                    )
+                ).alias("est_both"),
+            )
+            .crossJoin(F.broadcast(u))
+            .crossJoin(F.broadcast(both))
+        )
+        legs.append(
+            merged.select(
+                "type_a",
+                "type_b",
+                "n_a",
+                "n_b",
+                "n_union",
+                "n_both_exact",
+                (
+                    F.abs(F.col("est_both") - F.col("n_both_exact"))
+                    <= F.col("n_union") * _HLL_IX_BOUND
+                ).alias("in_bound"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("type_a", "type_b")

@@ -562,3 +562,75 @@ def q_agg_ship_latency_profile(
         .join(mx, "o_orderpriority")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# A36: monthly open-order backlog (sweep-line over opens/closes) (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_order_backlog",
+    oracle="WITH opens AS (SELECT CAST(date_trunc('month', o_orderdate) "
+    "AS DATE) AS m, CAST(count(*) AS BIGINT) AS c FROM orders "
+    "GROUP BY 1), "
+    "done AS (SELECT l_orderkey, max(l_shipdate) AS fin FROM lineitem "
+    "GROUP BY 1), "
+    "closes AS (SELECT CAST(date_trunc('month', fin) AS DATE) AS m, "
+    "CAST(count(*) AS BIGINT) AS c FROM done GROUP BY 1), "
+    "months AS (SELECT m, CAST(coalesce(o.c, 0) AS BIGINT) AS opened, "
+    "CAST(coalesce(cl.c, 0) AS BIGINT) AS closed "
+    "FROM opens o FULL OUTER JOIN closes cl USING (m)) "
+    "SELECT m AS month, opened, closed, "
+    "CAST(sum(opened - closed) OVER (ORDER BY m "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog "
+    "FROM months ORDER BY m",
+    doc="Monthly open-order backlog (A36, r12): the sweep-line "
+    "interval count — orders open at each month's end = cumulative "
+    "(opened − closed), an order closing when its LAST line ships "
+    "(max l_shipdate per order) — the WIP/fulfilment-debt series "
+    "every ops dashboard carries, and the interval-overlap counting "
+    "pattern (turn each interval into a +1/−1 event, prefix-sum the "
+    "deltas) that generalizes to concurrent-session and "
+    "inventory-in-transit questions.  Orders with no lines never "
+    "close and correctly stay in the backlog forever.  Scale: one "
+    "map-side month collapse per side bounds everything after by the "
+    "CALENDAR (~84 rows here); the per-order max is the only "
+    "orderkey-wide aggregate (map-side combined); the cumulative sum "
+    "is a window over the calendar-bounded month frame — the "
+    "V10/A34 collapsed-domain stance, never a data-scale window "
+    "(an unbounded-domain variant would ride the bucketed prefix "
+    "sum).",
+)
+def q_agg_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m")
+    )
+    opens = o.groupBy("m").agg(F.count(F.lit(1)).alias("opened"))
+    done = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("fin"))
+        .select(F.trunc(F.col("fin").cast("date"), "month").alias("m"))
+    )
+    closes = done.groupBy("m").agg(F.count(F.lit(1)).alias("closed"))
+    months = (
+        opens.join(closes, "m", "full_outer")
+        .select(
+            "m",
+            F.coalesce(F.col("opened"), F.lit(0)).cast("long").alias("opened"),
+            F.coalesce(F.col("closed"), F.lit(0)).cast("long").alias("closed"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        months.withColumn(
+            "backlog",
+            F.sum(F.col("opened") - F.col("closed")).over(w).cast("long"),
+        )
+        .select(F.col("m").alias("month"), "opened", "closed", "backlog")
+        .orderBy("month")
+    )

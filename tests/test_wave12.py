@@ -355,3 +355,80 @@ def test_split_leakage_bounds_and_determinism(spark):
     for r in rows1:
         assert 0.0 <= r["max_containment"] <= 1.0
         assert 0 <= r["n_leaked"] <= r["n_val_docs"]
+
+
+# ---------------------------------------------------------------------------
+# r12b operators
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_is_conserved(spark):
+    """Backlog algebra: final backlog == total opens − total closes,
+    backlog never negative on this corpus (an order must open before
+    its last line ships), and opened sums to the orders row count."""
+    rows = QUERIES["agg_order_backlog"].fn(spark, SF_DIR).collect()
+    opened = sum(r["opened"] for r in rows)
+    closed = sum(r["closed"] for r in rows)
+    assert rows[-1]["backlog"] == opened - closed
+    assert all(r["backlog"] >= 0 for r in rows)
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert opened == n_orders
+
+
+def test_burst_dispersion_known_answer(spark, duck):
+    """Dispersion arithmetic on a hand-built day: 23 silent hours and
+    one 24-event burst hour → n=24, ss=576, D=(24·576−576)/(24·24)=23;
+    a perfectly uniform day (1 event every hour) → D=0."""
+    got = duck.sql(
+        "WITH p(day, n, ss) AS (VALUES ('burst', 24, 576), "
+        "('uniform', 24, 24)) "
+        "SELECT day, round((24.0*ss - n*n)/(24.0*n), 6) AS d FROM p "
+        "ORDER BY day"
+    ).fetchall()
+    assert got[0] == ("burst", 23.0)
+    assert got[1] == ("uniform", 0.0)
+
+
+def test_ann_recall_bounds_and_agreement(spark):
+    """recall ∈ [0, 1], n_overlap ≤ k, and the audited sets really are
+    the registered operators' outputs (recomputed independently)."""
+    from event_stream_checkout_spark.operators.clustering import (
+        _IVF_TOPK,
+        q_llm_similarity_ivf_kmeans,
+    )
+    from event_stream_checkout_spark.operators.llm import (
+        q_llm_similarity_topk,
+    )
+
+    row = QUERIES["llm_ann_recall"].fn(spark, SF_DIR).collect()[0]
+    assert row["k"] == _IVF_TOPK
+    assert 0 <= row["n_overlap"] <= row["k"]
+    assert abs(row["recall"] - row["n_overlap"] / row["k"]) < 1e-9
+    ivf = {
+        r["vec_id"]
+        for r in q_llm_similarity_ivf_kmeans(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in q_llm_similarity_topk(spark, SF_DIR)
+        .limit(_IVF_TOPK)
+        .collect()
+    }
+    assert row["n_overlap"] == len(ivf & exact)
+
+
+def test_hll_intersect_exact_side(spark):
+    """The exact overlap equals an independent set intersection, and
+    the estimate honors the documented 3·rel·|union| bound."""
+    import pandas as pd
+
+    rows = QUERIES["agg_hll_intersect"].fn(spark, SF_DIR).collect()
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet")[
+        ["event_type", "user_id"]
+    ]
+    for r in rows:
+        ua = set(e[e.event_type == r["type_a"]].user_id)
+        ub = set(e[e.event_type == r["type_b"]].user_id)
+        assert r["n_both_exact"] == len(ua & ub)
+        assert r["n_union"] == len(ua | ub)
+        assert r["in_bound"] is True

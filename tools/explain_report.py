@@ -181,6 +181,10 @@ QUERIES = [
     "agg_ship_latency_profile",     # r12: collapsed-domain exact percentiles
     "dq_outlier_mad",               # r12: double bucketed-median MAD audit
     "llm_split_leakage",            # r12: val-in-train containment audit
+    "llm_ann_recall",               # r12: IVF recall@k vs exact baseline
+    "agg_hll_intersect",            # r12: sketch inclusion-exclusion
+    "agg_order_backlog",            # r12: sweep-line interval count
+    "evt_burst_dispersion",         # r12: hourly dispersion index
 ]
 
 
