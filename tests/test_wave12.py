@@ -432,3 +432,38 @@ def test_hll_intersect_exact_side(spark):
         assert r["n_both_exact"] == len(ua & ub)
         assert r["n_union"] == len(ua | ub)
         assert r["in_bound"] is True
+
+
+# ---------------------------------------------------------------------------
+# r12 plan contracts: the SURVEY scale claims of the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_ship_latency_windows_run_on_pinned_collapse(spark):
+    """agg_ship_latency_profile: every window/percentile branch reads
+    the PINNED (priority, days, cnt) collapse — the final plan contains
+    no fact-table scan (the lineitem⋈orders join ran exactly once, in
+    the checkpoint's job)."""
+    plan = executed_plan(spark, "agg_ship_latency_profile", full=True)
+    assert "lineitem" not in plan, "fact table re-scanned past the pin"
+    assert "Scan ExistingRDD" in plan, "pinned collapse missing"
+
+
+def test_split_leakage_gram_frame_pinned(spark):
+    """llm_split_leakage: the capped+tagged gram frame is pinned once —
+    no documents scan survives into the query plan despite three
+    consumers (val sizes, val leg, train leg)."""
+    plan = executed_plan(spark, "llm_split_leakage", full=True)
+    assert "documents" not in plan, "corpus re-scanned past the pin"
+    assert "Scan ExistingRDD" in plan
+
+
+def test_triangle_census_rides_pinned_edges(spark):
+    """graph_copurchase_triangles: the census (degree, orientation,
+    wedge join, closure) runs entirely over the pinned edge frame —
+    no lineitem scan in the final plan, and the closing join is an
+    equi-join (no cartesian/nested-loop over data-scale frames; the
+    only BNLJ inputs are 1-row scalar aggregates)."""
+    plan = executed_plan(spark, "graph_copurchase_triangles", full=True)
+    assert "lineitem" not in plan, "fact table re-scanned past the pin"
+    assert "CartesianProduct" not in plan
