@@ -206,6 +206,10 @@ EXTRA = [
     "agg_hll_intersect",
     "agg_order_backlog",
     "evt_burst_dispersion",
+    # r12c: the keyless band join (banded bucketing + hot-slice gate)
+    # and the Heaps-curve first-occurrence collapse.
+    "join_band_time_pairs",
+    "llm_gram_novelty",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

@@ -1719,3 +1719,76 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X70: corpus novelty curve (Heaps-law vocabulary growth) (r12)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_BUCKET = 100  # docs per ingest slice
+
+
+@register(
+    "llm_gram_novelty",
+    oracle=f"WITH {SQL_GRAMS.strip()}, "
+    "fg AS (SELECT source, gram, CAST(min(doc_id) AS BIGINT) AS fd "
+    "FROM grams GROUP BY 1, 2), "
+    f"nb AS (SELECT source, CAST(fd // {_NOVELTY_BUCKET} AS BIGINT) "
+    "AS bucket, CAST(count(*) AS BIGINT) AS new_grams FROM fg "
+    "GROUP BY 1, 2) "
+    "SELECT source, bucket, new_grams, "
+    "CAST(sum(new_grams) OVER (PARTITION BY source ORDER BY bucket "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams "
+    "FROM nb ORDER BY source, bucket",
+    doc="Corpus novelty curve (X70, r12): per source, how many NEVER-"
+    "SEEN-BEFORE 3-gram shingles each ingest slice of "
+    f"{_NOVELTY_BUCKET} docs contributes (first occurrence = minimum "
+    "doc_id, the deterministic stand-in for ingest order), plus the "
+    "cumulative vocabulary — the empirical Heaps-law curve "
+    "(V(n) ≈ K·n^β) that tells a data-acquisition pipeline when a "
+    "source is EXHAUSTED (new-gram rate collapsing ⇒ more crawling "
+    "buys duplicates, the X12 incremental-dedup regime) versus "
+    "still-novel (sustained rate ⇒ keep ingesting); X15 counts the "
+    "standing vocabulary, X47/X43 score its per-doc shape — this is "
+    "its GROWTH derivative, the number the mix designer (X13) "
+    "actually budgets against.  Engine: one distinct-collapse to "
+    "(source, gram, first_doc) — min() is a map-side-combined "
+    "aggregate, never a window over gram occurrences — then a "
+    "slice-level rollup; the cumulative sum runs on the two-pass "
+    "bucketed prefix machinery (literal sampled boundaries, "
+    "per-bucket windows, broadcast offsets), so the slice axis may "
+    "grow without bound (100 TB = millions of slices) and still no "
+    "single-partition window ever sees it.",
+)
+def q_llm_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import quantile_bucketed
+
+    fg = (
+        grams_df(spark, sf_dir)
+        .groupBy("source", "gram")
+        .agg(F.min("doc_id").cast("long").alias("fd"))
+    )
+    nb = (
+        fg.select(
+            "source",
+            F.expr(f"fd div {_NOVELTY_BUCKET}").cast("long").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    bucketed = quantile_bucketed(nb, "bucket", nb=32).withColumn(
+        "_pid", F.lit(31) - F.col("_pid")
+    )
+    ranked = _cumsum_from_buckets(
+        bucketed,
+        ["source"],
+        [F.col("bucket").asc()],
+        F.col("new_grams"),
+        "cum_grams",
+    )
+    return ranked.select(
+        "source",
+        "bucket",
+        F.col("new_grams").cast("long").alias("new_grams"),
+        F.col("cum_grams").cast("long").alias("cum_grams"),
+    ).orderBy("source", "bucket")

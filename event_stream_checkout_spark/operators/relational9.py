@@ -634,3 +634,123 @@ def q_agg_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("m").alias("month"), "opened", "closed", "backlog")
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# J17: PURE band join via banded bucketing (r12)
+# ---------------------------------------------------------------------------
+
+_BAND_US = 1_000_000        # +/- 1 s co-arrival band
+_BAND_BUCKET_US = 2_000_000  # bucket width 2*delta: a qualifying pair
+                             # spans at most adjacent buckets
+_BAND_BUCKET_CAP = 16        # hot-bucket gate (the LSH bucket-cap /
+                             # V15 stance): a 2-second slice holding
+                             # more events is a burst, reported by
+                             # E24 — not an O(B^2) pair license
+
+
+def band_pairs(ev: DataFrame) -> DataFrame:
+    """Banded-bucket pure band join over an (event_id, user_id,
+    event_type, t) frame.  Factored out of the registered query (the
+    copurchase_edges pattern) so property tests can drive it with a
+    crafted burst: a hot 2δ slice must contribute ZERO pairs (the gate
+    runs before any pair forms), never a quadratic block."""
+    ev = ev.withColumn(
+        "bkt", F.expr(f"t div {_BAND_BUCKET_US}").cast("long")
+    )
+    cold = (
+        ev.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= _BAND_BUCKET_CAP)
+        .select("bkt")
+    )
+    # Gate BOTH sides to cold buckets BEFORE pair expansion, then pin:
+    # the slim gated frame feeds the exploded and plain legs.
+    evc = ev.join(cold, "bkt", "semi").localCheckpoint()
+    a = evc.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("u_a"),
+        F.col("event_type").alias("ty_a"),
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.array(
+                F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1
+            )
+        ).alias("jb"),
+    )
+    b = evc.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("event_type").alias("ty_b"),
+        F.col("t").alias("t_b"),
+        F.col("bkt").alias("jb"),
+    )
+    pairs = a.join(b, "jb").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("t_a") - F.col("t_b")) <= _BAND_US)
+        & (F.col("u_a") != F.col("u_b"))
+    )
+    return (
+        pairs.groupBy(
+            F.least("ty_a", "ty_b").alias("type_a"),
+            F.greatest("ty_a", "ty_b").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+
+@register(
+    "join_band_time_pairs",
+    oracle="WITH ev AS (SELECT event_id, user_id, event_type, "
+    "CAST(epoch_us(ts) AS BIGINT) AS t, "
+    f"CAST(epoch_us(ts) // {_BAND_BUCKET_US} AS BIGINT) AS bkt "
+    "FROM events), "
+    "cold AS (SELECT bkt FROM ev GROUP BY 1 "
+    f"HAVING count(*) <= {_BAND_BUCKET_CAP}), "
+    "evc AS (SELECT ev.* FROM ev JOIN cold USING (bkt)) "
+    "SELECT least(a.event_type, b.event_type) AS type_a, "
+    "greatest(a.event_type, b.event_type) AS type_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM evc a JOIN evc b ON a.event_id < b.event_id "
+    f"AND abs(a.t - b.t) <= {_BAND_US} "
+    "AND a.user_id <> b.user_id "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    doc="Pure band join via banded bucketing (J17, r12): cross-user "
+    "event pairs arriving within ±1 s of each other, rolled up per "
+    "(type, type) — the co-arrival census behind bot-ring and "
+    "thundering-herd detection, and the BUCKETED-RANGE TECHNIQUE "
+    "J6's docstring has pointed at since round 1 (J6's band rides "
+    "an equi key; here there is NO equi key, the classic worst case "
+    "for a distributed theta join).  Engine: time buckets of width "
+    "2δ make the band an EQUI problem — a qualifying pair spans at "
+    "most adjacent buckets, so one side explodes to its 3 "
+    "neighboring bucket ids and the join runs as a plain hash "
+    "equi-join on the bucket, with the exact |Δt| ≤ δ band and the "
+    "id-order dedup as post-filters; output is correct because the "
+    "explode side COVERS every bucket a qualifying partner can "
+    "occupy.  Both sides gate to COLD buckets first (≤ 16 events "
+    "per 2-second slice, applied BEFORE any pair forms — the "
+    "V15/G2/LSH discipline), so a burst slice contributes zero "
+    "join input instead of a quadratic block; the oracle carries "
+    "the identical gate and computes the pairs by a direct theta "
+    "join — a different join strategy, so agreement checks the "
+    "PAIR SET.  Scale: shuffle keys are bucket ids (uniform by "
+    "construction: the cap bounds every bucket), join output is "
+    "O(n · cap), and the 3× explode touches only the slim "
+    "(id, user, type, t, bkt) projection.",
+)
+def q_join_band_time_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # tz-free NTZ epoch: identical arithmetic to DuckDB's
+        # epoch_us(ts) regardless of session timezone
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+    )
+    return band_pairs(ev)

@@ -467,3 +467,62 @@ def test_triangle_census_rides_pinned_edges(spark):
     plan = executed_plan(spark, "graph_copurchase_triangles", full=True)
     assert "lineitem" not in plan, "fact table re-scanned past the pin"
     assert "CartesianProduct" not in plan
+
+
+def test_band_pairs_hot_slice_contributes_zero(spark):
+    """band_pairs: a 2δ slice holding more than the cap forms ZERO
+    pairs (gated before expansion), while cold-slice pairs within the
+    band survive and cross-bucket pairs within δ are found."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        _BAND_BUCKET_CAP,
+        _BAND_BUCKET_US,
+        band_pairs,
+    )
+
+    rows = []
+    # hot slice: cap+4 events inside one bucket, all within the band
+    base = 100 * _BAND_BUCKET_US
+    for i in range(_BAND_BUCKET_CAP + 4):
+        rows.append((1000 + i, i, "click", base + i))
+    # cold pair, same bucket, within band, different users
+    cb = 200 * _BAND_BUCKET_US
+    rows += [(1, 1, "view", cb + 10), (2, 2, "error", cb + 20)]
+    # cold pair SPANNING adjacent buckets, within band
+    cb2 = 300 * _BAND_BUCKET_US
+    rows += [(3, 3, "view", cb2 - 5), (4, 4, "purchase", cb2 + 5)]
+    # same-user pair: excluded
+    cb3 = 400 * _BAND_BUCKET_US
+    rows += [(5, 5, "view", cb3 + 1), (6, 5, "view", cb3 + 2)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, t long"
+    )
+    got = {(r["type_a"], r["type_b"], r["n_pairs"])
+           for r in band_pairs(ev).collect()}
+    assert got == {("error", "view", 1), ("purchase", "view", 1)}, got
+
+
+def test_gram_novelty_conserves_vocabulary(spark):
+    """X70: the last cumulative value per source equals that source's
+    total distinct gram count, and new_grams sums to the same."""
+    from event_stream_checkout_spark.operators.llm_advanced import grams_df
+
+    rows = QUERIES["llm_gram_novelty"].fn(spark, SF_DIR).collect()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    vocab = {
+        r["source"]: r["n"]
+        for r in grams_df(spark, SF_DIR)
+        .select("source", "gram")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, rs in per_source.items():
+        rs = sorted(rs, key=lambda r: r["bucket"])
+        assert rs[-1]["cum_grams"] == vocab[src], src
+        assert sum(r["new_grams"] for r in rs) == vocab[src], src
+        # cumulative is monotone
+        cums = [r["cum_grams"] for r in rs]
+        assert cums == sorted(cums), src

@@ -185,6 +185,8 @@ QUERIES = [
     "agg_hll_intersect",            # r12: sketch inclusion-exclusion
     "agg_order_backlog",            # r12: sweep-line interval count
     "evt_burst_dispersion",         # r12: hourly dispersion index
+    "join_band_time_pairs",         # r12: keyless band via banded buckets
+    "llm_gram_novelty",             # r12: Heaps-curve novelty collapse
 ]
 
 
