@@ -315,6 +315,15 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
+            # Release the key's pinned frames (r12): localCheckpoint
+            # blocks are freed by the ContextCleaner only after BOTH
+            # the Python DataFrame refs die AND the JVM notices — on a
+            # 96-key suite at sf10 the lag accumulated into execution-
+            # memory OOMs mid-cycle.  Runs OUTSIDE the timed section.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings[k] for k in HEADLINE), 3)
     extended = round(sum(timings[k] for k in EXTENDED), 3)
