@@ -768,11 +768,27 @@ def write_orders_upsert_jdbc(
             return f"`{ident}`"
         import re as _re
 
-        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
-            raise ValueError(f"invalid SQL identifier: {ident!r}")
+        # Uppercase-only for Derby (ADVICE r12): Spark's DerbyDialect
+        # double-quotes the stage DDL verbatim, so a lowercase stage
+        # column is created case-sensitive while this adapter emits it
+        # UNQUOTED in the MERGE — Derby then canonicalizes the unquoted
+        # name to uppercase and resolves a DIFFERENT (or missing)
+        # column.  Rejecting non-uppercase here turns that silent
+        # mismatch into an immediate, explained error.
+        if not _re.fullmatch(r"[A-Z_][A-Z0-9_]*", ident):
+            raise ValueError(
+                f"invalid SQL identifier for Derby: {ident!r} — must be "
+                "UPPERCASE [A-Z_][A-Z0-9_]*; Derby canonicalizes "
+                "unquoted identifiers to uppercase while Spark's "
+                "DerbyDialect quotes the stage DDL verbatim, so a "
+                "lowercase name would bind a different column"
+            )
         return ident
 
-    stage = f"{table}__stage"
+    # Uppercase suffix so the stage name itself passes the Derby
+    # identifier gate (the table is validated by _q below; MySQL quotes
+    # either way).
+    stage = f"{table}__STAGE"
     non_keys = [c for c in df.columns if c not in key_cols]
     if not non_keys:
         raise ValueError("upsert frame needs at least one non-key column")
@@ -834,12 +850,23 @@ def write_orders_upsert_jdbc(
                 if dialect == "mysql":
                     st.execute(f"DROP TABLE IF EXISTS {_q(stage)}")
                 else:
-                    # Derby has no IF EXISTS; a missing stage (failed
-                    # write) surfaces as a benign 42Y55 swallowed here.
+                    # Derby has no IF EXISTS; ONLY the benign
+                    # missing-table 42Y55/42X05 SQLStates are swallowed
+                    # (ADVICE r12: a blanket except also hid lock
+                    # timeouts / dropped connections, silently leaving
+                    # the stage table behind).
                     try:
                         st.execute(f"DROP TABLE {_q(stage)}")
-                    except Exception:  # noqa: BLE001 — drop best-effort
-                        pass
+                    except Exception as drop_exc:  # noqa: BLE001
+                        sql_state = None
+                        je = getattr(drop_exc, "java_exception", None)
+                        if je is not None:
+                            try:
+                                sql_state = je.getSQLState()
+                            except Exception:  # noqa: BLE001 — py4j
+                                sql_state = None
+                        if sql_state not in ("42Y55", "42X05"):
+                            raise
             finally:
                 st.close()
     finally:

@@ -831,6 +831,13 @@ def _connected_components(
     minhash → band join) instead of scanning a materialized edge
     table.
     """
+    if max_rounds < 1:
+        # With changed pre-initialized to 0, a zero/negative cap would
+        # skip the loop entirely and return the INITIAL labels without
+        # ever tripping the fail-loud fixpoint guard below — exactly
+        # the silent-partial-labels outcome the guard exists to prevent
+        # (ADVICE r12).
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if pin_edges:
         edges = edges.localCheckpoint()
     if init_labels is None:

@@ -117,5 +117,16 @@ def test_jdbc_upsert_rejects_bad_identifier(spark, tmp_path):
             'ORDERS"; DROP TABLE ORDERS',
             dialect="derby",
         )
+    # lowercase identifiers are rejected for Derby (ADVICE r12): Spark's
+    # DerbyDialect quotes the stage DDL verbatim (case-sensitive) while
+    # the adapter's MERGE emits the name unquoted (canonicalized to
+    # uppercase) — a lowercase name would bind a different column.
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        write_orders_upsert_jdbc(
+            v,
+            f"jdbc:derby:{tmp_path}/x;create=true",
+            "orders",
+            dialect="derby",
+        )
     with pytest.raises(ValueError, match="unknown jdbc dialect"):
         write_orders_upsert_jdbc(v, "jdbc:x", "ORDERS", dialect="oracle")

@@ -19,6 +19,29 @@ from tests.test_plan_contracts import executed_plan
 QUERIES = load_all()
 
 
+def plan_subtree(plan: str, root_re: str) -> str:
+    """Return the toString subtree rooted at the first line matching
+    ``root_re``: the matched line plus every following line with a
+    strictly deeper tree indentation (Spark prints children with a
+    longer ``:-``/``+-``/space prefix).  Structural containment —
+    "operator X sits INSIDE join Y's legs" — replaces the r12 positional
+    print-order checks, which ADVICE r12 showed were vacuous (in the
+    broken shape the gate aggregate was the RIGHT child of the join
+    ABOVE, so it also printed after the pair join)."""
+    depth = lambda ln: len(ln) - len(ln.lstrip(" :+-"))  # noqa: E731
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(root_re, ln):
+            d0 = depth(ln)
+            out = [ln]
+            for nxt in lines[i + 1 :]:
+                if not nxt.strip() or depth(nxt) <= d0:
+                    break
+                out.append(nxt)
+            return "\n".join(out)
+    return ""
+
+
 # ---------------------------------------------------------------------------
 # Verdict item 1: V15 gate BELOW the pair join
 # ---------------------------------------------------------------------------
@@ -33,15 +56,19 @@ def test_dup_orders_gate_below_pair_join(spark):
     plan = executed_plan(spark, "dq_duplicate_orders")
     # both legs gated: two semi joins in the final plan
     assert plan.count("LeftSemi") >= 2, "self-join legs not both gated"
-    # the gate aggregate (count per (custkey, day)) sits BELOW the pair
-    # join: in toString order (top-down), the Inner pair join prints
-    # BEFORE the first gate HashAggregate.
-    pair_join = re.search(r"Join .*Inner|BroadcastHashJoin .*Inner", plan)
-    gate_agg = re.search(r"HashAggregate\(keys=\[o_custkey", plan)
-    assert pair_join and gate_agg, "pair join / gate aggregate missing"
-    assert pair_join.start() < gate_agg.start(), (
-        "gate aggregate printed above the pair join — the quadratic "
-        "block would form before the gate again"
+    # STRUCTURAL containment (ADVICE r12: the old print-order check was
+    # vacuous): the gate semi-joins live INSIDE the Inner pair join's
+    # subtree — i.e. each leg is gated before it reaches the join — and
+    # the gate aggregate itself sits inside that subtree too (one leg
+    # may reuse the other's exchange, so >= 1 aggregate print).
+    sub = plan_subtree(plan, r"Join .*Inner|BroadcastHashJoin .*Inner")
+    assert sub, "pair join missing from plan"
+    assert sub.count("LeftSemi") >= 2, (
+        "gate semi-joins not inside the pair join's legs — the "
+        "quadratic block would form before the gate again"
+    )
+    assert re.search(r"HashAggregate\(keys=\[o_custkey", sub), (
+        "gate aggregate not inside the pair join subtree"
     )
     # and the BETWEEN band is actually applied to the gate count
     assert re.search(r"_n#\d+L? >= 2", plan), "lower gate bound missing"
@@ -116,13 +143,18 @@ def test_copurchase_gate_below_self_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("LeftSemi") >= 1, "basket gate semi-join missing"
-    pair_join = re.search(
-        r"Join .*Inner|BroadcastHashJoin .*Inner|SortMergeJoin .*Inner", plan
+    # STRUCTURAL containment (ADVICE r12): the gate semi-join and its
+    # count aggregate sit INSIDE the Inner pair self-join's subtree —
+    # the gated leg feeds the join, not the other way around.
+    sub = plan_subtree(
+        plan, r"Join .*Inner|BroadcastHashJoin .*Inner|SortMergeJoin .*Inner"
     )
-    gate_agg = re.search(r"HashAggregate\(keys=\[l_orderkey", plan)
-    assert pair_join and gate_agg
-    assert pair_join.start() < gate_agg.start(), (
-        "basket-count gate printed above the pair self-join"
+    assert sub, "pair self-join missing from plan"
+    assert sub.count("LeftSemi") >= 1, (
+        "basket-count gate not inside the pair self-join's legs"
+    )
+    assert re.search(r"HashAggregate\(keys=\[l_orderkey", sub), (
+        "gate aggregate not inside the pair join subtree"
     )
 
 
@@ -164,6 +196,11 @@ def test_connected_components_raises_on_round_cap(spark):
     # and with an adequate budget the same graph converges to ONE label
     labels = _connected_components(chain, max_rounds=10)
     assert labels.select("label").distinct().count() == 1
+    # max_rounds < 1 would skip the loop and return the INITIAL labels
+    # without tripping the fixpoint guard — rejected at entry
+    # (ADVICE r12).
+    with pytest.raises(ValueError, match="max_rounds"):
+        _connected_components(chain, max_rounds=0)
 
 
 # ---------------------------------------------------------------------------
