@@ -210,6 +210,15 @@ EXTRA = [
     # and the Heaps-curve first-occurrence collapse.
     "join_band_time_pairs",
     "llm_gram_novelty",
+    # r13 new operators, benched from birth: theta-sketch set algebra
+    # (distinct + salted two-phase top-k), exact-integer OLS trend
+    # (two map-combinable aggregations), CEP session pattern match
+    # (gap sessionizer + regex flags), reciprocal-rank fusion (two
+    # TakeOrdered shortlists + bounded outer join).
+    "agg_theta_intersect",
+    "agg_trend_regression",
+    "evt_pattern_match",
+    "llm_rrf_fusion",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

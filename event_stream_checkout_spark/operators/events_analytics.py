@@ -247,7 +247,7 @@ def q_evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_paths(e: DataFrame) -> DataFrame:
+def session_paths(e: DataFrame, with_start: bool = False) -> DataFrame:
     """(user_id, sess_id, path) gap-sessionized frame — factored out
     of the registered query so the streaming equivalence test can pin
     the batch sessionizer row-identical to its ``session_window``
@@ -272,7 +272,7 @@ def session_paths(e: DataFrame) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = e.withColumn("sess_id", sess_id)
-    return sessions.groupBy("user_id", "sess_id").agg(
+    aggs = [
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -282,7 +282,12 @@ def session_paths(e: DataFrame) -> DataFrame:
             ),
             ">",
         ).alias("path")
-    )
+    ]
+    if with_start:
+        # session start for date-bucketed consumers (E25); opt-in so
+        # E4's output and its streaming-equivalence pin are untouched
+        aggs.append(F.min("ts").alias("sess_start"))
+    return sessions.groupBy("user_id", "sess_id").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -2112,3 +2117,81 @@ def q_evt_burst_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_BURST_NUM).cast("long") * (F.lit(24) * F.col("n"))
         ).alias("burst"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# E25: CEP-style sequence pattern match over sessions (r13)
+# ---------------------------------------------------------------------------
+
+# Flink-CEP / MATCH_RECOGNIZE shape without the engine extension: the
+# gap sessionizer (E4's session_paths) already folds each session into
+# an ordered '>'-joined type string, so sequence patterns become plain
+# regexes over bounded strings.  Patterns deliberately avoid lookarounds
+# (DuckDB's RE2 has none; Java regex does — a lookahead would be a
+# silent engine divergence): "no error in between" is the POSITIVE
+# alternation of every other type.
+_CEP_PATTERNS = {
+    # a view that reaches purchase without an error on the way
+    "n_clean_funnel": r"(^|>)view(>(click|view|signup))*>purchase(>|$)",
+    # two errors within one session (retry storm)
+    "n_double_error": r"(^|>)error(>[a-z]+)*>error(>|$)",
+    # signup later followed by a purchase in the same session
+    "n_signup_purchase": r"(^|>)signup(>[a-z]+)*>purchase(>|$)",
+}
+
+
+@register(
+    "evt_pattern_match",
+    oracle="WITH seq AS (SELECT user_id, event_id, event_type, ts, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM seq), "
+    "paths AS (SELECT user_id, sess_id, CAST(min(ts) AS DATE) AS day, "
+    "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "FROM sess GROUP BY 1, 2) "
+    "SELECT day, CAST(count(*) AS BIGINT) AS n_sessions, "
+    + ", ".join(
+        "CAST(SUM(CASE WHEN regexp_matches(path, '"
+        + pat.replace("\\", "\\\\")
+        + "') THEN 1 ELSE 0 END) AS BIGINT) AS "
+        + name
+        for name, pat in _CEP_PATTERNS.items()
+    )
+    + " FROM paths GROUP BY 1 ORDER BY 1",
+    doc="CEP-style sequence pattern match over sessions (E25, r13, "
+    "Flink-CEP / SQL MATCH_RECOGNIZE shape): per session-start day, "
+    "how many sessions exhibit each behavioral sequence — a clean "
+    "view→purchase funnel (no error between), an error retry storm, "
+    "signup-then-purchase.  Reuses E4's gap sessionizer verbatim "
+    "(ONE user_id shuffle; per-session path strings are bounded by "
+    "human session length), then each pattern is a regexp_like over "
+    "the bounded string — no lookarounds, so Java regex and RE2 "
+    "agree by construction.  Scale: sessionize → regex flags → one "
+    "day-keyed aggregate; output ≤ #days rows; patterns evaluate "
+    "scan-local in whole-stage codegen, no extra shuffle beyond the "
+    "sessionizer's.",
+)
+def q_evt_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    paths = session_paths(e, with_start=True).select(
+        F.to_date("sess_start").alias("day"), "path"
+    )
+    return (
+        paths.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            *[
+                F.sum(
+                    F.when(F.regexp_like("path", F.lit(pat)), F.lit(1))
+                    .otherwise(F.lit(0))
+                ).alias(name)
+                for name, pat in _CEP_PATTERNS.items()
+            ],
+        )
+        .orderBy("day")
+    )

@@ -1011,3 +1011,147 @@ def q_llm_phrase_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# X71: reciprocal-rank fusion of two retrieval rankings (r13)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60        # the constant from Cormack, Clarke & Buettcher 2009
+_RRF_POOL = 100    # per-ranking shortlist (the 100 TB lever: fuse
+                   # shortlists, never full rankings)
+_RRF_K = 20
+
+
+def _sql_rrf_oracle() -> str:
+    dot_q = _SQL_DOT.format(a="e.embedding", b="q.qv")
+    return (
+        "WITH qv AS (SELECT embedding AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "scored AS (SELECT e.vec_id, "
+        f"{dot_q} / ({_SQL_NRM.format(a='e.embedding')} * "
+        f"{_SQL_NRM.format(a='q.qv')}) AS sim "
+        "FROM embeddings e, qv q WHERE e.vec_id <> 0), "
+        "dense AS (SELECT vec_id, sim, "
+        "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) "
+        f"AS r_dense FROM scored ORDER BY sim DESC, vec_id "
+        f"LIMIT {_RRF_POOL}), "
+        "prior AS (SELECT d.doc_id AS vec_id, "
+        "CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) "
+        "AS BIGINT) AS r_prior FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.doc_id <> 0 "
+        f"ORDER BY d.n_chars DESC, d.doc_id LIMIT {_RRF_POOL}), "
+        "fused AS (SELECT COALESCE(dn.vec_id, pr.vec_id) AS vec_id, "
+        "dn.r_dense, pr.r_prior, "
+        f"COALESCE(CAST(1 AS DOUBLE) / CAST({_RRF_C} + dn.r_dense "
+        "AS DOUBLE), CAST(0 AS DOUBLE)) + "
+        f"COALESCE(CAST(1 AS DOUBLE) / CAST({_RRF_C} + pr.r_prior "
+        "AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf "
+        "FROM dense dn FULL OUTER JOIN prior pr "
+        "ON dn.vec_id = pr.vec_id) "
+        "SELECT vec_id, CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense, "
+        "CAST(COALESCE(r_prior, 0) AS BIGINT) AS r_prior, "
+        "round(rrf, 6) AS rrf FROM fused "
+        f"ORDER BY rrf DESC, vec_id LIMIT {_RRF_K}"
+    )
+
+
+@register(
+    "llm_rrf_fusion",
+    oracle=_sql_rrf_oracle(),
+    doc="Reciprocal-rank fusion of two retrieval rankings (X71, r13; "
+    "Cormack-Clarke-Buettcher RRF, the hybrid-search default in "
+    "Elasticsearch/Vespa/OpenSearch): score(d) = Σ_lists 1/(60 + "
+    "rank_list(d)), here fusing a DENSE ranking (exact cosine to the "
+    "query vector, the X3 scorer) with a document-length PRIOR "
+    "ranking (n_chars, the popularity/recency slot) over the same "
+    "corpus ids.  Rank-based, so score-scale mismatch between lists "
+    "— the thing that breaks weighted-sum fusion — cannot occur.  "
+    "Each list is first cut to a 100-item shortlist via TakeOrdered "
+    "(distributed top-k, one corpus pass each); ranks are then "
+    "row_numbers over the SHORTLIST (a bounded ≤100-row frame, not "
+    "a global window), absent-from-list contributes 0 — the "
+    "standard shortlist-RRF at scale where full rankings never "
+    "materialize.  RRF terms are 1/(60+rank) over INTEGER ranks — "
+    "identical IEEE doubles on both engines, rounded 1e-6 at the "
+    "output only.  Scale: two TakeOrdereds + a ≤2·100-row outer "
+    "join; the corpus is touched exactly twice, no global sort.",
+)
+def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    # shortlists: TakeOrdered (distributed) cuts the corpus to POOL
+    # rows; the rank window then runs over that bounded frame only.
+    dense = (
+        scored.orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_RRF_POOL)
+        .withColumn(
+            "r_dense",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .select("vec_id", "r_dense")
+    )
+    prior = (
+        d.join(
+            e.select("vec_id"), d.doc_id == F.col("vec_id"), "semi"
+        )
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .withColumn(
+            "r_prior",
+            F.row_number().over(
+                Window.orderBy(F.col("n_chars").desc(), "doc_id")
+            ),
+        )
+        .select(F.col("doc_id").alias("pvec_id"), "r_prior")
+    )
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    fused = (
+        dense.join(prior, dense.vec_id == prior.pvec_id, "full_outer")
+        .select(
+            F.coalesce("vec_id", "pvec_id").alias("vec_id"),
+            "r_dense",
+            "r_prior",
+            (term("r_dense") + term("r_prior")).alias("rrf_raw"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "vec_id")
+        .limit(_RRF_K)
+        .select(
+            "vec_id",
+            F.coalesce("r_dense", F.lit(0)).cast("bigint").alias("r_dense"),
+            F.coalesce("r_prior", F.lit(0)).cast("bigint").alias("r_prior"),
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )

@@ -401,3 +401,232 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# A37: theta-sketch (KMV) intersection + difference (r13)
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_PAIRS = _HLL_IX_PAIRS  # same audience-overlap question as A35
+_THETA_SALTS = 32
+# KMV estimator: keep the k smallest uniform hashes per set; theta = the
+# k-th smallest (1.0 when |set| < k, i.e. the sketch is exact).  Every
+# retained hash BELOW theta is an iid Bernoulli(theta) sample of the
+# distinct universe, so for any set expression the estimate is
+# |S|/theta where S is computed ON THE RETAINED HASHES — the property
+# inclusion-exclusion lacks (A35's documented weakness: its absolute
+# error scales with the UNION).  Here the binomial sd is
+# sqrt(N*theta*(1-theta))/theta <= sqrt(N/theta), so the graded bound
+# scales with the INTERSECTION (resp. difference) itself.
+_THETA_SIGMAS = 4.0
+
+
+def _theta_sketches(e: DataFrame, types: list[str]) -> DataFrame:
+    """Per-type KMV sketch rows (event_type, h, frac) — the _THETA_K
+    smallest xxhash64 fractions per type, plus (event_type, theta,
+    n_kept) metadata joined on.  k-smallest is TWO-PHASE so no single
+    reducer ever sees a type's full distinct-user set: a salted partial
+    top-k (32-way) bounds every window partition, then the final top-k
+    reads <= 32*k pre-filtered rows per type."""
+    from pyspark.sql.window import Window
+
+    hashed = (
+        e.filter(F.col("event_type").isin(types))
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.xxhash64("user_id").alias("h"),
+            # signed 64-bit -> uniform fraction in [0, 1)
+            (
+                F.xxhash64("user_id").cast("double") / F.lit(float(2**64))
+                + F.lit(0.5)
+            ).alias("frac"),
+            F.pmod(F.xxhash64("user_id", F.lit(17)), F.lit(_THETA_SALTS))
+            .alias("salt"),
+        )
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("frac", "h")
+    partial = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("frac", "h")
+    kept = (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _THETA_K)
+    )
+    meta = kept.groupBy("event_type").agg(
+        F.max("frac").alias("kth"), F.count(F.lit(1)).alias("n_kept")
+    )
+    return kept.join(meta, "event_type").select(
+        "event_type",
+        "h",
+        "frac",
+        F.when(F.col("n_kept") < _THETA_K, F.lit(1.0))
+        .otherwise(F.col("kth"))
+        .alias("theta"),
+    )
+
+
+@register(
+    "agg_theta_intersect",
+    oracle="WITH pairs(type_a, type_b) AS (VALUES "
+    + ", ".join(f"('{a}', '{b}')" for a, b in _THETA_PAIRS)
+    + "), "
+    "m AS (SELECT p.type_a, p.type_b, "
+    "CAST((SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = p.type_a) AS BIGINT) AS n_a, "
+    "CAST((SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = p.type_b) AS BIGINT) AS n_b, "
+    "CAST((SELECT count(DISTINCT e1.user_id) FROM events e1 "
+    "WHERE e1.event_type = p.type_a AND EXISTS (SELECT 1 FROM events "
+    "e2 WHERE e2.user_id = e1.user_id AND e2.event_type = p.type_b)) "
+    "AS BIGINT) AS n_both_exact, "
+    "CAST((SELECT count(DISTINCT e1.user_id) FROM events e1 "
+    "WHERE e1.event_type = p.type_a AND NOT EXISTS (SELECT 1 FROM "
+    "events e2 WHERE e2.user_id = e1.user_id AND e2.event_type = "
+    "p.type_b)) AS BIGINT) AS n_only_a_exact FROM pairs p) "
+    "SELECT type_a, type_b, n_a, n_b, n_both_exact, n_only_a_exact, "
+    "TRUE AS both_in_bound, TRUE AS diff_in_bound FROM m "
+    "ORDER BY type_a, type_b",
+    doc="Theta-sketch (KMV) set intersection AND difference (A37, "
+    "r13): the companion A35's own docstring asks for — "
+    "inclusion-exclusion's absolute error scales with the UNION, so "
+    "small overlaps under big unions need a sketch whose retained "
+    "sample supports set EXPRESSIONS directly (Apache DataSketches "
+    "theta).  Per type, keep the k smallest xxhash64 fractions of "
+    "user_id (two-phase salted top-k — no reducer sees a full "
+    "distinct set); for a pair, theta = min(theta_a, theta_b), and "
+    "every retained hash below theta is a Bernoulli(theta) sample of "
+    "the universe, complete on BOTH sides — so est(A∩B) = "
+    "|S_A ∩ S_B|/theta and est(A\\\\B) = |S_A \\\\ S_B|/theta, with "
+    "binomial error ~ sqrt(N/theta) scaling with the INTERSECTION "
+    "(resp. difference), not the union.  Graded on the guarantee "
+    "(A5d/A35 verdict pattern): both estimates within "
+    "4*sqrt(max(exact,1)/theta) + 2 of the exact answers the oracle "
+    "recomputes.  Scale: sketch build is a distinct + bounded "
+    "windows; pair math runs over <= 2k retained rows per pair.",
+)
+def q_agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    types = sorted({t for pair in _THETA_PAIRS for t in pair})
+    sk = _theta_sketches(e, types).localCheckpoint()  # <= k rows per type
+    exact = (
+        e.filter(F.col("event_type").isin(types))
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .localCheckpoint()  # <= #types rows
+    )
+    legs = []
+    for ta, tb in _THETA_PAIRS:
+        a = sk.filter(F.col("event_type") == ta).select(
+            F.col("h").alias("h_a"),
+            F.col("frac").alias("frac_a"),
+            F.col("theta").alias("theta_a"),
+        )
+        b = sk.filter(F.col("event_type") == tb).select(
+            F.col("h").alias("h_b"), F.col("theta").alias("theta_b")
+        )
+        # theta = min(theta_a, theta_b); S_A = retained A-hashes BELOW
+        # theta (strict: the k-th value itself is the boundary, not a
+        # sample); membership of an S_A hash in B's sketch decides
+        # A∩B vs A\B exactly, because B's sketch is complete below
+        # theta_b >= theta.  theta is a standalone 1-row frame (not an
+        # aggregate of the filtered rows) so an EMPTY S_A still yields
+        # a defined bound with est = 0.
+        theta_f = (
+            a.agg(F.min("theta_a").alias("ta_"))
+            .crossJoin(b.agg(F.min("theta_b").alias("tb_")))
+            .select(F.least("ta_", "tb_").alias("theta"))
+        )
+        paired = (
+            a.crossJoin(F.broadcast(theta_f))
+            .filter(F.col("frac_a") < F.col("theta"))
+            .join(b.select("h_b"), F.col("h_a") == F.col("h_b"), "left")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("h_b").isNotNull(), F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("s_both"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("h_b").isNull(), F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("s_only_a"),
+            )
+            .crossJoin(F.broadcast(theta_f))
+        )
+        n_a = exact.filter(F.col("event_type") == ta).select(
+            F.col("n_exact").alias("n_a")
+        )
+        n_b = exact.filter(F.col("event_type") == tb).select(
+            F.col("n_exact").alias("n_b")
+        )
+        both = (
+            e.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .distinct()
+            .join(
+                e.filter(F.col("event_type") == tb)
+                .select("user_id")
+                .distinct(),
+                "user_id",
+                "semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_both_exact"))
+        )
+        only_a = (
+            e.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .distinct()
+            .join(
+                e.filter(F.col("event_type") == tb)
+                .select("user_id")
+                .distinct(),
+                "user_id",
+                "anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_only_a_exact"))
+        )
+        bound = lambda exact_col, est_col: (  # noqa: E731
+            F.abs(est_col - exact_col)
+            <= _THETA_SIGMAS
+            * F.sqrt(F.greatest(exact_col, F.lit(1)) / F.col("theta"))
+            + F.lit(2.0)
+        )
+        legs.append(
+            paired.crossJoin(F.broadcast(n_a))
+            .crossJoin(F.broadcast(n_b))
+            .crossJoin(F.broadcast(both))
+            .crossJoin(F.broadcast(only_a))
+            .select(
+                F.lit(ta).alias("type_a"),
+                F.lit(tb).alias("type_b"),
+                "n_a",
+                "n_b",
+                "n_both_exact",
+                "n_only_a_exact",
+                bound(
+                    F.col("n_both_exact"),
+                    F.col("s_both") / F.col("theta"),
+                ).alias("both_in_bound"),
+                bound(
+                    F.col("n_only_a_exact"),
+                    F.col("s_only_a") / F.col("theta"),
+                ).alias("diff_in_bound"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("type_a", "type_b")

@@ -116,40 +116,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r12 — the verdict's named plan fixes; each one's done-criterion
-    # is "same green hash under the driver gate", so all five queue
-    # for re-grade even where the output is provably identical:
-    "dq_duplicate_orders",   # gate now semi-joins BOTH legs BEFORE
-                             # pair expansion (plan rewrite, output
-                             # identical, plan contract added)
-    "llm_lsh_tuning",        # four (b, r) legs fused into ONE
-                             # aggregate + struct explode (was 4x the
-                             # pair pipeline under a Union)
-    "graph_copurchase_components",  # engine AND oracle changed
-                             # together: BETWEEN-2-AND-32 basket gate
-                             # added on both sides (TPC-H fan <= 7, so
-                             # driver values unchanged — but the oracle
-                             # string changed, so re-grade)
-    "llm_cm_sketch_windowed",  # (day, tok, tf) vocab pinned once —
-                             # the corpus explode no longer re-runs
-                             # per consumer
-    "agg_weighted_median",   # oracle changed: floor() before the
-                             # BIGINT weight cast on both sides
-                             # (ADVICE r11 item 5 cast-semantics fix)
-    # NOT queued (deliberate, the documented trailing rule):
-    # - quantile_bucketed consumers (sort_orders_sampled,
-    #   dq_outlier_iqr, evt_gini and the other cumsum users): the
-    #   boundary sketch moved from an in-plan aggregate to a driver-
-    #   side literal array — same deterministic sample, same boundary
-    #   VALUES, same bucket ids, outputs byte-identical; every
-    #   consumer re-passed local parity + the full NULL sweep this
-    #   round;
-    # - _assign consumers (kmeans/PQ/IVF family): input-validation
-    #   guard only (NULL drop + ragged fail-fast), bit-identical on
-    #   every non-degenerate corpus, pinned by
-    #   tests/test_wave12.py::test_assign_drops_null_and_rejects_ragged.
-    # All of them re-enter the driver window via normal stale-first
-    # rotation in r13+.
+    # r13 — EMPTY by design: the round's engine changes are all
+    # non-output-affecting hardening (ADVICE r12 items — Derby
+    # identifier/drop hygiene on a path only the JDBC live test
+    # executes; a max_rounds>=1 entry guard in _connected_components
+    # that is unreachable for every registered caller; test-side plan
+    # assertions).  No graded query's output or oracle changed, so
+    # every window slot beyond the four new r13 keys goes to the
+    # stale-first rotation — the r12 verdict's item 3 (drain the
+    # r6/r7 grade tail: 2 r6 + 38 r7 keys fit exactly in the
+    # remaining ~46 slots).
 )
 
 
@@ -197,6 +173,7 @@ def load_all() -> dict[str, Query]:
         relational7,
         relational8,
         relational9,
+        relational10,
         scalar_fns,
         streaming_analogues,
         windows,
