@@ -214,11 +214,13 @@ EXTRA = [
     # (distinct + salted two-phase top-k), exact-integer OLS trend
     # (two map-combinable aggregations), CEP session pattern match
     # (gap sessionizer + regex flags), reciprocal-rank fusion (two
-    # TakeOrdered shortlists + bounded outer join).
+    # TakeOrdered shortlists + bounded outer join), and the fused
+    # per-table format-conformance audit.
     "agg_theta_intersect",
     "agg_trend_regression",
     "evt_pattern_match",
     "llm_rrf_fusion",
+    "dq_format_conformance",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

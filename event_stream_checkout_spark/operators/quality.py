@@ -1763,3 +1763,90 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# V17: pattern/format conformance audit (r13)
+# ---------------------------------------------------------------------------
+
+# (rule, table, column, anchored regex).  Patterns are lookaround-free
+# and anchored: Java regex (Spark rlike) and RE2 (DuckDB
+# regexp_matches) are both search-semantics engines, so the ^...$
+# anchors are what make "conforms" mean the WHOLE value on both.
+_FORMAT_RULES = (
+    ("customer_name_format", "customer", "c_name", r"^Customer#[0-9]{9}$"),
+    ("part_brand_format", "part", "p_brand", r"^Brand#[0-9]{1,2}$"),
+    ("orders_priority_format", "orders", "o_orderpriority",
+     r"^[1-5]-[A-Z ]+$"),
+    ("documents_lang_format", "documents", "lang", r"^[a-z]{2}$"),
+    ("documents_source_format", "documents", "source", r"^src[0-9]+$"),
+)
+
+
+@register(
+    "dq_format_conformance",
+    oracle="SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{rule}' AS rule_name, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) FILTER (WHERE {col} IS NULL) AS BIGINT) AS n_null, "
+        f"CAST(count(*) FILTER (WHERE {col} IS NOT NULL AND NOT "
+        f"regexp_matches({col}, '{pat}')) AS BIGINT) AS n_violations "
+        f"FROM {tbl}"
+        for rule, tbl, col, pat in _FORMAT_RULES
+    )
+    + ") ORDER BY rule_name",
+    doc="Pattern/format-conformance audit (V17, r13; the Deequ "
+    "hasPattern / Great-Expectations match_regex rule type V1's "
+    "range/domain/null constraints don't cover): per rule, total "
+    "rows, NULLs (reported separately — a missing value is a "
+    "completeness problem, not a format one), and non-NULL values "
+    "failing the anchored regex — the parser-drift tripwire for "
+    "identifier-shaped strings (entity id formats, code domains, "
+    "source tags).  Patterns are anchored and lookaround-free so "
+    "Java regex and RE2 agree by construction (the E25 stance).  "
+    "Scale: one column-pruned scan per distinct table with ALL of "
+    "that table's rules fused into a single aggregate (the V1 "
+    "fusion); each rule crosses the network as one row; regexes "
+    "evaluate scan-local in codegen.",
+)
+def q_dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[tuple[str, str, str]]] = {}
+    for rule, tbl, col, pat in _FORMAT_RULES:
+        by_table.setdefault(tbl, []).append((rule, col, pat))
+    legs = []
+    for tbl, rules in by_table.items():
+        t = load_table(spark, sf_dir, tbl).select(
+            *sorted({col for _, col, _ in rules})
+        )
+        # every rule over this table in ONE aggregate pass
+        agg = t.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.count(F.when(F.col(col).isNull(), 1)).alias(f"{rule}__null")
+                for rule, col, _ in rules
+            ],
+            *[
+                F.count(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ~F.col(col).rlike(pat),
+                        1,
+                    )
+                ).alias(f"{rule}__bad")
+                for rule, col, pat in rules
+            ],
+        )
+        for rule, _col, _pat in rules:
+            legs.append(
+                agg.select(
+                    F.lit(rule).alias("rule_name"),
+                    F.col("_n").alias("n_rows"),
+                    F.col(f"{rule}__null").alias("n_null"),
+                    F.col(f"{rule}__bad").alias("n_violations"),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("rule_name")

@@ -122,7 +122,7 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # executes; a max_rounds>=1 entry guard in _connected_components
     # that is unreachable for every registered caller; test-side plan
     # assertions).  No graded query's output or oracle changed, so
-    # every window slot beyond the four new r13 keys goes to the
+    # every window slot beyond the five new r13 keys goes to the
     # stale-first rotation — the r12 verdict's item 3 (drain the
     # r6/r7 grade tail: 2 r6 + 38 r7 keys fit exactly in the
     # remaining ~46 slots).

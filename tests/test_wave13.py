@@ -1,6 +1,6 @@
 """Round-13 wave: theta-sketch set algebra (A37), per-nation OLS trend
-(A39), CEP-style session pattern match (E25), reciprocal-rank fusion
-(X71) — semantics on synthetic frames where the answer is known by
+(A38), CEP-style session pattern match (E25), reciprocal-rank fusion
+(X71), format-conformance audit (V17) — semantics on synthetic frames where the answer is known by
 construction, plus plan contracts pinning each operator's scale claim."""
 
 from __future__ import annotations
@@ -282,3 +282,55 @@ def test_rrf_shortlist_cut_plan(spark):
         "shortlists must come from TakeOrdered (distributed top-k), "
         "not a global Sort"
     )
+
+
+# ---------------------------------------------------------------------------
+# V17: format conformance
+# ---------------------------------------------------------------------------
+
+
+def test_format_conformance_counts_violations(spark):
+    """The clean corpus conforms everywhere, so exercise the violation
+    and NULL legs on a poisoned frame with the same rule machinery."""
+    from event_stream_checkout_spark.operators.quality import _FORMAT_RULES
+
+    pat = dict(
+        (r, p) for r, _t, _c, p in _FORMAT_RULES
+    )["customer_name_format"]
+    rows = [
+        Row(c_name="Customer#000000001"),   # conforms
+        Row(c_name="Customer#1"),           # too few digits
+        Row(c_name="customer#000000002"),   # case
+        Row(c_name=None),                   # NULL — not a violation
+    ]
+    got = (
+        spark.createDataFrame(rows)
+        .agg(
+            F.count(F.when(F.col("c_name").isNull(), 1)).alias("n_null"),
+            F.count(
+                F.when(
+                    F.col("c_name").isNotNull()
+                    & ~F.col("c_name").rlike(pat),
+                    1,
+                )
+            ).alias("n_violations"),
+        )
+        .collect()[0]
+    )
+    assert got["n_null"] == 1 and got["n_violations"] == 2, got
+
+
+def test_format_conformance_registered_key(spark):
+    out = QUERIES["dq_format_conformance"].fn(spark, SF_DIR).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_violations"] == 0, r  # generator corpus conforms
+        assert r["n_rows"] > 0
+
+
+def test_format_rules_anchored_no_lookarounds():
+    from event_stream_checkout_spark.operators.quality import _FORMAT_RULES
+
+    for _rule, _t, _c, pat in _FORMAT_RULES:
+        assert pat.startswith("^") and pat.endswith("$"), pat
+        assert "(?" not in pat, pat
