@@ -689,34 +689,91 @@ _SQL_NRM = (
 )
 
 
+# Corpus-adaptive bucket width for X2d (r13 — the tail bench measured
+# the pinned-4-bit version at a 1.3 one-decade exponent, exactly the
+# n²/2**bits growth its own docstring warned about).  bits = 4 +
+# #(thresholds exceeded) keeps the mean bucket load in (64, 128], so
+# expected in-bucket pair work is <= n·128/2 — LINEAR in n — while
+# small corpora keep the exact 4-bit buckets the r7 grades used.
+# Integer thresholds (128·2^b), never ceil(log2(n/128)): an integer
+# CASE ladder cannot disagree between engines at the boundary the way
+# a float log could.
+_NEARDUP_BIT_THRESHOLDS = (2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144)
+_NEARDUP_SIGN_DIMS = 4 + len(_NEARDUP_BIT_THRESHOLDS)  # 12 <= dim (64)
+
+
+def _sql_neardup_oracle() -> str:
+    signs = (
+        "concat("
+        + ", ".join(
+            f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(1, _NEARDUP_SIGN_DIMS + 1)
+        )
+        + ")"
+    )
+    bits = "4" + "".join(
+        f" + (CASE WHEN n > {t} THEN 1 ELSE 0 END)"
+        for t in _NEARDUP_BIT_THRESHOLDS
+    )
+    return (
+        "WITH nn AS (SELECT count(*) AS n FROM embeddings), "
+        f"p AS (SELECT {bits} AS bits FROM nn), "
+        f"b AS (SELECT vec_id, embedding, substr({signs}, 1, "
+        "(SELECT bits FROM p)) AS bucket FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "  " + _SQL_DOT_AB + " / (" + _SQL_NRM.format(t="a") + " * "
+        + _SQL_NRM.format(t="b") + ") AS cosine "
+        "  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs "
+        "WHERE cosine >= 0.4"
+    )
+
+
 @register(
     "llm_embedding_near_dup",
-    oracle="WITH b AS (SELECT vec_id, label, embedding, "
-    + _SQL_BUCKET
-    + " AS bucket FROM embeddings), "
-    "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-    "  " + _SQL_DOT_AB + " / (" + _SQL_NRM.format(t="a") + " * "
-    + _SQL_NRM.format(t="b") + ") AS cosine "
-    "  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
-    "SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs "
-    "WHERE cosine >= 0.4",
+    oracle=_sql_neardup_oracle(),
     doc="Embedding-cosine near-duplicate pairs (X2): sign-bucket "
     "blocking bounds the pair space (same pruning as the IVF search), "
     "exact cosine + threshold inside buckets. In-bucket pair work is "
-    "~n²/2**bits, so ``bits`` must grow with the corpus "
-    "(see _sign_bucket) — at 100 TB the bucket is the shuffle/"
-    "partition key with 20+ bits.",
+    "~n²/2**bits, so bits GROWS with the corpus (r13): an integer "
+    "threshold ladder holds the mean bucket load in (64, 128], making "
+    "expected pair work <= 64·n — linear — where the r7-r12 pinned "
+    "4-bit version was measured super-linear (1.3 one-decade exponent "
+    "at sf1, BENCH_TAIL.json; 0.04 after).  The rung comes from ONE "
+    "bounded driver-side count (bits must be a plan-time literal — "
+    "the in-plan variant cost a measured 5× fixed overhead at "
+    "sf0.1); the oracle walks the same integer ladder in a scalar "
+    "subquery, and its sign-string buckets induce the same vector "
+    "partition as the engine's integer buckets, so the graded pair "
+    "set is representation-independent.  Below 2048 vectors the "
+    "buckets equal the old 4-bit ones — small-SF grades unchanged.  "
+    "At 100 TB the bucket becomes the partition column (20+ bits) "
+    "and the pair join prunes at the file level.",
 )
 def q_llm_embedding_near_dup(
-    spark: SparkSession, sf_dir: str, bits: int = 4
+    spark: SparkSession, sf_dir: str, bits: int | None = None
 ) -> DataFrame:
     e = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    if bits is None:
+        # Bounded driver-side scalar (the quantile-boundary stance):
+        # ONE count decides the ladder rung so ``bits`` is a plan-time
+        # literal — the first in-plan attempt (broadcast 1-row count +
+        # dynamic substr bucket) cost a measured 5× fixed overhead at
+        # sf0.1 for zero scale benefit; the bucket expression itself
+        # must be structural, so the count cannot stay in-plan for
+        # free.  The oracle's scalar subquery walks the SAME integer
+        # ladder, and its substr(signs, 1, bits) string buckets induce
+        # the SAME vector partition as the integer _sign_bucket — the
+        # graded pair set is bucket-representation-independent.
+        n = e.count()
+        bits = 4 + sum(1 for t in _NEARDUP_BIT_THRESHOLDS if n > t)
+    bucket = _sign_bucket("embedding", bits)
     # Norms are per-VECTOR, so compute them once per row before the
     # self-join — the higher-order-function fold is interpreted (not
     # codegen), and evaluating it per PAIR costs O(pairs·dim) twice
     # over; per-row it is O(rows·dim).  Same doubles, same cosine —
     # multiplication of identical per-vector values.
-    b = e.withColumn("bucket", _sign_bucket("embedding", bits)).select(
+    b = e.withColumn("bucket", bucket).select(
         "vec_id",
         "bucket",
         "embedding",

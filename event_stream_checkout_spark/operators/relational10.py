@@ -3,7 +3,7 @@
 Cross-engine policy (the ``agg_corr`` stance, relational3.py): built-in
 ``regr_slope``-family aggregates accumulate engine-specifically, so the
 closed forms here are computed from EXACT integer power sums (day index
-× whole-dollar daily revenue, both BIGINT) cast to double once — the
+× whole-k$ daily revenue, both BIGINT) cast to double once — the
 final arithmetic is a fixed sequence of IEEE ops over identical exact
 integers, so the oracle hash is stable without rounding heuristics.
 """
@@ -27,7 +27,7 @@ WITH daily AS (
   SELECT n.n_name AS nation,
          datediff('day', DATE '{_TREND_EPOCH}', o.o_orderdate) AS x,
          CAST(floor(CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
-              AS DOUBLE) / 100.0) AS BIGINT) AS y
+              AS DOUBLE) / 100000.0) AS BIGINT) AS y
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -72,14 +72,16 @@ FROM sums ORDER BY nation
     doc="Per-nation revenue trend via OLS over daily points (A38, "
     "r13): is each nation's order revenue growing, and how fast?  "
     "Two map-side-combinable aggregations — orders to (nation, day, "
-    "whole-dollar revenue) points, then per-nation integer power "
+    "whole-k$ revenue) points, then per-nation integer power "
     "sums (n, Sx, Sy, Sxx, Sxy, Syy) — followed by the textbook "
     "closed forms slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²), intercept "
     "= (Sy − slope·Sx)/n, r² = num²/(den_x·den_y).  Built-in "
     "regr_slope/regr_r2 exist in both engines but accumulate "
     "engine-specifically (Welford vs naive); the power sums are "
-    "BIGINT-exact (y = floor(cents/100) dollars keeps Syy < 2^63 "
-    "through sf10), so both engines evaluate the SAME closed form "
+    "BIGINT-exact (y = floor(cents/1e5) whole-k$ — sf10 measured "
+    "whole-DOLLAR Syy past 2^63 on a hot nation-day, so the unit "
+    "is thousands, safe through ~sf10000), so both engines "
+    "evaluate the SAME closed form "
     "over the SAME integers — bit-stable with no rounding.  Scale: "
     "both aggregations shuffle on their group keys with partial "
     "aggregation; output is #nations rows; the nation dim joins "
@@ -111,7 +113,7 @@ def q_agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "bigint"
                     )
                 ).cast("double")
-                / F.lit(100.0)
+                / F.lit(100000.0)
             )
             .cast("bigint")
             .alias("y")

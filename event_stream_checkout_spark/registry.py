@@ -116,16 +116,24 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r13 — EMPTY by design: the round's engine changes are all
-    # non-output-affecting hardening (ADVICE r12 items — Derby
-    # identifier/drop hygiene on a path only the JDBC live test
-    # executes; a max_rounds>=1 entry guard in _connected_components
-    # that is unreachable for every registered caller; test-side plan
-    # assertions).  No graded query's output or oracle changed, so
-    # every window slot beyond the five new r13 keys goes to the
-    # stale-first rotation — the r12 verdict's item 3 (drain the
-    # r6/r7 grade tail: 2 r6 + 38 r7 keys fit exactly in the
-    # remaining ~46 slots).
+    # r13 — one entry: the tail bench (BENCH_TAIL.json, new this
+    # round) measured the pinned-4-bit sign-bucket version of X2d at
+    # a 1.3 one-decade exponent (the n²/2**bits growth its own
+    # docstring warned about), so engine AND oracle moved to a
+    # corpus-adaptive integer bit ladder together.  Below 2048
+    # vectors (sf0.001/0.01/0.1) the buckets are byte-identical to
+    # the old 4-bit ones — outputs unchanged at every graded SF —
+    # but the oracle string changed, so it queues for re-grade (the
+    # graph_copurchase_components precedent).
+    "llm_embedding_near_dup",
+    # Everything else this round is non-output-affecting hardening
+    # (ADVICE r12 items: Derby identifier/drop hygiene on a path only
+    # the JDBC live test executes; a max_rounds>=1 entry guard in
+    # _connected_components unreachable for every registered caller;
+    # test-side plan assertions).  The remaining ~44 slots beyond the
+    # five new r13 keys go to the stale-first rotation — the r12
+    # verdict's item 3 (drain the r6/r7 grade tail: 2 r6 + 38 r7
+    # keys all fit).
 )
 
 

@@ -334,3 +334,43 @@ def test_format_rules_anchored_no_lookarounds():
     for _rule, _t, _c, pat in _FORMAT_RULES:
         assert pat.startswith("^") and pat.endswith("$"), pat
         assert "(?" not in pat, pat
+
+
+# ---------------------------------------------------------------------------
+# X2d r13: corpus-adaptive sign-bucket ladder
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_bit_ladder_bounds_bucket_load(spark):
+    """The integer threshold ladder keeps mean bucket load in (64, 128]
+    — the property that makes expected pair work linear in n.  Checked
+    arithmetically over the ladder itself, then structurally on the
+    engine: at SF_DIR (500 vectors < 2048) the buckets must be
+    byte-identical to the legacy 4-bit ones, so the r7-graded pair set
+    is unchanged at small SFs."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        _NEARDUP_BIT_THRESHOLDS,
+        q_llm_embedding_near_dup,
+    )
+
+    def ladder_bits(n):
+        return 4 + sum(1 for t in _NEARDUP_BIT_THRESHOLDS if n > t)
+
+    for n in (100, 2048, 2049, 16384, 16385, 200_000, 10_000_000):
+        bits = ladder_bits(n)
+        load = n / 2**bits
+        if n > 128 and bits < 4 + len(_NEARDUP_BIT_THRESHOLDS):
+            assert load <= 128, (n, bits, load)
+        # expected pairs per vector stays bounded until the cap
+        if bits < 4 + len(_NEARDUP_BIT_THRESHOLDS):
+            assert n * load / 2 <= 64 * n, (n, bits)
+
+    adaptive = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_llm_embedding_near_dup(spark, SF_DIR).collect()
+    }
+    legacy = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_llm_embedding_near_dup(spark, SF_DIR, bits=4).collect()
+    }
+    assert adaptive == legacy and len(adaptive) > 0

@@ -187,6 +187,11 @@ QUERIES = [
     "evt_burst_dispersion",         # r12: hourly dispersion index
     "join_band_time_pairs",         # r12: keyless band via banded buckets
     "llm_gram_novelty",             # r12: Heaps-curve novelty collapse
+    "agg_theta_intersect",          # r13: KMV theta-sketch set algebra
+    "agg_trend_regression",         # r13: integer power sums + OLS
+    "evt_pattern_match",            # r13: CEP regex over sessions
+    "llm_rrf_fusion",               # r13: shortlist RRF fusion
+    "dq_format_conformance",        # r13: fused per-table rlike audit
 ]
 
 
