@@ -221,6 +221,19 @@ EXTRA = [
     "evt_pattern_match",
     "llm_rrf_fusion",
     "dq_format_conformance",
+    # r13b wave, benched from birth: per-node clustering coefficients
+    # (corner-exploded Schank-Wagner enumeration), item-item CF
+    # (co-purchase edges + WindowGroupLimit top-k), daily peak
+    # concurrency (day-chunked sweep line + carry), freshness audit
+    # (fused conditional aggregate vs broadcast high-water mark),
+    # source vocabulary overlap (distinct-collapsed token self-join),
+    # and the KMV quantile sketch (salted two-phase k-smallest).
+    "graph_copurchase_local_clustering",
+    "llm_item_cf_topk",
+    "evt_peak_concurrency",
+    "dq_freshness",
+    "llm_source_vocab_overlap",
+    "agg_kmv_quantiles",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

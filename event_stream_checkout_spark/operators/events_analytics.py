@@ -2195,3 +2195,155 @@ def q_evt_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# E26: daily peak concurrent sessions (r13)
+# ---------------------------------------------------------------------------
+
+# E4's gap-sessionizer CTE, reduced to session bounds — the oracle twin
+# of ``session_bounds`` below.
+_CONCURRENCY_SESS_SQL = (
+    "seq AS (SELECT user_id, event_id, ts, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"ts > lag(ts) OVER w + INTERVAL {_SESSION_GAP_MIN} MINUTE "
+    "THEN 1 ELSE 0 END AS new_sess FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id "
+    "FROM seq), "
+    "s AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en "
+    "FROM sess GROUP BY 1, 2)"
+)
+
+
+def session_bounds(e: DataFrame) -> DataFrame:
+    """(user_id, sess_id, start_ts, end_ts) via the E4 gap sessionizer
+    — the interval frame E26's sweep line runs over.  Factored out so
+    the concurrency property test can drive it with hand-built
+    streams; boundary semantics identical to ``session_paths`` (an
+    event at EXACTLY prev_ts + gap stays in the session)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + gap),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+
+
+@register(
+    "evt_peak_concurrency",
+    oracle="WITH " + _CONCURRENCY_SESS_SQL + ", "
+    "b AS (SELECT st AS t, 1 AS delta, user_id, sess_id FROM s "
+    "UNION ALL SELECT en, -1, user_id, sess_id FROM s), "
+    "r AS (SELECT CAST(t AS DATE) AS day, delta, "
+    "sum(delta) OVER (ORDER BY t, delta DESC, user_id, sess_id) AS run "
+    "FROM b) "
+    "SELECT day, "
+    "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_started, "
+    "CAST(max(run) AS BIGINT) AS peak_concurrency "
+    "FROM r GROUP BY 1 ORDER BY 1",
+    doc="Daily peak concurrent sessions (E26, r13): the +1/−1 sweep "
+    "line A36's backlog docstring promises generalizes to concurrent-"
+    "session counting, delivered — per day, how many gap-sessions "
+    "started and the maximum number simultaneously open, THE "
+    "capacity-planning number (connection pools, websocket fleets, "
+    "live-ops dashboards all key on peak concurrency, not event "
+    "volume).  Each E4 gap-session becomes a closed interval "
+    "[first_ts, last_ts]; interval ends become +1/−1 boundary events "
+    "(+1 sorts before −1 at equal timestamps, so a back-to-back "
+    "handoff counts as overlapping — declared identically on both "
+    "engines); peak = max of the boundary prefix sum within the day. "
+    " Engine: CHUNK-AND-CARRY (the E9b linear-recurrence stance) — "
+    "day-partitioned running sums in parallel, then per-day net "
+    "changes cumulated over the ≤calendar-bounded day frame into "
+    "carry-ins, peak = carry + intra-day max; the oracle computes "
+    "the same prefix sum as ONE global running sum (fine at oracle "
+    "scale, single-threaded at 100 TB — which is why the engine "
+    "decomposes it), so agreement checks the decomposition algebra. "
+    " Permuting equal-(t,delta) boundary ties cannot change "
+    "n_started, net, or the running max (identical deltas commute), "
+    "so the user_id/sess_id tiebreak is for determinism of the SCAN "
+    "order only.  A session spanning midnight contributes its "
+    "still-open count to later days through the carry, and a peak "
+    "PLATEAU inherited at midnight is attributed to the day whose "
+    "+1 boundary raised it (both engines sample the sum at boundary "
+    "rows — the documented semantic).  Scale: sessions are one "
+    "user_id shuffle (E4), boundaries two rows per session, the only "
+    "non-day-parallel step is the #days-row carry cumsum.",
+)
+def q_evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    return daily_peak_concurrency(e)
+
+
+def daily_peak_concurrency(e: DataFrame) -> DataFrame:
+    """E26 body over any (user_id, event_id, ts) frame — factored out
+    so the semantics test can drive it with hand-built streams
+    (midnight-spanning sessions, back-to-back handoffs)."""
+    s = session_bounds(e)
+    b = (
+        s.select(
+            F.col("start_ts").alias("t"),
+            F.lit(1).alias("delta"),
+            "user_id",
+            "sess_id",
+        )
+        .unionAll(
+            s.select(
+                F.col("end_ts").alias("t"),
+                F.lit(-1).alias("delta"),
+                "user_id",
+                "sess_id",
+            )
+        )
+        .withColumn("day", F.col("t").cast("date"))
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc(), "user_id", "sess_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_day = (
+        b.withColumn("run", F.sum("delta").over(wd))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_started"),
+            F.max("run").alias("peak_local"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    # Calendar-bounded carry (the A36 collapsed-domain stance): one
+    # ordered pass over <= #days rows turns per-day net changes into
+    # the open-session count inherited at each midnight.
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_day.withColumn(
+            "carry", F.coalesce(F.sum("net").over(wc), F.lit(0))
+        )
+        .select(
+            "day",
+            "n_started",
+            (F.col("carry") + F.col("peak_local"))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )

@@ -1792,3 +1792,93 @@ def q_llm_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_grams").cast("long").alias("new_grams"),
         F.col("cum_grams").cast("long").alias("cum_grams"),
     ).orderBy("source", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# X75: pairwise source vocabulary overlap (r13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_source_vocab_overlap",
+    oracle="WITH t AS (SELECT source, unnest(string_split(text, ' ')) "
+    "AS token FROM documents), "
+    "st AS (SELECT DISTINCT source, token FROM t WHERE token <> ''), "
+    "v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st "
+    "GROUP BY 1), "
+    "x AS (SELECT a.source AS sa, b.source AS sb, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM st a JOIN st b ON a.token = b.token AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT x.sa AS source_a, x.sb AS source_b, va.vocab AS vocab_a, "
+    "vb.vocab AS vocab_b, x.n_shared, "
+    "round(CAST(x.n_shared AS DOUBLE) / "
+    "(va.vocab + vb.vocab - x.n_shared), 6) AS jaccard "
+    "FROM x JOIN v va ON x.sa = va.source JOIN v vb ON x.sb = vb.source "
+    "ORDER BY source_a, source_b",
+    doc="Pairwise source vocabulary overlap (X75, r13): for every "
+    "source pair, the exact Jaccard similarity of their token "
+    "VOCABULARIES (X15's whitespace tokens) — the corpus-composition "
+    "diagnostic that X57's KL divergence (distribution shape) and "
+    "X49's duplicated-span mass (verbatim copying) don't answer: do "
+    "two feeds even speak the same words?  Near-1 pairs are "
+    "redundant acquisitions; near-0 pairs are the diversity a "
+    "mixture (X13) should weight up.  Engine: explode → DISTINCT "
+    "(source, token) — the Zipf pre-collapse, a hot token lands "
+    "once per source, never once per occurrence — then a token-keyed "
+    "self-join ROLLED UP per source pair, with per-source vocabulary "
+    "sizes joined back for |A∪B| = |A|+|B|−|A∩B| (the union is "
+    "NEVER materialized).  Pairs with zero shared tokens don't "
+    "appear (declared on both engines: the inner join IS the "
+    "semantic).  Scale: a token shared by S sources fans to C(S,2) "
+    "pairs — bounded by the CATALOG of feeds, not the corpus (the "
+    "source dimension is human-curated, like nations); everything "
+    "corpus-scale is the one distinct aggregate.",
+)
+def q_llm_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return source_vocab_overlap(d)
+
+
+def source_vocab_overlap(d: DataFrame) -> DataFrame:
+    """X75 body over any (source, text) frame — factored out so the
+    semantics test can drive it with hand-built corpora of known
+    overlap."""
+    st = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+        .localCheckpoint()  # feeds vocab sizes AND the pair join
+    )
+    v = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = st.select(F.col("source").alias("sa"), "token")
+    b = st.select(F.col("source").alias("sb"), "token")
+    x = (
+        a.join(b, "token")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    va = v.select(F.col("source").alias("sa"), F.col("vocab").alias("vocab_a"))
+    vb = v.select(F.col("source").alias("sb"), F.col("vocab").alias("vocab_b"))
+    return (
+        x.join(va, "sa")
+        .join(vb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1850,3 +1850,122 @@ def q_dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("rule_name")
+
+
+# ---------------------------------------------------------------------------
+# V18: per-stream freshness / staleness audit (r13)
+# ---------------------------------------------------------------------------
+
+_FRESH_STALE_HOURS = 72
+_FRESH_WINDOW_DAYS = 7
+
+
+def _epoch_us_expr(col_name: str) -> str:
+    """SQL text for exact tz-free micros-since-epoch of an NTZ
+    timestamp column (the E8 stance: unix_micros wants TIMESTAMP and
+    an NTZ→TZ cast would route through the session timezone; this is
+    a pure function of the wall time)."""
+    return (
+        f"(CAST(unix_date(CAST({col_name} AS DATE)) AS BIGINT) * 86400 "
+        f"+ CAST(hour({col_name}) AS BIGINT) * 3600 "
+        f"+ CAST(minute({col_name}) AS BIGINT) * 60) * 1000000 "
+        f"+ CAST(extract(second FROM {col_name}) * 1000000 AS BIGINT)"
+    )
+
+
+@register(
+    "dq_freshness",
+    oracle="WITH mx AS (SELECT max(ts) AS m FROM events), "
+    "agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total, "
+    "max(ts) AS last_ts, "
+    "CAST(sum(CASE WHEN ts > (SELECT m FROM mx) - INTERVAL "
+    f"{_FRESH_WINDOW_DAYS} DAY THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_last_7d, "
+    "CAST(sum(CASE WHEN ts <= (SELECT m FROM mx) - INTERVAL "
+    f"{_FRESH_WINDOW_DAYS} DAY AND ts > (SELECT m FROM mx) - INTERVAL "
+    f"{2 * _FRESH_WINDOW_DAYS} DAY THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_prev_7d "
+    "FROM events GROUP BY 1), "
+    "a2 AS (SELECT *, CAST((epoch_us((SELECT m FROM mx)) - "
+    "epoch_us(last_ts)) // 3600000000 AS BIGINT) AS age_hours "
+    "FROM agg) "
+    "SELECT event_type, n_total, age_hours, n_last_7d, n_prev_7d, "
+    "CASE WHEN n_prev_7d > 0 THEN "
+    "round(CAST(n_last_7d AS DOUBLE) / n_prev_7d, 6) END AS trend_ratio, "
+    f"age_hours >= {_FRESH_STALE_HOURS} AS is_stale "
+    "FROM a2 ORDER BY event_type NULLS FIRST",
+    doc="Per-stream freshness audit (V18, r13): for each event type — "
+    "each upstream producer, in the reference's terms each SQS "
+    "feed — the hours since its last event relative to the corpus "
+    "high-water mark, trailing-week volume vs the week before "
+    "(NULL-guarded ratio), and a stale flag at "
+    f"{_FRESH_STALE_HOURS}h — the pipeline-is-silently-down monitor "
+    "that catches a dead producer BEFORE the drift audits (V2-V5) "
+    "can see a distribution to compare: a feed that stops emitting "
+    "drifts nothing, it just goes quiet.  Engine: two column-pruned "
+    "scans — the 1-row high-water mark, then every measure fused "
+    "into a single conditional aggregate (the V1 fusion stance) "
+    "against that broadcast row; age is "
+    "exact tz-free epoch-microsecond arithmetic floor-divided to "
+    "hours (engine-neutral — timestampdiff/datediff hour semantics "
+    "differ between engines, epoch arithmetic does not); NULLS FIRST "
+    "declared on the type ordering (the win_distribution lesson).  "
+    "Scale: aggregate output is one row per event type; the only "
+    "exchange is the #types-row final merge.",
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return freshness_report(e)
+
+
+def freshness_report(e: DataFrame) -> DataFrame:
+    """V18 body over any (event_type, ts) frame — factored out so the
+    semantics test can drive it with hand-built streams of known
+    staleness."""
+    mx = e.agg(F.max("ts").alias("_mx"))
+    win = F.expr(f"INTERVAL {_FRESH_WINDOW_DAYS} DAYS")
+    win2 = F.expr(f"INTERVAL {2 * _FRESH_WINDOW_DAYS} DAYS")
+    agg = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.max("ts").alias("_last"),
+            F.max("_mx").alias("_m"),
+            F.sum(
+                F.when(F.col("ts") > F.col("_mx") - win, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_7d"),
+            F.sum(
+                F.when(
+                    (F.col("ts") <= F.col("_mx") - win)
+                    & (F.col("ts") > F.col("_mx") - win2),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_prev_7d"),
+        )
+        .withColumn(
+            "age_hours",
+            F.expr(
+                f"(({_epoch_us_expr('_m')}) - ({_epoch_us_expr('_last')})) "
+                "div 3600000000"
+            ),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_total",
+        "age_hours",
+        "n_last_7d",
+        "n_prev_7d",
+        F.when(
+            F.col("n_prev_7d") > 0,
+            F.round(
+                F.col("n_last_7d").cast("double") / F.col("n_prev_7d"), 6
+            ),
+        ).alias("trend_ratio"),
+        (F.col("age_hours") >= _FRESH_STALE_HOURS).alias("is_stale"),
+    ).orderBy(F.col("event_type").asc_nulls_first())

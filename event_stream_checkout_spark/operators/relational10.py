@@ -144,3 +144,135 @@ def q_agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / nd).alias("intercept"),
         ((num * num) / (den_x * den_y)).alias("r2"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# X72: item-item collaborative-filtering similarity (r13)
+# ---------------------------------------------------------------------------
+
+_CF_SEEDS = 20
+_CF_NEIGHBORS = 3
+
+# NOT-NULL guard on both key columns (declared on BOTH engines): the
+# seed cut is a LIMIT over per-item counts, and a NULL part key would
+# otherwise form its own count group whose position under ORDER BY
+# differs between engines (Spark sorts NULLS FIRST ascending, DuckDB
+# NULLS LAST) — the win_distribution lesson applied before the hazard
+# ships instead of after.
+_CF_ORACLE = f"""
+WITH pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ok AS (SELECT l_orderkey FROM pp0 GROUP BY 1
+       HAVING count(*) BETWEEN 2 AND 32),
+pp AS (SELECT pp0.* FROM pp0 JOIN ok USING (l_orderkey)),
+cnt AS (SELECT l_partkey AS i, CAST(count(*) AS BIGINT) AS n
+        FROM pp GROUP BY 1),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT pa AS i, pb AS j, sup FROM e
+        UNION ALL SELECT pb, pa, sup FROM e),
+seeds AS (SELECT i FROM cnt ORDER BY n DESC, i LIMIT {_CF_SEEDS}),
+sc AS (SELECT s.i, s.j, s.sup,
+              CAST(s.sup AS DOUBLE) / sqrt(CAST(ci.n * cj.n AS DOUBLE))
+              AS c
+       FROM sym s JOIN cnt ci ON s.i = ci.i JOIN cnt cj ON s.j = cj.i),
+r AS (SELECT i, j, sup, c,
+             row_number() OVER (PARTITION BY i ORDER BY c DESC, j) AS rnk
+      FROM sc)
+SELECT r.i AS item, r.j AS neighbor, r.sup AS co_orders,
+       round(r.c, 6) AS cosine, CAST(r.rnk AS BIGINT) AS rnk
+FROM r JOIN seeds ON r.i = seeds.i WHERE r.rnk <= {_CF_NEIGHBORS}
+ORDER BY item, rnk
+"""
+
+
+@register(
+    "llm_item_cf_topk",
+    oracle=_CF_ORACLE,
+    doc="Item-item collaborative-filtering similarity (X72, r13): for "
+    f"the {_CF_SEEDS} most-purchased parts, the top-{_CF_NEIGHBORS} "
+    "'customers who bought this also bought' neighbors by co-"
+    "occurrence cosine sim(i,j) = co(i,j)/sqrt(n_i·n_j) over gated "
+    "order baskets — the Amazon-style item-based CF baseline "
+    "(Sarwar et al. 2001; Linden et al. 2003) that turns the A19/G2 "
+    "co-purchase machinery into a ranked recommender output.  "
+    "Engine: the G2 edge list (basket BETWEEN-2-AND-32 gate semi-"
+    "joined BEFORE pair expansion, support >= 2 cap) symmetrized, "
+    "normalized by per-item gated basket counts, then a per-item "
+    "row_number window cut to the top neighbors — rank filter k <= "
+    f"{_CF_NEIGHBORS} is pushed into the shuffle as WindowGroupLimit "
+    "(each partition retains k rows per item before the final sort, "
+    "never an item's full neighbor list).  Cosine ordering compares "
+    "the RAW double sup/sqrt(n_i·n_j) — a fixed IEEE tree over exact "
+    "integers, identical both engines — with the neighbor id as "
+    "total tiebreak; output cosine is rounded once.  Scale: no new "
+    "shuffle shape beyond G2 (part-keyed count join + item-keyed "
+    "window); the seed cut broadcasts 20 ids.",
+)
+def q_llm_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp0 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # feeds the gate twice (counts + edges)
+    )
+    return item_cf_topk(pp0)
+
+
+def item_cf_topk(pp0: DataFrame) -> DataFrame:
+    """X72 body over any distinct (l_orderkey, l_partkey) frame —
+    factored out so the semantics test can drive it with hand-built
+    baskets of known cosine."""
+    from pyspark.sql.window import Window
+
+    from .relational9 import copurchase_edges
+
+    ok = (
+        pp0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n").between(2, 32))
+        .select("l_orderkey")
+    )
+    pp = pp0.join(ok, "l_orderkey", "semi")
+    cnt = pp.groupBy(F.col("l_partkey").alias("i")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    e = copurchase_edges(pp0).select("pa", "pb", "sup")
+    sym = e.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "sup"
+    ).unionAll(
+        e.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sup")
+    )
+    seeds = cnt.orderBy(F.col("n").desc(), "i").limit(_CF_SEEDS).select("i")
+    ci = cnt.select(F.col("i"), F.col("n").alias("_ni"))
+    cj = cnt.select(F.col("i").alias("j"), F.col("n").alias("_nj"))
+    scored = (
+        sym.join(ci, "i")
+        .join(cj, "j")
+        .withColumn(
+            "c",
+            F.col("sup").cast("double")
+            / F.sqrt((F.col("_ni") * F.col("_nj")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("c").desc(), "j")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _CF_NEIGHBORS
+    )
+    return (
+        ranked.join(F.broadcast(seeds), "i", "semi")
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("sup").alias("co_orders"),
+            F.round(F.col("c"), 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("item", "rnk")
+    )

@@ -630,3 +630,144 @@ def q_agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# A39: mergeable KMV-sample quantile sketch (r13)
+# ---------------------------------------------------------------------------
+
+# k = 1000, NOT 1024: Spark's InferWindowGroupLimit only pushes a
+# rank filter into the shuffle when the limit is <= spark.sql.
+# optimizer.windowGroupLimitThreshold (default 1000) — at 1024 the
+# rule silently disengages and every partition sorts its full row set
+# before the filter.  Caught by the plan contract
+# (test_kmv_quantiles_two_phase_topk_plan) before the key shipped.
+_KMVQ_K = 1000
+_KMVQ_SALTS = 32
+_KMVQ_PS = (0.5, 0.9)
+# DKW inequality: P(sup_x |F_sample(x) - F(x)| > eps) <= 2 exp(-2 k eps^2)
+# ≈ 5.5e-6 at k=1000, eps=0.08 — the same graded-guarantee stance as
+# the HLL (A5d) and theta (A37) keys.  Sampling WITHOUT replacement
+# (the k smallest hashes are a uniform simple random sample of rows)
+# only tightens the bound (negative association).
+_KMVQ_EPS = 0.08
+
+
+def _kmv_row_sample(e: DataFrame, k: int) -> DataFrame:
+    """Deterministic uniform row sample per event_type: the k rows
+    with the smallest xxhash64(event_id) fractions — a simple random
+    sample (event_id is row-unique) that is MERGEABLE like the A37
+    theta sketch: union two groups' samples and re-take the k
+    smallest, and you hold exactly the sample of the union.  Two-phase
+    salted top-k (the A37 shape): the salted partial bounds every
+    window sort at k; the final per-type pass reads <= salts*k
+    pre-filtered rows."""
+    from pyspark.sql.window import Window
+
+    hashed = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.xxhash64("event_id").cast("double") / F.lit(float(2**64))
+            + F.lit(0.5)
+        ).alias("frac"),
+        F.pmod(F.xxhash64("event_id", F.lit(23)), F.lit(_KMVQ_SALTS)).alias(
+            "salt"
+        ),
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("frac", "event_id")
+    partial = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("frac", "event_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "frac")
+    )
+
+
+@register(
+    "agg_kmv_quantiles",
+    oracle="WITH n AS (SELECT event_type, "
+    "CAST(count(value) AS BIGINT) AS n_exact FROM events "
+    "GROUP BY 1 HAVING count(value) > 0) "
+    "SELECT event_type AS scope, CAST(p AS DOUBLE) AS p, n_exact, "
+    "TRUE AS in_bound FROM n "
+    "CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) ps "
+    "ORDER BY scope NULLS FIRST, p",
+    doc="Mergeable KMV-sample quantile sketch (A39, r13): per event "
+    "type, p50/p90 of `value` estimated from the k smallest-hash "
+    f"rows (k={_KMVQ_K}) — completing the mergeable-sketch family "
+    "(HLL = distinct, Count-Min = frequency, theta = set algebra, "
+    "THIS = quantiles) with the same persist-once/merge-cheap "
+    "stance: the k-smallest-hash sample of a union is the re-top-k "
+    "of the per-part samples, so per-day/per-partition samples roll "
+    "up without re-scanning (what approx_percentile's opaque "
+    "KLL internals do, here in an engine-portable, "
+    "deterministically-reproducible form).  Graded on the DKW "
+    f"guarantee: the exact CDF at each sample quantile within ±"
+    f"{_KMVQ_EPS} of p (failure probability 2·exp(−2kε²) ≈ 4e-6, "
+    "the A5d/A37 graded-bound stance), audited with tie-robust rank "
+    "brackets: count(< q̂)/n ≤ p+ε AND count(≤ q̂)/n ≥ p−ε.  "
+    "Quantiles are over NON-NULL values (declared both engines).  "
+    "Scale: the sketch is one scan + two salted bounded windows (no "
+    "reducer ever sorts a type's full row set); the estimates are a "
+    "≤2·#types-row frame; the exact-CDF audit leg is the GRADING "
+    "harness (one extra conditional-aggregate scan) — at 100 TB you "
+    "ship the estimates and audit on sampled slices, the "
+    "llm_ann_recall stance.",
+)
+def q_agg_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    samp = _kmv_row_sample(e, _KMVQ_K)
+    ws = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = samp.withColumn("r", F.row_number().over(ws))
+    ns = samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_samp"))
+    ps = F.explode(
+        F.array(*[F.lit(float(p)) for p in _KMVQ_PS])
+    ).alias("p")
+    est = (
+        ranked.join(ns, "event_type")
+        .select("event_type", "value", "r", "n_samp", ps)
+        .filter(
+            F.col("r")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("p") * F.col("n_samp"))
+            )
+        )
+        .select("event_type", "p", F.col("value").alias("qhat"))
+    )
+    audit = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(F.col("value") < F.col("qhat"), 1).otherwise(0))
+            .alias("cnt_lt"),
+            F.sum(F.when(F.col("value") <= F.col("qhat"), 1).otherwise(0))
+            .alias("cnt_le"),
+        )
+    )
+    in_bound = (
+        F.col("cnt_le").cast("double")
+        >= (F.col("p") - _KMVQ_EPS) * F.col("n_exact")
+    ) & (
+        F.col("cnt_lt").cast("double")
+        <= (F.col("p") + _KMVQ_EPS) * F.col("n_exact")
+    )
+    return audit.select(
+        F.col("event_type").alias("scope"),
+        "p",
+        "n_exact",
+        in_bound.alias("in_bound"),
+    ).orderBy(F.col("scope").asc_nulls_first(), "p")

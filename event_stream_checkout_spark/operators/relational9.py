@@ -341,11 +341,15 @@ _COPURCHASE_GATE_SQL = (
 )
 
 
-def triangle_census(e: DataFrame) -> DataFrame:
-    """Degree-ordered triangle census over a pinned (pa, pb) edge
-    frame (pa < pb, one row per undirected edge).  Factored out of the
-    registered query so property tests can drive it with a known graph
-    (the copurchase_edges pattern)."""
+def _closed_triangles(e: DataFrame) -> DataFrame:
+    """One (u, v, w) row per triangle of a pinned (pa, pb) edge frame
+    (pa < pb, one row per undirected edge), enumerated exactly once
+    from its minimum-(degree, id) corner — the Schank-Wagner forward
+    orientation shared by the G3 census and G4's per-node clustering
+    coefficients (which need the corner IDENTITIES, not just the
+    count).  The caller is expected to have localCheckpoint'ed ``e``;
+    the degree frame is derived internally (one aggregate over the
+    slim edge list)."""
     und = e.select(F.col("pa").alias("n")).unionAll(
         e.select(F.col("pb").alias("n"))
     )
@@ -382,7 +386,20 @@ def triangle_census(e: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"]).agg(
+    return wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle census over a pinned (pa, pb) edge
+    frame (pa < pb, one row per undirected edge).  Factored out of the
+    registered query so property tests can drive it with a known graph
+    (the copurchase_edges pattern); the enumeration itself lives in
+    ``_closed_triangles`` (shared with G4's per-node coefficients)."""
+    und = e.select(F.col("pa").alias("n")).unionAll(
+        e.select(F.col("pb").alias("n"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    tri = _closed_triangles(e).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = deg.agg(
@@ -462,6 +479,95 @@ def q_graph_copurchase_triangles(
     )
     e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
     return triangle_census(e)
+
+
+# ---------------------------------------------------------------------------
+# G4: per-node local clustering coefficients (r13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_copurchase_local_clustering",
+    oracle="WITH " + _COPURCHASE_GATE_SQL + ", "
+    "tri AS (SELECT ab.pa AS a, ab.pb AS b, ac.pb AS c FROM e ab "
+    "JOIN e bc ON ab.pb = bc.pa "
+    "JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb), "
+    "corners AS (SELECT a AS n FROM tri UNION ALL "
+    "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+    "tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM corners "
+    "GROUP BY 1), "
+    "und AS (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e), "
+    "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM und "
+    "GROUP BY 1) "
+    "SELECT deg.n AS node, deg.d AS degree, "
+    "CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles, "
+    "round(2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 6) "
+    "AS local_clustering "
+    "FROM deg LEFT JOIN tc ON deg.n = tc.n WHERE deg.d >= 2 "
+    "ORDER BY local_clustering DESC, degree DESC, node LIMIT 20",
+    doc="Per-node local clustering coefficients over the co-purchase "
+    "graph (G4, r13): for each part with >= 2 co-purchase neighbors, "
+    "the fraction of its neighbor PAIRS that are themselves "
+    "co-purchased — 2t/(d(d-1)) — top 20 by coefficient (degree, "
+    "node tiebreaks make the cut total).  This is the per-item form "
+    "of G3's global census: a coefficient near 1 marks a part whose "
+    "neighborhood is a closed bundle (accessories always bought as a "
+    "kit — substitution candidates), near 0 a hub whose neighbors "
+    "have nothing to do with each other.  Engine: the census's "
+    "Schank-Wagner enumeration (_closed_triangles — each triangle "
+    "once from its minimum-(degree,id) corner, O(m^1.5) wedge work) "
+    "with the corner IDENTITIES kept: explode each (u,v,w) into its "
+    "three corners, count per node, left-join onto the degree frame "
+    "(zero-triangle nodes report coefficient 0 instead of "
+    "disappearing).  The oracle enumerates by plain id-ordered "
+    "closure and unnests corners — a different traversal, so "
+    "agreement checks per-node triangle INCIDENCE, not a shared "
+    "algorithm.  Scale: rides the G2 basket-gated support-capped "
+    "edge list; corners are 3 rows per triangle (output-bounded); "
+    "the final top-20 is a TakeOrdered over the node frame, no "
+    "global sort.",
+)
+def q_graph_copurchase_local_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pp0 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    tri = _closed_triangles(e)
+    corners = (
+        tri.select(F.col("u").alias("n"))
+        .unionAll(tri.select(F.col("v").alias("n")))
+        .unionAll(tri.select(F.col("w").alias("n")))
+    )
+    tc = corners.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+    und = e.select(F.col("pa").alias("n")).unionAll(
+        e.select(F.col("pb").alias("n"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tc, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_clustering"),
+        )
+        .orderBy(
+            F.col("local_clustering").desc(),
+            F.col("degree").desc(),
+            "node",
+        )
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,12 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # but the oracle string changed, so it queues for re-grade (the
     # graph_copurchase_components precedent).
     "llm_embedding_near_dup",
+    # Trailing (pristine no-op, the r12 rule): the r13b wave factored
+    # G3's triangle enumeration into _closed_triangles so G4 could
+    # reuse the corner identities — pure code motion, oracle and
+    # output unchanged (local parity re-verified); re-grades only if
+    # window slots remain after the behavioral queue.
+    "graph_copurchase_triangles",
     # Everything else this round is non-output-affecting hardening
     # (ADVICE r12 items: Derby identifier/drop hygiene on a path only
     # the JDBC live test executes; a max_rounds>=1 entry guard in
