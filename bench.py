@@ -234,6 +234,11 @@ EXTRA = [
     "dq_freshness",
     "llm_source_vocab_overlap",
     "agg_kmv_quantiles",
+    # r13c trio: capped-wedge link prediction, scan-local prefix
+    # templates, and the LOCF fill window.
+    "graph_link_prediction",
+    "llm_template_prefix_groups",
+    "win_gap_fill_locf",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"

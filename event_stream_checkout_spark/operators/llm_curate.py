@@ -1882,3 +1882,72 @@ def source_vocab_overlap(d: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X77: shared-prefix template detection (r13)
+# ---------------------------------------------------------------------------
+
+_TPL_PREFIX_WORDS = 3
+_TPL_TOPK = 25
+
+
+@register(
+    "llm_template_prefix_groups",
+    oracle="WITH p AS (SELECT doc_id, source, "
+    "array_to_string(list_slice(string_split(text, ' '), 1, "
+    f"{_TPL_PREFIX_WORDS}), ' ') AS prefix FROM documents), "
+    "g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+    "CAST(min(doc_id) AS BIGINT) AS first_doc "
+    "FROM p GROUP BY 1 HAVING count(*) >= 2) "
+    "SELECT prefix, n_docs, n_sources, first_doc FROM g "
+    f"ORDER BY n_docs DESC, prefix LIMIT {_TPL_TOPK}",
+    doc="Shared-prefix template detection (X77, r13): document groups "
+    f"opening with the same first {_TPL_PREFIX_WORDS} words — the "
+    "boilerplate-template fingerprint (scraped pages sharing a "
+    "banner, licence headers, form letters) that near-dup sketches "
+    "MISS when the bodies diverge past the Jaccard threshold and "
+    "X38's line-frequency pass misses when the template is the "
+    "OPENING only; the standard cheap screen C4/RefinedWeb-class "
+    "pipelines run before the expensive sketch passes.  Cross-source "
+    "count included: a prefix shared ACROSS feeds marks syndicated "
+    "boilerplate, within one feed a site template.  Engine: pure "
+    "scan-local prefix slice (split → slice → join inside one "
+    "codegen span, no explode — only the first "
+    f"{_TPL_PREFIX_WORDS} words materialize per doc) into one "
+    "prefix-keyed aggregate; top-k is a TakeOrdered with the prefix "
+    "string as total tiebreak.  Scale: one shuffle keyed by prefix; "
+    "group count bounded by the template population, not the "
+    "corpus.",
+)
+def q_llm_template_prefix_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return template_prefix_groups(d)
+
+
+def template_prefix_groups(d: DataFrame) -> DataFrame:
+    """X77 body over any (doc_id, source, text) frame — factored out
+    so the semantics test can drive it with hand-built templates."""
+    p = d.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, _TPL_PREFIX_WORDS), " "
+        ).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(_TPL_TOPK)
+    )

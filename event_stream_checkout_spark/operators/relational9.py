@@ -860,3 +860,117 @@ def q_join_band_time_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return band_pairs(ev)
+
+
+# ---------------------------------------------------------------------------
+# G5: common-neighbor link prediction (r13)
+# ---------------------------------------------------------------------------
+
+_LP_MID_DEG_CAP = 64
+_LP_MIN_CN = 2
+_LP_TOPK = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle="WITH " + _COPURCHASE_GATE_SQL + ", "
+    "adj AS (SELECT pa AS n, pb AS nb FROM e "
+    "UNION ALL SELECT pb, pa FROM e), "
+    "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj "
+    "GROUP BY 1), "
+    "mid AS (SELECT adj.n, adj.nb FROM adj JOIN deg "
+    f"ON adj.nb = deg.n WHERE deg.d <= {_LP_MID_DEG_CAP}), "
+    "w AS (SELECT a.n AS x, b.n AS y FROM mid a JOIN mid b "
+    "ON a.nb = b.nb AND a.n < b.n), "
+    "cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors "
+    f"FROM w GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_CN}), "
+    "nonedge AS (SELECT cn.* FROM cn LEFT JOIN e "
+    "ON cn.x = e.pa AND cn.y = e.pb WHERE e.pa IS NULL) "
+    "SELECT ne.x AS part_a, ne.y AS part_b, ne.common_neighbors, "
+    "round(CAST(ne.common_neighbors AS DOUBLE) / "
+    "(da.d + db.d - ne.common_neighbors), 6) AS jaccard "
+    "FROM nonedge ne JOIN deg da ON ne.x = da.n "
+    "JOIN deg db ON ne.y = db.n "
+    "ORDER BY ne.common_neighbors DESC, jaccard DESC, part_a, part_b "
+    f"LIMIT {_LP_TOPK}",
+    doc="Common-neighbor link prediction over the co-purchase graph "
+    "(G5, r13, Liben-Nowell/Kleinberg): part pairs that are NOT yet "
+    f"co-purchased but share >= {_LP_MIN_CN} common neighbors — the "
+    "'these will be bought together next' candidates that close "
+    "G2/G3/G4's descriptive family with the predictive question "
+    "merchandising actually asks; scored by common-neighbor count "
+    "with neighborhood Jaccard as tiebreak.  Engine: the wedge join "
+    "(adjacency self-joined on the shared MIDDLE node) with the "
+    f"middle-degree cap {_LP_MID_DEG_CAP} semi-applied BEFORE the "
+    "join — a hub's wedge block is C(deg,2), and a hub is also the "
+    "least informative common neighbor (the reason Adamic-Adar "
+    "downweights high-degree middles; this engine hard-gates them, "
+    "keeping every middle's pair block <= C(64,2) — the G2 "
+    "basket-gate stance on the second-order graph), then an "
+    "anti-join against the existing edge list keeps only NEW pairs. "
+    " Scoring stays in exact integers + one rounded division "
+    "(Adamic-Adar's sum of 1/ln(deg) would hang cross-engine "
+    "equality on transcendental rounding — the E23 ln lesson).  "
+    "Scale: adjacency and degree ride the gated edge list; the wedge "
+    "join shuffles on middle-node keys with capped fanout; the "
+    f"top-{_LP_TOPK} is a TakeOrdered.",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp0 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    return link_prediction(e)
+
+
+def link_prediction(e: DataFrame) -> DataFrame:
+    """G5 body over any pinned (pa, pb) edge frame — factored out so
+    the semantics test can drive it with known graphs (squares, hubs
+    above the middle-degree cap)."""
+    adj = e.select(F.col("pa").alias("n"), F.col("pb").alias("nb")).unionAll(
+        e.select(F.col("pb").alias("n"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    low_mid = deg.filter(F.col("d") <= _LP_MID_DEG_CAP).select(
+        F.col("n").alias("nb")
+    )
+    mid = adj.join(low_mid, "nb", "semi")
+    a = mid.select(F.col("n").alias("x"), "nb")
+    b = mid.select(F.col("n").alias("y"), "nb")
+    cn = (
+        a.join(b, "nb")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= _LP_MIN_CN)
+    )
+    nonedge = cn.join(
+        e,
+        (cn.x == e.pa) & (cn.y == e.pb),
+        "left_anti",
+    )
+    da = deg.select(F.col("n").alias("x"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("y"), F.col("d").alias("_db"))
+    return (
+        nonedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("jaccard").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(_LP_TOPK)
+    )

@@ -163,3 +163,95 @@ def q_win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W6: forward-fill / LOCF gap repair (r13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_gap_fill_locf",
+    oracle="WITH m AS (SELECT user_id, event_id, ts, "
+    "CAST(ts AS DATE) AS day, "
+    "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked "
+    "FROM events), "
+    "f AS (SELECT day, masked, "
+    "last_value(masked IGNORE NULLS) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS filled FROM m) "
+    "SELECT day, "
+    "CAST(sum(CASE WHEN masked IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_readings, "
+    "CAST(sum(CASE WHEN masked IS NULL AND filled IS NOT NULL "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, "
+    "CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_unfillable, "
+    "round(CAST(sum(CAST(floor(filled * 10000.0 + 0.5) AS "
+    "DECIMAL(25,0))) AS DOUBLE) / 10000.0, 4) AS sum_filled "
+    "FROM f GROUP BY 1 ORDER BY 1",
+    doc="Forward-fill / last-observation-carried-forward (W6, r13): "
+    "the gap-repair window shape W1-W5 don't cover — `last(..., "
+    "ignorenulls=True)` over a running frame, the standard repair "
+    "for sensor feeds and slowly-changing attributes before "
+    "aggregation.  Missingness is SYNTHESIZED deterministically "
+    "(error events carry no usable reading — their value is masked "
+    "NULL, then each user's stream fills forward from the previous "
+    "good reading), because the pristine corpus has no NULL "
+    "measures; the NULL-injection sweep then exercises the same path "
+    "with REAL nulls.  Per day: surviving raw readings, repaired "
+    "gaps, unfillable rows (an error before the user's first good "
+    "reading stays NULL — LOCF never invents data), and the "
+    "decimal-policy sum of the filled series.  Engine: ONE user_id "
+    "shuffle serves the fill window; IGNORE NULLS semantics are "
+    "declared identically on both engines (Spark last(ignorenulls) "
+    "== DuckDB last_value(x IGNORE NULLS) over the same "
+    "rows-unbounded-preceding frame, same (ts, event_id) total "
+    "order); the day rollup is calendar-keyed.  Scale: window state "
+    "is one scalar per user; no global window, no sort beyond the "
+    "per-user frame.",
+)
+def q_win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return gap_fill_daily(e)
+
+
+def gap_fill_daily(e: DataFrame) -> DataFrame:
+    """W6 body over any (user_id, event_id, ts, event_type, value)
+    frame — factored out so the semantics test can drive it with
+    hand-built gap patterns (error-first users, repeated gaps)."""
+    from ..functions.numeric import dsum
+
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    f = e.select(
+        F.col("ts").cast("date").alias("day"),
+        masked.alias("masked"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled"),
+    )
+    return (
+        f.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("masked").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_readings"),
+            F.sum(
+                F.when(
+                    F.col("masked").isNull() & F.col("filled").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_filled"),
+            F.sum(F.when(F.col("filled").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unfillable"),
+            F.round(dsum("filled"), 4).alias("sum_filled"),
+        )
+        .orderBy("day")
+    )

@@ -403,3 +403,126 @@ def test_kmv_quantiles_two_phase_topk_plan(spark):
     assert any("salt" in w for w in windows), "salted partial missing"
     assert any("salt" not in w for w in windows), "final top-k missing"
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# G5: link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_square(spark):
+    """4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+    middles, are non-edges, and every degree is 2 — both predicted
+    with cn=2, jaccard=1.0; nothing else qualifies."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        link_prediction,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    out = {
+        (r["part_a"], r["part_b"]): r for r in link_prediction(e).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["common_neighbors"] == 2
+        assert r["jaccard"] == 1.0
+
+
+def test_link_prediction_hub_contributes_nothing(spark):
+    """A hub above the middle-degree cap (70 leaves) is gated out of
+    the wedge join: its leaf pairs share ONLY the hub, so zero
+    predictions come from it — the C(deg,2) blowup never forms."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        _LP_MID_DEG_CAP,
+        link_prediction,
+    )
+
+    hub_edges = [(1000, leaf) for leaf in range(1, _LP_MID_DEG_CAP + 7)]
+    # plus a clean square so the output isn't vacuously empty
+    sq = [(2001, 2002), (2002, 2003), (2003, 2004), (2001, 2004)]
+    e = _edges(spark, hub_edges + sq)
+    out = link_prediction(e).collect()
+    parts = {r["part_a"] for r in out} | {r["part_b"] for r in out}
+    assert parts == {2001, 2002, 2003, 2004}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle's pairs all share a middle but every pair is already
+    an edge — the anti-join leaves nothing."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        link_prediction,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert link_prediction(e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# X77: template prefixes
+# ---------------------------------------------------------------------------
+
+
+def test_template_prefix_groups_known(spark):
+    from event_stream_checkout_spark.operators.llm_curate import (
+        template_prefix_groups,
+    )
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="terms of service apply here"),
+            Row(doc_id=2, source="b", text="terms of service differ a lot"),
+            Row(doc_id=3, source="a", text="totally unique document text"),
+        ]
+    )
+    out = template_prefix_groups(d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["prefix"] == "terms of service"
+    assert r["n_docs"] == 2 and r["n_sources"] == 2 and r["first_doc"] == 1
+
+
+def test_template_prefix_scan_local_slice(spark):
+    """Scale contract: the prefix derives scan-locally (split+slice,
+    no explode/Generate) — the corpus never fans out to tokens."""
+    plan = executed_plan(spark, "llm_template_prefix_groups", full=True)
+    assert "Generate" not in plan, "prefix must not explode tokens"
+
+
+# ---------------------------------------------------------------------------
+# W6: LOCF gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Reading 10 → two errors → reading 20: both gaps fill with 10;
+    a user whose FIRST event is an error stays unfillable."""
+    from event_stream_checkout_spark.operators.windows import (
+        gap_fill_daily,
+    )
+
+    d0 = dt.datetime(2024, 7, 1, 9, 0, 0)
+    rows = [
+        Row(user_id=1, event_id=1, ts=d0, event_type="view", value=10.0),
+        Row(user_id=1, event_id=2, ts=d0 + dt.timedelta(minutes=1),
+            event_type="error", value=99.0),
+        Row(user_id=1, event_id=3, ts=d0 + dt.timedelta(minutes=2),
+            event_type="error", value=99.0),
+        Row(user_id=1, event_id=4, ts=d0 + dt.timedelta(minutes=3),
+            event_type="view", value=20.0),
+        Row(user_id=2, event_id=5, ts=d0, event_type="error", value=99.0),
+    ]
+    out = gap_fill_daily(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_readings"] == 2
+    assert r["n_filled"] == 2
+    assert r["n_unfillable"] == 1
+    # 10 + 10 + 10 + 20 (user 2's unfillable NULL adds nothing)
+    assert r["sum_filled"] == 50.0
+
+
+def test_gap_fill_single_user_shuffle(spark):
+    """Scale contract: one user_id-partitioned window serves the fill;
+    no unpartitioned window touches the event stream."""
+    plan = executed_plan(spark, "win_gap_fill_locf", full=True)
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0], plan
