@@ -231,19 +231,21 @@ def item_cf_topk(pp0: DataFrame) -> DataFrame:
     baskets of known cosine."""
     from pyspark.sql.window import Window
 
-    from .relational9 import copurchase_edges
+    from .relational9 import copurchase_gate, copurchase_pairs
 
-    ok = (
-        pp0.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n").between(2, 32))
-        .select("l_orderkey")
+    # Pinned: ONE gated frame feeds both the per-item counts and the
+    # pair expansion — the r13 first cut ran the basket gate once per
+    # consumer (a full pp0 shuffle each).  Same scale as pp0, which
+    # the caller already pins.
+    pp = copurchase_gate(pp0).localCheckpoint()
+    # Pinned (part-dimension rows): cnt feeds ci, cj AND the seed cut —
+    # unpinned, the per-item count aggregate shuffles pp three times.
+    cnt = (
+        pp.groupBy(F.col("l_partkey").alias("i"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    pp = pp0.join(ok, "l_orderkey", "semi")
-    cnt = pp.groupBy(F.col("l_partkey").alias("i")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    e = copurchase_edges(pp0).select("pa", "pb", "sup")
+    e = copurchase_pairs(pp).select("pa", "pb", "sup")
     sym = e.select(
         F.col("pa").alias("i"), F.col("pb").alias("j"), "sup"
     ).unionAll(

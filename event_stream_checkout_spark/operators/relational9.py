@@ -209,16 +209,12 @@ _COPURCHASE_BASKET_CAP = 32  # skew guard (r12, the V15/A19 stance): an
                              # would emit ~5e9 pair rows unguarded
 
 
-def copurchase_edges(pp0: DataFrame) -> DataFrame:
-    """Support-capped co-purchase edge list over a distinct
-    ``(l_orderkey, l_partkey)`` frame.
-
-    Factored out of the registered query (the jaccard_pairs pattern)
-    so property tests can drive it with an adversarial corpus: the
-    BETWEEN-2-AND-CAP basket gate semi-joins the pair leg BEFORE the
-    self-join, so one degenerate basket must contribute zero join
-    INPUT rows — never a C(n,2) pair block (r12, the r11 verdict's
-    robustness note on G2)."""
+def copurchase_gate(pp0: DataFrame) -> DataFrame:
+    """The basket gate alone: distinct (l_orderkey, l_partkey) rows of
+    baskets within 2..CAP.  Split out of ``copurchase_edges`` (r13) so
+    X72's CF can compute BOTH the gated per-item counts and the pair
+    list from ONE pinned gated frame instead of re-running the gate
+    per consumer."""
     ok = (
         pp0.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -229,7 +225,12 @@ def copurchase_edges(pp0: DataFrame) -> DataFrame:
     # the self-join (1-part orders emit no pairs anyway; oversized
     # baskets are feed anomalies for V1-class gates, not a C(n,2)
     # license).
-    pp = pp0.join(ok, "l_orderkey", "semi")
+    return pp0.join(ok, "l_orderkey", "semi")
+
+
+def copurchase_pairs(pp: DataFrame) -> DataFrame:
+    """Pair expansion + support cap over an ALREADY-gated pp frame
+    (the second half of ``copurchase_edges``)."""
     a, b = pp.alias("a"), pp.alias("b")
     return (
         a.join(
@@ -243,6 +244,19 @@ def copurchase_edges(pp0: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= _COPURCHASE_MIN_SUP)
     )
+
+
+def copurchase_edges(pp0: DataFrame) -> DataFrame:
+    """Support-capped co-purchase edge list over a distinct
+    ``(l_orderkey, l_partkey)`` frame.
+
+    Factored out of the registered query (the jaccard_pairs pattern)
+    so property tests can drive it with an adversarial corpus: the
+    BETWEEN-2-AND-CAP basket gate semi-joins the pair leg BEFORE the
+    self-join, so one degenerate basket must contribute zero join
+    INPUT rows — never a C(n,2) pair block (r12, the r11 verdict's
+    robustness note on G2)."""
+    return copurchase_pairs(copurchase_gate(pp0))
 
 
 
@@ -353,7 +367,10 @@ def _closed_triangles(e: DataFrame) -> DataFrame:
     und = e.select(F.col("pa").alias("n")).unionAll(
         e.select(F.col("pb").alias("n"))
     )
-    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # Pinned: the degree frame feeds BOTH orientation legs (da/db);
+    # unpinned, the und aggregate shuffles twice.  Node-dimension
+    # rows — the bounded-frame checkpoint stance.
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     # Orient each undirected edge from the lower (degree, id) endpoint.
     da = deg.select(F.col("n").alias("pa"), F.col("d").alias("_da"))
     db = deg.select(F.col("n").alias("pb"), F.col("d").alias("_db"))
@@ -536,7 +553,11 @@ def q_graph_copurchase_local_clustering(
         .distinct()
     )
     e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
-    tri = _closed_triangles(e)
+    # Pinned: the corner union reads the triangle frame THREE times —
+    # unpinned, the whole wedge+closure join would execute 3x (the
+    # r13 first-cut plan measured exactly that: 18.8 s -> the pin is
+    # most of the fix).  One row per triangle, output-bounded.
+    tri = _closed_triangles(e).localCheckpoint()
     corners = (
         tri.select(F.col("u").alias("n"))
         .unionAll(tri.select(F.col("v").alias("n")))
@@ -932,11 +953,16 @@ def link_prediction(e: DataFrame) -> DataFrame:
     adj = e.select(F.col("pa").alias("n"), F.col("pb").alias("nb")).unionAll(
         e.select(F.col("pb").alias("n"), F.col("pa").alias("nb"))
     )
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # Pinned (node-dimension rows): deg feeds the middle gate AND both
+    # endpoint joins (da/db) — unpinned it shuffles adj three times.
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     low_mid = deg.filter(F.col("d") <= _LP_MID_DEG_CAP).select(
         F.col("n").alias("nb")
     )
-    mid = adj.join(low_mid, "nb", "semi")
+    # Pinned (adjacency-scale, same order as the checkpointed edge
+    # list): the wedge self-join reads mid twice — unpinned, the
+    # degree-gate semi-join executes once per leg.
+    mid = adj.join(low_mid, "nb", "semi").localCheckpoint()
     a = mid.select(F.col("n").alias("x"), "nb")
     b = mid.select(F.col("n").alias("y"), "nb")
     cn = (

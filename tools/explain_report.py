@@ -192,6 +192,15 @@ QUERIES = [
     "evt_pattern_match",            # r13: CEP regex over sessions
     "llm_rrf_fusion",               # r13: shortlist RRF fusion
     "dq_format_conformance",        # r13: fused per-table rlike audit
+    "graph_copurchase_local_clustering",  # r13b: corner-exploded census
+    "llm_item_cf_topk",             # r13b: CF cosine + WindowGroupLimit
+    "evt_peak_concurrency",         # r13b: day-chunked sweep + carry
+    "dq_freshness",                 # r13b: fused agg vs high-water mark
+    "llm_source_vocab_overlap",     # r13b: distinct-collapsed token join
+    "agg_kmv_quantiles",            # r13b: salted two-phase k-smallest
+    "graph_link_prediction",        # r13c: capped wedge join + anti-join
+    "llm_template_prefix_groups",   # r13c: scan-local prefix slice
+    "win_gap_fill_locf",            # r13c: per-user IGNORE NULLS fill
 ]
 
 
