@@ -865,8 +865,26 @@ def write_orders_upsert_jdbc(
                                 sql_state = je.getSQLState()
                             except Exception:  # noqa: BLE001 — py4j
                                 sql_state = None
+                        # Re-raise a non-benign drop failure ONLY when
+                        # the MERGE itself succeeded: raising from this
+                        # finally block while a merge exception is in
+                        # flight would REPLACE the root cause with the
+                        # cleanup error (callers matching on the merge
+                        # error class would see a drop error instead —
+                        # r13 code-review find).  With a merge error
+                        # already propagating, the drop failure rides
+                        # along as chained context via the log below.
+                        import sys as _sys
+
                         if sql_state not in ("42Y55", "42X05"):
-                            raise
+                            if _sys.exc_info()[0] is None:
+                                raise
+                            print(
+                                "stage-table drop failed during merge "
+                                f"error handling (SQLState {sql_state}); "
+                                f"stage {stage} may remain",
+                                file=_sys.stderr,
+                            )
             finally:
                 st.close()
     finally:

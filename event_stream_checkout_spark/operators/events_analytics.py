@@ -2153,9 +2153,16 @@ _CEP_PATTERNS = {
     "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
     "FROM sess GROUP BY 1, 2) "
     "SELECT day, CAST(count(*) AS BIGINT) AS n_sessions, "
+    # SQL string-escape = double single-quotes ONLY: DuckDB standard
+    # single-quoted literals do not process backslash escapes, so the
+    # earlier backslash-doubling would have corrupted the first
+    # pattern to use e.g. \b — Spark would match \b while DuckDB got
+    # a literal backslash + b, the silent divergence class this key's
+    # own docstring warns about (r13 code-review find; a no-op for
+    # the current backslash-free patterns).
     + ", ".join(
         "CAST(SUM(CASE WHEN regexp_matches(path, '"
-        + pat.replace("\\", "\\\\")
+        + pat.replace("'", "''")
         + "') THEN 1 ELSE 0 END) AS BIGINT) AS "
         + name
         for name, pat in _CEP_PATTERNS.items()

@@ -1052,7 +1052,12 @@ def _sql_rrf_oracle() -> str:
         "SELECT vec_id, CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense, "
         "CAST(COALESCE(r_prior, 0) AS BIGINT) AS r_prior, "
         "round(rrf, 6) AS rrf FROM fused "
-        f"ORDER BY rrf DESC, vec_id LIMIT {_RRF_K}"
+        # ORDER BY the ROUNDED value explicitly (an unqualified `rrf`
+        # resolves to the rounded output alias in DuckDB but the raw
+        # column in a naive engine mirror — a boundary pair whose raw
+        # sums differ below 1e-6 would then cut differently at the
+        # LIMIT; r13 code-review find, fixed before first grade).
+        f"ORDER BY round(rrf, 6) DESC, vec_id LIMIT {_RRF_K}"
     )
 
 
@@ -1146,7 +1151,12 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        fused.orderBy(F.col("rrf_raw").desc(), "vec_id")
+        # Cut on the ROUNDED score + vec_id — the same total order the
+        # oracle's ORDER BY resolves to (its unqualified `rrf` is the
+        # rounded alias).  Ordering by the raw sum would flip a
+        # boundary pair whose raw RRF terms differ below the rounding
+        # grain (sub-1e-6 spacings are plausible in this score space).
+        fused.orderBy(F.round("rrf_raw", 6).desc(), "vec_id")
         .limit(_RRF_K)
         .select(
             "vec_id",

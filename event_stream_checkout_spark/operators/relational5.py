@@ -511,7 +511,20 @@ def _theta_sketches(e: DataFrame, types: list[str]) -> DataFrame:
     "windows; pair math runs over <= 2k retained rows per pair.",
 )
 def q_agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL members are excluded from every set (declared both engines):
+    # the oracle's count(DISTINCT user_id) skips NULLs anyway, but the
+    # engine's distinct → anti-join legs would have KEPT a NULL row
+    # (NULL never matches a semi/anti key, so it lands in "only_a"),
+    # and xxhash64(NULL) degenerates to the seed — one phantom member
+    # injected identically into BOTH sides' sketches.  Latent on the
+    # pristine corpus and under the NULL sweep (user_id stays intact
+    # there), fixed at entry before it can grade (r13 code-review
+    # find).
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
     types = sorted({t for pair in _THETA_PAIRS for t in pair})
     sk = _theta_sketches(e, types).localCheckpoint()  # <= k rows per type
     exact = (
@@ -736,8 +749,15 @@ def q_agg_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = F.explode(
         F.array(*[F.lit(float(p)) for p in _KMVQ_PS])
     ).alias("p")
+    # Null-SAFE joins on the group key (r13 code-review find): the
+    # oracle's GROUP BY keeps a NULL event_type group (and the output
+    # ordering even declares NULLS FIRST for it), but a plain
+    # null-rejecting equi-join here would silently drop that group on
+    # the engine side — a row-count divergence the moment any corpus
+    # carries NULL types.
+    ns2 = ns.withColumnRenamed("event_type", "_et")
     est = (
-        ranked.join(ns, "event_type")
+        ranked.join(ns2, F.col("event_type").eqNullSafe(F.col("_et")))
         .select("event_type", "value", "r", "n_samp", ps)
         .filter(
             F.col("r")
@@ -747,8 +767,12 @@ def q_agg_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "p", F.col("value").alias("qhat"))
     )
+    est2 = est.withColumnRenamed("event_type", "_et")
     audit = (
-        e.join(F.broadcast(est), "event_type")
+        e.join(
+            F.broadcast(est2), F.col("event_type").eqNullSafe(F.col("_et"))
+        )
+        .drop("_et")
         .groupBy("event_type", "p")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),

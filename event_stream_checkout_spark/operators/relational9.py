@@ -355,22 +355,32 @@ _COPURCHASE_GATE_SQL = (
 )
 
 
-def _closed_triangles(e: DataFrame) -> DataFrame:
+def edge_degrees(e: DataFrame) -> DataFrame:
+    """Pinned (n, d) degree frame of a (pa, pb) edge list.  Node-
+    dimension rows — the bounded-frame checkpoint stance.  Shared by
+    the triangle enumeration and its callers so the union+aggregate
+    over the edge frame runs ONCE per query instead of once per
+    consumer (r13 code-review find: census and G4 each rebuilt it
+    beside _closed_triangles' internal copy)."""
+    und = e.select(F.col("pa").alias("n")).unionAll(
+        e.select(F.col("pb").alias("n"))
+    )
+    return (
+        und.groupBy("n").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    )
+
+
+def _closed_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """One (u, v, w) row per triangle of a pinned (pa, pb) edge frame
     (pa < pb, one row per undirected edge), enumerated exactly once
     from its minimum-(degree, id) corner — the Schank-Wagner forward
     orientation shared by the G3 census and G4's per-node clustering
     coefficients (which need the corner IDENTITIES, not just the
-    count).  The caller is expected to have localCheckpoint'ed ``e``;
-    the degree frame is derived internally (one aggregate over the
-    slim edge list)."""
-    und = e.select(F.col("pa").alias("n")).unionAll(
-        e.select(F.col("pb").alias("n"))
-    )
-    # Pinned: the degree frame feeds BOTH orientation legs (da/db);
-    # unpinned, the und aggregate shuffles twice.  Node-dimension
-    # rows — the bounded-frame checkpoint stance.
-    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    count).  The caller is expected to have localCheckpoint'ed ``e``
+    and may pass its own pinned ``edge_degrees`` frame to avoid a
+    duplicate aggregate."""
+    if deg is None:
+        deg = edge_degrees(e)
     # Orient each undirected edge from the lower (degree, id) endpoint.
     da = deg.select(F.col("n").alias("pa"), F.col("d").alias("_da"))
     db = deg.select(F.col("n").alias("pb"), F.col("d").alias("_db"))
@@ -412,11 +422,8 @@ def triangle_census(e: DataFrame) -> DataFrame:
     registered query so property tests can drive it with a known graph
     (the copurchase_edges pattern); the enumeration itself lives in
     ``_closed_triangles`` (shared with G4's per-node coefficients)."""
-    und = e.select(F.col("pa").alias("n")).unionAll(
-        e.select(F.col("pb").alias("n"))
-    )
-    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    tri = _closed_triangles(e).agg(
+    deg = edge_degrees(e)
+    tri = _closed_triangles(e, deg).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = deg.agg(
@@ -553,21 +560,18 @@ def q_graph_copurchase_local_clustering(
         .distinct()
     )
     e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    deg = edge_degrees(e)  # shared with the enumeration below
     # Pinned: the corner union reads the triangle frame THREE times —
     # unpinned, the whole wedge+closure join would execute 3x (the
     # r13 first-cut plan measured exactly that: 18.8 s -> the pin is
     # most of the fix).  One row per triangle, output-bounded.
-    tri = _closed_triangles(e).localCheckpoint()
+    tri = _closed_triangles(e, deg).localCheckpoint()
     corners = (
         tri.select(F.col("u").alias("n"))
         .unionAll(tri.select(F.col("v").alias("n")))
         .unionAll(tri.select(F.col("w").alias("n")))
     )
     tc = corners.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
-    und = e.select(F.col("pa").alias("n")).unionAll(
-        e.select(F.col("pb").alias("n"))
-    )
-    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     return (
         deg.filter(F.col("d") >= 2)
         .join(tc, "n", "left")

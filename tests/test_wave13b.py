@@ -526,3 +526,28 @@ def test_gap_fill_single_user_shuffle(spark):
     no unpartitioned window touches the event stream."""
     plan = executed_plan(spark, "win_gap_fill_locf", full=True)
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0], plan
+
+
+# ---------------------------------------------------------------------------
+# r13 code-review fixes: NULL-membership contracts
+# ---------------------------------------------------------------------------
+
+
+def test_theta_intersect_excludes_null_members(spark):
+    """A37: NULL user_id rows are excluded at entry (declared both
+    engines) — otherwise the engine's anti-join leg counts the NULL
+    row into only_a while the oracle's count(DISTINCT) skips it, and
+    xxhash64(NULL) would inject the seed as a phantom member of BOTH
+    sketches.  Pinned via the scan filter."""
+    plan = executed_plan(spark, "agg_theta_intersect", full=True)
+    assert "isnotnull(user_id" in plan, plan
+
+
+def test_kmv_quantiles_null_scope_survives(spark):
+    """A39: the oracle's GROUP BY keeps a NULL event_type group (the
+    output even orders it NULLS FIRST), so the engine's joins on the
+    group key must be null-SAFE — a plain equi-join would silently
+    drop the NULL scope.  Pinned via the null-safe hash-key rendering
+    (eqNullSafe compiles to coalesce(key,'')+isnull(key) join keys)."""
+    plan = executed_plan(spark, "agg_kmv_quantiles", full=True)
+    assert "isnull(event_type" in plan, plan

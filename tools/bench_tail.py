@@ -83,7 +83,14 @@ def main() -> int:
                 spark.sparkContext._jvm.System.gc()
             rec = results.setdefault(key, {})
             if err:
-                rec[sf_label] = None
+                # Keep a valid earlier cycle's minimum next to the
+                # error instead of discarding it (r13 code-review
+                # find: a transient cycle-2 failure was erasing the
+                # good cycle-1 point, silently re-opening the
+                # unmeasured tail this tool exists to close).
+                rec[sf_label] = (
+                    round(best, 3) if best != float("inf") else None
+                )
                 rec["error"] = err
             else:
                 rec[sf_label] = round(best, 3)
