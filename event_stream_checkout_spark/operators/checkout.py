@@ -843,8 +843,10 @@ def write_orders_upsert_jdbc(
     )
     try:
         st = conn.createStatement()
+        merge_ok = False
         try:
             st.execute(merge_sql)
+            merge_ok = True
         finally:
             try:
                 if dialect == "mysql":
@@ -874,10 +876,15 @@ def write_orders_upsert_jdbc(
                         # r13 code-review find).  With a merge error
                         # already propagating, the drop failure rides
                         # along as chained context via the log below.
+                        # The in-flight test is the merge_ok flag, NOT
+                        # sys.exc_info(): inside this except block
+                        # exc_info always reports drop_exc itself
+                        # (ADVICE r13 — that check made the raise
+                        # unreachable and swallowed every drop failure).
                         import sys as _sys
 
                         if sql_state not in ("42Y55", "42X05"):
-                            if _sys.exc_info()[0] is None:
+                            if merge_ok:
                                 raise
                             print(
                                 "stage-table drop failed during merge "

@@ -116,30 +116,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r13 — one entry: the tail bench (BENCH_TAIL.json, new this
-    # round) measured the pinned-4-bit sign-bucket version of X2d at
-    # a 1.3 one-decade exponent (the n²/2**bits growth its own
-    # docstring warned about), so engine AND oracle moved to a
-    # corpus-adaptive integer bit ladder together.  Below 2048
-    # vectors (sf0.001/0.01/0.1) the buckets are byte-identical to
-    # the old 4-bit ones — outputs unchanged at every graded SF —
-    # but the oracle string changed, so it queues for re-grade (the
-    # graph_copurchase_components precedent).
-    "llm_embedding_near_dup",
-    # Trailing (pristine no-op, the r12 rule): the r13b wave factored
-    # G3's triangle enumeration into _closed_triangles so G4 could
-    # reuse the corner identities — pure code motion, oracle and
-    # output unchanged (local parity re-verified); re-grades only if
-    # window slots remain after the behavioral queue.
-    "graph_copurchase_triangles",
-    # Everything else this round is non-output-affecting hardening
-    # (ADVICE r12 items: Derby identifier/drop hygiene on a path only
-    # the JDBC live test executes; a max_rounds>=1 entry guard in
-    # _connected_components unreachable for every registered caller;
-    # test-side plan assertions).  The remaining ~44 slots beyond the
-    # five new r13 keys go to the stale-first rotation — the r12
-    # verdict's item 3 (drain the r6/r7 grade tail: 2 r6 + 38 r7
-    # keys all fit).
+    # r14 — empty by design: this round's code changes are the
+    # ADVICE r13 fix (checkout.py merge_ok flag — a Derby-only error
+    # path no graded key's output touches) and new keys (which enter
+    # via rule 2).  The window is deliberately left to the
+    # stale-first rotation: the r13 verdict's item 1 asks for the
+    # grade tail drained to nothing pre-r9 — 6 r7 + 40 r8 = 46 stale
+    # keys fit the 50-key window alongside ≤4 new r14 keys.
 )
 
 
