@@ -646,6 +646,264 @@ def q_agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A37b: PERSISTED theta-sketch store + zero-corpus-scan probe (r14)
+# ---------------------------------------------------------------------------
+
+# The persisted variant swaps A37's xxhash64 for a 32-bit md5-prefix
+# hash (the llm_weighted_sample / llm_sample_hash mapping): the store
+# is probed with NO corpus access, so the graded output must be the
+# sketch protocol's own numbers — and md5 is the one hash both engines
+# evaluate identically, letting DuckDB replay the full protocol
+# (build + probe) from the raw events while the engine answers from
+# the stored tables alone.  Integer end-to-end: hashes are 32-bit
+# ints, theta is the k-th smallest (2^32 when the sketch is exact),
+# estimates use integer floor division — no IEEE boundary exists.
+_THETA_P_K = _THETA_K
+_THETA_P_DOMAIN = 4294967296  # 2^32: md5-prefix hash domain size
+
+
+def _theta_store_tag(sf_dir: str) -> str:
+    """Source fingerprint + PID (the X12/X60/X62 staleness discipline)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(p)
+    fp = hashlib.md5(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    return f"{fp}_{os.getpid()}"
+
+
+def theta_sketch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-1 pay-once build of the per-type theta-sketch store: one
+    KMV sketch (the k smallest distinct 32-bit md5-prefix hashes of
+    user_id) per event type in the pair catalog, plus per-type
+    metadata (theta = the k-th smallest hash, 2^32 when |type| < k).
+    ONE corpus scan builds both tables; any later set-expression
+    question over any type combination — intersection, difference,
+    arbitrary boolean algebra — is answered from these <= k-row
+    sketches alone, which is THE reason theta sketches exist at
+    100 TB (r13 verdict item 4: A37 rebuilt its sketches from the
+    corpus on every query).  Build is the A37 two-phase salted top-k:
+    no reducer ever sees a type's full distinct-user set."""
+    from pyspark.sql.window import Window
+
+    from ..scratch import scratch_dir
+    from ..tables import with_min_scan_parallelism
+
+    tag = _theta_store_tag(sf_dir)
+    sk_t = f"ecs_theta_sk_{tag}"
+    meta_t = f"ecs_theta_meta_{tag}"
+    if spark.catalog.tableExists(sk_t) and spark.catalog.tableExists(meta_t):
+        return sk_t, meta_t
+
+    types = sorted({t for pair in _THETA_PAIRS for t in pair})
+    e = with_min_scan_parallelism(spark, load_table(spark, sf_dir, "events"))
+    # distinct on (type, hnum), not (type, user): md5-prefix collisions
+    # collapse to one sketch member on BOTH engines (oracle's DISTINCT
+    # runs on hnum too), keeping the protocols byte-identical.
+    hashed = (
+        e.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isin(types))
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hnum"),
+        )
+        .distinct()
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("hnum", F.lit(31)), F.lit(_THETA_SALTS)),
+        )
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hnum")
+    partial = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _THETA_P_K)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hnum")
+    kept = (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _THETA_P_K)
+        .drop("rn")
+    )
+    meta = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < _THETA_P_K, F.lit(_THETA_P_DOMAIN)
+        )
+        .otherwise(F.max("hnum"))
+        .cast("long")
+        .alias("theta_num"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {sk_t}")
+    (
+        kept.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_theta_sk", tag))
+        .saveAsTable(sk_t)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {meta_t}")
+    (
+        meta.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_theta_meta", tag))
+        .saveAsTable(meta_t)
+    )
+    return sk_t, meta_t
+
+
+@register(
+    "agg_theta_intersect_persisted",
+    oracle="WITH pairs(type_a, type_b) AS (VALUES "
+    + ", ".join(f"('{a}', '{b}')" for a, b in _THETA_PAIRS)
+    + "), "
+    "tys AS (SELECT type_a AS t FROM pairs "
+    "UNION SELECT type_b FROM pairs), "
+    "u AS (SELECT DISTINCT e.event_type, "
+    "CAST(concat('0x', substring(md5(CAST(e.user_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) AS hnum FROM events e JOIN tys ON e.event_type = tys.t "
+    "WHERE e.user_id IS NOT NULL), "
+    "rk AS (SELECT event_type, hnum, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY hnum) AS rn "
+    "FROM u), "
+    f"kept AS (SELECT event_type, hnum FROM rk WHERE rn <= {_THETA_P_K}), "
+    f"th AS (SELECT event_type, CAST(CASE WHEN count(*) < {_THETA_P_K} "
+    f"THEN {_THETA_P_DOMAIN} ELSE max(hnum) END AS BIGINT) AS theta_num "
+    "FROM kept GROUP BY 1), "
+    "m AS (SELECT p.type_a, p.type_b, "
+    "CAST(least(ta.theta_num, tb.theta_num) AS BIGINT) AS theta_num "
+    "FROM pairs p JOIN th ta ON ta.event_type = p.type_a "
+    "JOIN th tb ON tb.event_type = p.type_b), "
+    "sa AS (SELECT m.type_a, m.type_b, m.theta_num, "
+    "ka.hnum AS h_a, kb.hnum AS h_b FROM m "
+    "LEFT JOIN kept ka ON ka.event_type = m.type_a "
+    "AND ka.hnum < m.theta_num "
+    "LEFT JOIN kept kb ON kb.event_type = m.type_b "
+    "AND kb.hnum = ka.hnum) "
+    "SELECT type_a, type_b, theta_num, "
+    "CAST(coalesce(sum(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL "
+    "THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_both, "
+    "CAST(coalesce(sum(CASE WHEN h_a IS NOT NULL AND h_b IS NULL "
+    "THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_only_a, "
+    "CAST(coalesce(sum(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL "
+    f"THEN 1 ELSE 0 END), 0) * {_THETA_P_DOMAIN} // theta_num AS BIGINT) "
+    "AS est_both, "
+    "CAST(coalesce(sum(CASE WHEN h_a IS NOT NULL AND h_b IS NULL "
+    f"THEN 1 ELSE 0 END), 0) * {_THETA_P_DOMAIN} // theta_num AS BIGINT) "
+    "AS est_only_a "
+    "FROM sa GROUP BY 1, 2, 3 ORDER BY type_a, type_b",
+    doc="Persisted theta-sketch store + zero-corpus-scan probe (A37b, "
+    "r14 — the r13 verdict's item 4): A37 proved the KMV set algebra "
+    "but rebuilt its sketches from the events corpus on every query; "
+    "this key persists the per-type sketches ONCE "
+    "(theta_sketch_tables — the A5d/X62 sketch-persistence stance) "
+    "and the graded probe answers the pair intersection/difference "
+    "question from the stored <= k-row tables alone: theta = "
+    "min(theta_a, theta_b); every stored A-hash below theta is a "
+    "complete Bernoulli(theta) sample of A's universe, membership in "
+    "B's sketch splits it into A∩B vs A\\\\B exactly, and est = "
+    "s * 2^32 DIV theta_num in pure BIGINT arithmetic.  The hash is "
+    "the 32-bit md5 prefix (not A37's xxhash64) so DuckDB replays "
+    "the identical protocol from the raw events while the engine "
+    "plan contains ZERO events scans (plan contract "
+    "test_theta_persisted_probe_reads_store_only).  Scale: the probe "
+    "touches <= #types*k stored rows, broadcast end-to-end — at "
+    "100 TB any set-expression dashboard over the store costs "
+    "kilobytes regardless of corpus size.",
+)
+def q_agg_theta_intersect_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sk_t, meta_t = theta_sketch_tables(spark, sf_dir)
+    kept = spark.table(sk_t)
+    meta = spark.table(meta_t)
+    pairs = spark.createDataFrame(
+        list(_THETA_PAIRS), "type_a string, type_b string"
+    )
+    m = (
+        pairs.join(
+            F.broadcast(
+                meta.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("theta_num").alias("tn_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta_num").alias("tn_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.least("tn_a", "tn_b").cast("long").alias("theta_num"),
+        )
+    )
+    ka = kept.select(
+        F.col("event_type").alias("et_a"), F.col("hnum").alias("h_a")
+    )
+    kb = kept.select(
+        F.col("event_type").alias("et_b"), F.col("hnum").alias("h_b")
+    )
+    sa = m.join(
+        F.broadcast(ka),
+        (F.col("et_a") == F.col("type_a"))
+        & (F.col("h_a") < F.col("theta_num")),
+        "left",
+    ).join(
+        F.broadcast(kb),
+        (F.col("et_b") == F.col("type_b")) & (F.col("h_b") == F.col("h_a")),
+        "left",
+    )
+    s_both = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("h_a").isNotNull() & F.col("h_b").isNotNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+    ).cast("long")
+    s_only_a = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("h_a").isNotNull() & F.col("h_b").isNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        sa.groupBy("type_a", "type_b", "theta_num")
+        .agg(s_both.alias("s_both"), s_only_a.alias("s_only_a"))
+        .select(
+            "type_a",
+            "type_b",
+            "theta_num",
+            "s_both",
+            "s_only_a",
+            F.expr(
+                f"CAST(s_both * {_THETA_P_DOMAIN} DIV theta_num AS BIGINT)"
+            ).alias("est_both"),
+            F.expr(
+                f"CAST(s_only_a * {_THETA_P_DOMAIN} DIV theta_num AS BIGINT)"
+            ).alias("est_only_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A39: mergeable KMV-sample quantile sketch (r13)
 # ---------------------------------------------------------------------------
 

@@ -885,3 +885,20 @@ def test_cm_persisted_probe_reads_sketches_only(spark):
     plan = executed_plan(spark, "llm_cm_sketch_persisted", full=True)
     assert "documents.parquet" not in plan, "corpus re-scanned in probe"
     assert "ecs_cm_cells_" in plan and "ecs_cm_cands_" in plan
+
+
+def test_theta_persisted_probe_reads_store_only(spark):
+    """A37b (r14, verdict item 4): the pair set-algebra probe is served
+    ENTIRELY by the persisted theta-sketch store — zero scans of the
+    events corpus in the executed plan (the build pays its one corpus
+    scan outside it), and the <= k-row sketch/meta tables ride
+    broadcast joins (no shuffle of anything)."""
+    from event_stream_checkout_spark.operators.relational5 import (
+        theta_sketch_tables,
+    )
+
+    theta_sketch_tables(spark, SF_DIR)
+    plan = executed_plan(spark, "agg_theta_intersect_persisted", full=True)
+    assert "events.parquet" not in plan, "corpus re-scanned in probe"
+    assert "ecs_theta_sk_" in plan and "ecs_theta_meta_" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
