@@ -572,3 +572,153 @@ def q_stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("user_id", "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# T13: live per-day peak concurrency on ValueState (r14)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _register_stream_concurrency() -> None:
+    # E26's oracle is reused VERBATIM (deferred import builds the same
+    # string) — the streaming twin must be indistinguishable from the
+    # batch sweep line by results, the state_ledger_tws stance.
+    from .events_analytics import _CONCURRENCY_SESS_SQL
+
+    oracle = (
+        "WITH " + _CONCURRENCY_SESS_SQL + ", "
+        "b AS (SELECT st AS t, 1 AS delta, user_id, sess_id FROM s "
+        "UNION ALL SELECT en, -1, user_id, sess_id FROM s), "
+        "r AS (SELECT CAST(t AS DATE) AS day, delta, "
+        "sum(delta) OVER (ORDER BY t, delta DESC, user_id, sess_id) AS run "
+        "FROM b) "
+        "SELECT day, "
+        "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_started, "
+        "CAST(max(run) AS BIGINT) AS peak_concurrency "
+        "FROM r GROUP BY 1 ORDER BY 1"
+    )
+
+    @register(
+        "stream_concurrency_tws",
+        oracle=oracle,
+        doc="Live per-day peak concurrent sessions on "
+        "transformWithStateInPandas (T13/U5, r14 — the r13 verdict's "
+        "item 5: E26's sweep line was batch-only).  A TWO-STAGE "
+        "streaming pipeline, each stage a real availableNow stream: "
+        "stage 1 is the T10 timer-closed gap sessionizer (same 30-min "
+        "gap as E26's session_bounds) emitting closed session "
+        "intervals; stage 2 turns each interval into +1/−1 boundary "
+        "rows, stages them per day (each day's boundaries in exactly "
+        "one file — the ledger discipline), and a per-day ValueState "
+        "processor (streaming/stateful.py ConcurrencyCounter) "
+        "maintains (open-count, running peak, n_started, net) as the "
+        "boundaries sweep through — the live capacity dashboard "
+        "shape.  The cross-day midnight carry is a <=#days-row batch "
+        "fold over the emitted nets (E26's own chunk-and-carry "
+        "decomposition: a keyed processor cannot see other keys).  "
+        "Graded integer-exact against E26's oracle verbatim — the "
+        "streaming state path and the batch window algebra must "
+        "agree row-for-row.  Degrades to the batch sweep line only "
+        "where no protobuf runtime exists.  Scale: sessions are one "
+        "user_id-keyed stateful stream, boundaries two rows per "
+        "session keyed by day, state is O(1) per day; the only "
+        "non-parallel step is the #days-row carry.",
+    )
+    def q_stream_concurrency_tws(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import hashlib
+        import os
+        import shutil
+
+        from ..streaming.stateful import (
+            concurrency_stream_tws,
+            tws_available,
+        )
+        from .events_analytics import daily_peak_concurrency
+
+        if not tws_available():  # pragma: no cover - vendored runtime
+            import warnings
+
+            warnings.warn(
+                "stream_concurrency_tws: no usable google.protobuf — "
+                "degrading to the batch sweep line (identical results)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            e = load_table(spark, sf_dir, "events").select(
+                "user_id", "event_id", "ts"
+            )
+            return daily_peak_concurrency(e)
+
+        # Stage 1: the T10 timer sessionizer (its own staged
+        # availableNow stream) — closed intervals in tz-free micros.
+        s = q_stream_session_tws(spark, sf_dir)
+
+        tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+        root = scratch_dir("ecs_conc_tws", tag)
+        shutil.rmtree(root, ignore_errors=True)
+        bounds_dir = os.path.join(root, "bounds")
+        out_dir = os.path.join(root, "out")
+
+        b = (
+            s.select(
+                F.col("sess_start_us").alias("t_us"),
+                F.lit(1).cast("long").alias("delta"),
+                "user_id",
+                F.col("sess_start_us").alias("s_us"),
+            )
+            .unionAll(
+                s.select(
+                    F.col("sess_end_us").alias("t_us"),
+                    F.lit(-1).cast("long").alias("delta"),
+                    "user_id",
+                    F.col("sess_start_us").alias("s_us"),
+                )
+            )
+            .withColumn(
+                "day_num", F.expr(f"t_us DIV {_US_PER_DAY}").cast("long")
+            )
+            .select("day_num", "t_us", "delta", "user_id", "s_us")
+        )
+        # Each day's boundaries in exactly ONE file: one emission per
+        # key even if availableNow splits files across batches.
+        b.repartition(F.col("day_num")).write.mode("overwrite").parquet(
+            bounds_dir
+        )
+        q = (
+            concurrency_stream_tws(spark, bounds_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_day = spark.read.parquet(out_dir)
+        wc = Window.orderBy("day_num").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            per_day.withColumn(
+                "carry", F.coalesce(F.sum("net").over(wc), F.lit(0))
+            )
+            .select(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.col("day_num").cast("int"),
+                ).alias("day"),
+                F.col("n_started").cast("long").alias("n_started"),
+                (F.col("carry") + F.col("peak_local"))
+                .cast("long")
+                .alias("peak_concurrency"),
+            )
+            .orderBy("day")
+        )
+
+
+_register_stream_concurrency()

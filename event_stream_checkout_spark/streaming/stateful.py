@@ -472,6 +472,92 @@ def session_stream_tws(
 
 
 # ---------------------------------------------------------------------------
+# Per-day live concurrency counter (r14): the E26 sweep line as state
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("day_num", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("s_us", T.LongType()),
+    ]
+)
+
+CONCURRENCY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("day_num", T.LongType()),
+        T.StructField("n_started", T.LongType()),
+        T.StructField("peak_local", T.LongType()),
+        T.StructField("net", T.LongType()),
+    ]
+)
+
+
+class ConcurrencyCounter(StatefulProcessor):
+    """Per-day ValueState (run, peak, n_started, net): the E26 +1/−1
+    sweep line maintained LIVE — each session-boundary row moves the
+    day's open-session count, the running max is the day's local peak,
+    and the net change feeds the cross-day midnight carry the batch
+    finisher applies (a per-key processor cannot see other days; the
+    carry is a <=#days-row fold outside, exactly E26's chunk-and-carry
+    decomposition).  Within a batch, boundaries are re-sorted to the
+    declared sweep order (t asc, +1 before −1, then user/session for
+    scan determinism — permuting equal-(t,delta) ties cannot change
+    run, peak, or net).  Emits the key's full current counters per
+    batch; with the per-key staged availableNow drain (each day's rows
+    in exactly one file, the ledger discipline) that one emission is
+    the day's final row."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState(
+            "conc",
+            T.StructType(
+                [
+                    T.StructField("run", T.LongType()),
+                    T.StructField("peak", T.LongType()),
+                    T.StructField("n_started", T.LongType()),
+                    T.StructField("net", T.LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (day_num,) = key
+        if self._st.exists():
+            run, peak, n_started, net = (int(x) for x in self._st.get())
+            have_peak = True
+        else:
+            run, n_started, net = 0, 0, 0
+            peak = 0
+            have_peak = False
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(
+            ["t_us", "delta", "user_id", "s_us"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        cs = run + pdf["delta"].cumsum()
+        if len(cs):
+            bmax = int(cs.max())
+            peak = bmax if not have_peak else max(peak, bmax)
+            run = int(cs.iloc[-1])
+        n_started += int((pdf["delta"] == 1).sum())
+        net += int(pdf["delta"].sum())
+        self._st.update((run, peak, n_started, net))
+        yield pd.DataFrame(
+            [(int(day_num), n_started, peak, net)],
+            columns=["day_num", "n_started", "peak_local", "net"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
 # MapState per-key counters (r8): the live feature-store shape
 # ---------------------------------------------------------------------------
 
@@ -529,6 +615,32 @@ class TypeCounter(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def concurrency_stream_tws(
+    spark: SparkSession, boundaries_dir: str
+) -> DataFrame:
+    """Wire a staged (day_num, t_us, delta, user_id, s_us) boundary
+    stream through the per-day concurrency counter on RocksDB state."""
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "usable copy could be bootstrapped"
+        )
+    configure(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(CONCURRENCY_STREAM_SCHEMA).parquet(
+        boundaries_dir
+    )
+    return stream.groupBy("day_num").transformWithStateInPandas(
+        statefulProcessor=ConcurrencyCounter(),
+        outputStructType=CONCURRENCY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 def type_counts_stream_tws(spark: SparkSession, events_dir: str) -> DataFrame:

@@ -108,3 +108,75 @@ def test_theta_persisted_probe_is_pure_store_function(spark):
     a = [tuple(r) for r in q(spark, SF_DIR).collect()]
     b = [tuple(r) for r in q(spark, SF_DIR).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# T13: streaming per-day peak concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_stream_concurrency_row_identical_to_batch_sweep(spark):
+    """The availableNow TWS drain (timer sessionizer → per-day
+    ValueState sweep → midnight carry) produces rows IDENTICAL to the
+    batch E26 sweep line — the streaming state path and the batch
+    window algebra must be indistinguishable by results (the
+    state_ledger_tws stance)."""
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["stream_concurrency_tws"].fn(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["evt_peak_concurrency"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_concurrency_counter_semantics_synthetic():
+    """ConcurrencyCounter's in-batch fold on a hand-built day: overlap
+    plateau, back-to-back handoff (+1 sorts before −1 at equal t, so
+    the handoff counts as overlapping), and carry-in from prior state."""
+    import pandas as pd
+
+    from event_stream_checkout_spark.streaming.stateful import (
+        ConcurrencyCounter,
+    )
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class _FakeHandle:
+        def getValueState(self, name, schema):
+            return _FakeValueState()
+
+    proc = ConcurrencyCounter()
+    proc.init(_FakeHandle())
+    # sessions A=[10,40], B=[20,30], C=[40,50]: A/B overlap (peak 2),
+    # C starts exactly when A ends → handoff counts as overlap (peak
+    # stays 2 because +1 at t=40 lands before A's −1).
+    rows = pd.DataFrame(
+        {
+            "t_us": [10, 40, 20, 30, 40, 50],
+            "delta": [1, -1, 1, -1, 1, -1],
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "s_us": [10, 10, 20, 20, 40, 40],
+        }
+    )
+    (out,) = list(proc.handleInputRows((0,), iter([rows]), None))
+    assert out.iloc[0].tolist() == [0, 3, 2, 0]  # day, n_started, peak, net
+    # second batch on the same key: carry-in run/net compose
+    rows2 = pd.DataFrame(
+        {"t_us": [60], "delta": [1], "user_id": [4], "s_us": [60]}
+    )
+    (out2,) = list(proc.handleInputRows((0,), iter([rows2]), None))
+    assert out2.iloc[0].tolist() == [0, 4, 2, 1]
