@@ -4,8 +4,16 @@ scaling measurements (SCALE.md / r4-r5 verdict ask: a measured bench
 point above sf0.1, not just plan-shape arguments).
 
 Usage:
-    python scripts/make_scaled_sf.py [BASE_DIR] [FACTOR] [OUT_DIR]
-    # defaults: /root/testdata/sf0.1  10  /tmp/ecs_sf1
+    python scripts/make_scaled_sf.py [BASE_DIR] [FACTOR] [OUT_DIR] [SUFFIX]
+    # defaults: /root/testdata/sf0.1  10  /tmp/ecs_sf1  "~"
+
+SUFFIX is the word-perturbation prefix for document copies (copy i
+suffixes every word with f"{SUFFIX}{i}").  When scaling an ALREADY
+scaled dir (sf10 → sf100), pass a prefix disjoint from the one the
+base used (e.g. "~a"): re-suffixing with the same "~" would map copy
+1's transform of the base's copy 0 onto the base's copy 1 verbatim —
+cross-copy EXACT duplicates, turning dedup benches into a synthetic
+90%-duplicate corpus instead of scan/shuffle scaling.
 
 Method — replicate, don't resample: FACTOR re-keyed copies of every
 fact table, dims copied as-is.  Re-keying keeps the join/group shape
@@ -47,6 +55,7 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ecs_sf1"
+    suffix = sys.argv[4] if len(sys.argv) > 4 else "~"
 
     from pyspark.sql import functions as F
 
@@ -104,7 +113,7 @@ def main() -> None:
                 F.array_join(
                     F.transform(
                         F.split("text", " ", -1),
-                        lambda w: F.concat(w, F.lit(f"~{i}")),
+                        lambda w: F.concat(w, F.lit(f"{suffix}{i}")),
                     ),
                     " ",
                 ),

@@ -14,10 +14,28 @@
 # exact miss it was written to prevent (r13 code-review find).
 set -eu
 cd "$(dirname "$0")/.."
+# NULL-injection parity sweep first (r13 verdict item 8): a key that
+# lands AFTER a mid-round manual sweep could otherwise ship unswept
+# (it happened in r12).  The sweep log is itself a committed evidence
+# artifact; a divergence fails the script (set -e) so the round
+# cannot snapshot over a NULL-parity break.  Skip with
+# SNAPSHOT_SKIP_NULL_SWEEP=1 only for evidence-only re-runs where no
+# operator changed since the last logged sweep.
+if [ "${SNAPSHOT_SKIP_NULL_SWEEP:-0}" != "1" ]; then
+    # no pipe to tee: POSIX sh has no pipefail, and tee's exit 0 would
+    # mask a sweep failure under set -e — redirect, then surface.
+    if python tools/null_sweep.py > NULL_SWEEP.log 2>&1; then
+        tail -n 3 NULL_SWEEP.log
+    else
+        cat NULL_SWEEP.log
+        echo "null sweep FAILED — fix before snapshotting" >&2
+        exit 1
+    fi
+fi
 # PROGRESS.jsonl is deliberately absent: it is driver-owned and
 # .gitignore'd — adding it errors, and under set -e aborts the run.
 for f in BENCH_*.json CORRECTNESS_*.json LEAKCHECK.json COPYCHECK.json \
-         EXPLAIN.md SCALE.md; do
+         EXPLAIN.md SCALE.md NULL_SWEEP.log; do
     # if/fi, not `[ -e ] &&` — under set -e a trailing false test on
     # the last loop iteration would abort the script.
     if [ -e "$f" ]; then git add -- "$f"; fi
