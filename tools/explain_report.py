@@ -201,6 +201,7 @@ QUERIES = [
     "graph_link_prediction",        # r13c: capped wedge join + anti-join
     "llm_template_prefix_groups",   # r13c: scan-local prefix slice
     "win_gap_fill_locf",            # r13c: per-user IGNORE NULLS fill
+    "agg_theta_intersect_persisted",  # r14: zero-corpus-scan theta probe
 ]
 
 
