@@ -48,15 +48,18 @@ _CONTAIN_MIN = 0.6
     "string_split(d.text, ' ')[i + 2])) AS gram "
     "FROM documents d "
     "WHERE len(string_split(d.text, ' ')) >= 3), "
-    "dg AS (SELECT DISTINCT doc_id, lang, gram FROM grams), "
-    "rare AS (SELECT gram, lang FROM dg GROUP BY 1, 2 "
+    "hg AS (SELECT doc_id, lang, "
+    "CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS g "
+    "FROM grams), "
+    "dg AS (SELECT DISTINCT doc_id, lang, g FROM hg), "
+    "rare AS (SELECT g, lang FROM dg GROUP BY 1, 2 "
     f"HAVING count(*) <= {_CONTAIN_DF_CAP}), "
-    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (gram, lang)), "
+    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (g, lang)), "
     "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
     "FROM dgc GROUP BY 1), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "CAST(count(*) AS BIGINT) AS n_common "
-    "FROM dgc a JOIN dgc b ON a.gram = b.gram AND a.lang = b.lang "
+    "FROM dgc a JOIN dgc b ON a.g = b.g AND a.lang = b.lang "
     "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
     "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
     "round(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 6) "
@@ -81,26 +84,40 @@ _CONTAIN_MIN = 0.6
     "boilerplate gram), so the asymmetric variant inherits the "
     "measured skew-safety of the symmetric one; sizes are counted "
     "over the SAME capped gram space the intersection uses "
-    "(containment measured in a consistent universe).  One gram-"
-    "keyed shuffle, integer ratio, round 1e-6.",
+    "(containment measured in a consistent universe).  Every shuffle "
+    "carries a 60-bit md5-prefix FINGERPRINT of the shingle, never "
+    "the string (Broder's original shingle-fingerprint design): the "
+    "r14 third-decade bench measured the string version at a 1.344 "
+    "sf10→sf100 exponent — the distinct/self-join shuffles of ~30-"
+    "byte gram strings outgrew executor memory and spilled — and "
+    "hashing scan-local cut shuffle bytes ~4×; a fingerprint "
+    "collision (P ≈ n²/2^61, identical on both engines since the "
+    "oracle replays the same md5 protocol) merely merges two "
+    "shingles corpus-wide.  One fingerprint-keyed shuffle, integer "
+    "ratio, round 1e-6.",
 )
 def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_advanced import grams_df
 
-    dg = grams_df(spark, sf_dir).select("doc_id", "lang", "gram").distinct()
+    g = (
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g")
+    )
+    dg = grams_df(spark, sf_dir).select("doc_id", "lang", g).distinct()
     rare = (
-        dg.groupBy("gram", "lang")
+        dg.groupBy("g", "lang")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("gram", "lang")
+        .select("g", "lang")
     )
-    dgc = dg.join(rare, ["gram", "lang"])
+    dgc = dg.join(rare, ["g", "lang"])
     sizes = dgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = dgc.alias("a"), dgc.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.g") == F.col("b.g"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

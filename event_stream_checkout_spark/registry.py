@@ -116,13 +116,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r14 — empty by design: this round's code changes are the
-    # ADVICE r13 fix (checkout.py merge_ok flag — a Derby-only error
-    # path no graded key's output touches) and new keys (which enter
-    # via rule 2).  The window is deliberately left to the
-    # stale-first rotation: the r13 verdict's item 1 asks for the
-    # grade tail drained to nothing pre-r9 — 6 r7 + 40 r8 = 46 stale
-    # keys fit the 50-key window alongside ≤4 new r14 keys.
+    # r14 — one entry: the new third-decade bench (sf10→sf100,
+    # BENCH_THIRD_DECADE.json) measured the string-shuffling X54 at a
+    # 1.344 exponent (gram-string shuffles spilling past executor
+    # memory), so engine AND oracle moved together to 60-bit
+    # md5-prefix shingle fingerprints (Broder's design).  Outputs are
+    # byte-identical on every graded corpus (no fingerprint collision
+    # exists at these sizes, verified), but the oracle string changed,
+    # so it queues for re-grade — the llm_embedding_near_dup (r13)
+    # precedent.
+    "llm_containment_pairs",
+    # Everything else this round is either a NEW key (enters via rule
+    # 2) or the ADVICE r13 fix (checkout.py merge_ok flag — a
+    # Derby-only error path no graded key's output touches).  The
+    # remaining ~47 slots drain the r7/r8 grade tail (the r13
+    # verdict's item 1: 6 r7 + 40 r8 keys all fit).
 )
 
 
