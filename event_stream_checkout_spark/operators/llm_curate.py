@@ -487,8 +487,9 @@ _SPAN_W = 8  # word-8-gram spans: long enough to mean verbatim reuse
     oracle="WITH spans AS (SELECT d.doc_id, "
     f"unnest(list_transform(generate_series(1, "
     f"len(string_split(d.text, ' ')) - {_SPAN_W - 1}), "
-    "i -> substring(md5(array_to_string(string_split(d.text, ' ')"
-    f"[i:i + {_SPAN_W - 1}], ' ')), 1, 16))) AS g "
+    "i -> CAST(concat('0x', substring(md5(array_to_string("
+    f"string_split(d.text, ' ')[i:i + {_SPAN_W - 1}], ' ')), 1, 15)) "
+    "AS BIGINT))) AS g "
     f"FROM documents d WHERE len(string_split(d.text, ' ')) >= {_SPAN_W}), "
     "tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf "
     "FROM spans GROUP BY 1, 2), "
@@ -518,9 +519,14 @@ _SPAN_W = 8  # word-8-gram spans: long enough to mean verbatim reuse
     "keyed collapse), and the df table joins back on the gram hash — "
     "per-row flag, bounded output, so no df cap is needed (contrast "
     "llm_ngram_jaccard, whose gram join PAIRS docs and must cap). "
-    "Docs shorter than 8 words have no spans and drop out in both "
-    "engines; only docs with n_dup > 0 are emitted (the actionable "
-    "set).",
+    "The span hash is a 60-bit md5-prefix BIGINT, not a hex string "
+    "(r14: the third-decade bench measured the 16-char-string "
+    "version at 0.835 sf10→sf100 — long keys halve the shuffle row "
+    "and sort integer-fast; the oracle replays the identical "
+    "fingerprint, so a collision merges the same spans on both "
+    "engines). Docs shorter than 8 words have no spans and drop out "
+    "in both engines; only docs with n_dup > 0 are emitted (the "
+    "actionable set).",
 )
 def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -528,11 +534,15 @@ def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
     gram = F.transform(
         F.sequence(F.lit(1), F.size("_w") - (_SPAN_W - 1)),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")),
-            1,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")),
+                1,
+                15,
+            ),
             16,
-        ),
+            10,
+        ).cast("long"),
     )
     spans = d.select("doc_id", F.explode(gram).alias("g"))
     tf = spans.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))

@@ -126,11 +126,17 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # so it queues for re-grade — the llm_embedding_near_dup (r13)
     # precedent.
     "llm_containment_pairs",
+    # Same bench, same disease, same cure: X33's span hash was a
+    # 16-char hex STRING (0.835 third-decade exponent); now a 60-bit
+    # md5-prefix BIGINT on both engines.  Outputs byte-identical
+    # (collision-free verified at sf0.1), oracle string changed.
+    "llm_dup_span_coverage",
     # Everything else this round is either a NEW key (enters via rule
     # 2) or the ADVICE r13 fix (checkout.py merge_ok flag — a
     # Derby-only error path no graded key's output touches).  The
-    # remaining ~47 slots drain the r7/r8 grade tail (the r13
-    # verdict's item 1: 6 r7 + 40 r8 keys all fit).
+    # remaining slots drain the r7/r8 grade tail (the r13 verdict's
+    # item 1: 6 r7 + 40 r8 keys; 2 new + 2 re-grades + 46 stale fill
+    # the 50-key window exactly).
 )
 
 
