@@ -1509,12 +1509,14 @@ _SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
     f"m AS (SELECT c.doc_a, c.doc_b, CAST({_SQL_MATCHES} AS BIGINT) "
     "AS n_match FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
     "JOIN sigs sb ON sb.doc_id = c.doc_b), "
-    "dg AS (SELECT DISTINCT doc_id, gram FROM grams), "
+    "dg AS (SELECT DISTINCT doc_id, "
+    "CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS g "
+    "FROM grams), "
     "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg "
     "GROUP BY 1), "
     "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) "
     "AS n_common FROM cand c JOIN dg a ON a.doc_id = c.doc_a "
-    "JOIN dg b ON b.doc_id = c.doc_b AND b.gram = a.gram GROUP BY 1, 2), "
+    "JOIN dg b ON b.doc_id = c.doc_b AND b.g = a.g GROUP BY 1, 2), "
     "j AS (SELECT m.n_match, "
     "CAST(coalesce(i.n_common, 0) AS DOUBLE) / "
     "(sa.n + sb.n - coalesce(i.n_common, 0)) AS jac "
@@ -1544,8 +1546,12 @@ _SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
     "of silently dropping.  Engine shape: signatures are scan-local "
     "array folds (no explode); the pair space is the banding "
     "candidates (bucket-capped, never all-pairs); the exact leg "
-    "reuses X21's bounded candidate⋈gram join; means ride the "
-    "fixed-point quantize policy; output is ≤9 rows.",
+    "reuses X21's bounded candidate⋈gram join — on 60-bit md5-prefix "
+    "gram FINGERPRINTS, not strings (r14: the third-decade bench "
+    "measured the string leg at 0.834 sf10→sf100; the oracle replays "
+    "the identical fingerprint, collisions merge the same grams on "
+    "both engines); means ride the fixed-point quantize policy; "
+    "output is ≤9 rows.",
 )
 def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
@@ -1567,13 +1573,18 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
     )
-    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    g = (
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g")
+    )
+    dg = grams_df(spark, sf_dir).select("doc_id", g).distinct()
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = dg.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = dg.select(F.col("doc_id").alias("doc_b"), "gram")
+    ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
     inter = (
         cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
+        .join(gb, ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

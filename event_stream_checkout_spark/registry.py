@@ -131,12 +131,17 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # md5-prefix BIGINT on both engines.  Outputs byte-identical
     # (collision-free verified at sf0.1), oracle string changed.
     "llm_dup_span_coverage",
+    # X58's exact-Jaccard leg shuffled gram strings (0.834); the
+    # candidate⋈gram join now runs on the same 60-bit fingerprints.
+    "llm_minhash_calibration",
     # Everything else this round is either a NEW key (enters via rule
     # 2) or the ADVICE r13 fix (checkout.py merge_ok flag — a
     # Derby-only error path no graded key's output touches).  The
     # remaining slots drain the r7/r8 grade tail (the r13 verdict's
-    # item 1: 6 r7 + 40 r8 keys; 2 new + 2 re-grades + 46 stale fill
-    # the 50-key window exactly).
+    # item 1: 6 r7 + 40 r8 keys).  2 new + 3 re-grades + 46 stale =
+    # 51 candidates for 50 slots: the LAST stale r8 key waits one
+    # round (re-grading a rewrite outranks refreshing an unchanged
+    # green — the ROUND_MODIFIED contract above).
 )
 
 
