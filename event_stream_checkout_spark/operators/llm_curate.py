@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, quant, sql_dsum, sql_quant
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, with_min_scan_parallelism
 from .llm_advanced import (
     _N_HASHES,
     _SQL_BANDS,
@@ -529,7 +529,11 @@ _SPAN_W = 8  # word-8-gram spans: long enough to mean verbatim reuse
     "actionable set).",
 )
 def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
     words = F.split("text", " ", -1)
     d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
     gram = F.transform(
@@ -545,17 +549,27 @@ def q_llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     spans = d.select("doc_id", F.explode(gram).alias("g"))
-    tf = spans.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
-    doc = (
-        tf.join(df, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_spans"),
-            F.sum(
-                F.when(F.col("n_docs") >= 2, F.col("tf")).otherwise(F.lit(0))
-            ).alias("n_dup"),
-        )
+    # "Span appears in >= 2 docs" ⟺ its position rows span more than
+    # one doc_id ⟺ min(doc) != max(doc) over the g-partition — ONE
+    # fingerprint-keyed window pass flags every POSITION row in place
+    # (tf weighting falls out for free: a doc repeating a shared span
+    # 5× has 5 flagged rows).  The r14 third-decade bench measured
+    # the previous tf→df→join→rollup shape at 0.835 sf10→sf100: it
+    # moved the position frame through FOUR shuffles; this moves it
+    # through the g-window shuffle plus the per-doc rollup only —
+    # same integers, half the passes.
+    wg = Window.partitionBy("g")
+    flagged = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(wg) != F.max("doc_id").over(wg)).alias(
+            "multi"
+        ),
+    )
+    doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("multi"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_dup"
+        ),
     )
     return doc.filter(F.col("n_dup") > 0).select(
         "doc_id",
@@ -1573,12 +1587,39 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
     )
-    g = (
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("g")
+    # (doc_id, g) distinct BY CONSTRUCTION: within-doc dedup runs
+    # scan-locally on the fingerprint array (array_distinct before
+    # the explode) — no shuffle spent on a corpus-wide DISTINCT, and
+    # dedup on fps (not strings) mirrors the oracle's DISTINCT(doc, g)
+    # exactly even under a fingerprint collision.
+    dd = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
     )
-    dg = grams_df(spark, sf_dir).select("doc_id", g).distinct()
+    dd = dd.withColumn("_w", F.split("text", " ", -1)).filter(
+        F.size("_w") >= 3
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 2),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_w"), i),
+                            F.element_at(F.col("_w"), i + 1),
+                            F.element_at(F.col("_w"), i + 2),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    dg = dd.select("doc_id", F.explode(fps).alias("g"))
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
     gb = dg.select(F.col("doc_id").alias("doc_b"), "g")

@@ -47,19 +47,22 @@ _CONTAIN_MIN = 0.6
     "string_split(d.text, ' ')[i + 1] || ' ' || "
     "string_split(d.text, ' ')[i + 2])) AS gram "
     "FROM documents d "
-    "WHERE len(string_split(d.text, ' ')) >= 3), "
-    "hg AS (SELECT doc_id, lang, "
-    "CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS g "
-    "FROM grams), "
-    "dg AS (SELECT DISTINCT doc_id, lang, g FROM hg), "
-    "rare AS (SELECT g, lang FROM dg GROUP BY 1, 2 "
+    "WHERE len(string_split(d.text, ' ')) >= 3 "
+    # NULL-lang rows can never survive the (g, lang) equi-joins on
+    # either engine (NULL equality), so both protocols drop them at
+    # the scan — declared, not incidental.
+    "AND d.lang IS NOT NULL), "
+    "dg AS (SELECT DISTINCT doc_id, "
+    "CAST(concat('0x', substring(md5(lang || ':' || gram), 1, 15)) "
+    "AS BIGINT) AS g FROM grams), "
+    "rare AS (SELECT g FROM dg GROUP BY 1 "
     f"HAVING count(*) <= {_CONTAIN_DF_CAP}), "
-    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (g, lang)), "
+    "dgc AS (SELECT dg.* FROM dg JOIN rare USING (g)), "
     "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
     "FROM dgc GROUP BY 1), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "CAST(count(*) AS BIGINT) AS n_common "
-    "FROM dgc a JOIN dgc b ON a.g = b.g AND a.lang = b.lang "
+    "FROM dgc a JOIN dgc b ON a.g = b.g "
     "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
     "SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b, "
     "round(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 6) "
@@ -84,41 +87,77 @@ _CONTAIN_MIN = 0.6
     "boilerplate gram), so the asymmetric variant inherits the "
     "measured skew-safety of the symmetric one; sizes are counted "
     "over the SAME capped gram space the intersection uses "
-    "(containment measured in a consistent universe).  Every shuffle "
-    "carries a 60-bit md5-prefix FINGERPRINT of the shingle, never "
-    "the string (Broder's original shingle-fingerprint design): the "
-    "r14 third-decade bench measured the string version at a 1.344 "
-    "sf10→sf100 exponent — the distinct/self-join shuffles of ~30-"
-    "byte gram strings outgrew executor memory and spilled — and "
-    "hashing scan-local cut shuffle bytes ~4×; a fingerprint "
-    "collision (P ≈ n²/2^61, identical on both engines since the "
-    "oracle replays the same md5 protocol) merely merges two "
-    "shingles corpus-wide.  One fingerprint-keyed shuffle, integer "
+    "(containment measured in a consistent universe).  The r14 "
+    "third-decade bench (sf10→sf100) drove three plan rewrites, "
+    "measured in BENCH_THIRD_DECADE.json: (1) every shuffle carries "
+    "a 60-bit md5 FINGERPRINT of (lang ':' shingle), never strings "
+    "(Broder's shingle-fingerprint design; a collision, P ≈ n²/2^61, "
+    "merges the same shingles on both engines since the oracle "
+    "replays the protocol); (2) within-doc shingle dedup runs SCAN-"
+    "LOCALLY (array_distinct before the explode) — the shuffling "
+    "`.distinct()` it replaces moved 260M rows at sf100 to remove "
+    "the 0.1% of grams repeated within a doc, ~200 s of the original "
+    "424 s wall; (3) NULL-lang rows drop at the scan (they can never "
+    "survive the lang equi-block on either engine).  What remains is "
+    "the irreducible df-count shuffle of slim (doc_id, g) rows, the "
+    "cap join colocated on it, and the capped self-join.  Integer "
     "ratio, round 1e-6.",
 )
 def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_advanced import grams_df
+    from ..tables import with_min_scan_parallelism
 
-    g = (
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("g")
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
     )
-    dg = grams_df(spark, sf_dir).select("doc_id", "lang", g).distinct()
+    words = F.split("text", " ", -1)
+    d = (
+        d.filter(F.col("lang").isNotNull())
+        .withColumn("_words", words)
+        .filter(F.size("_words") >= 3)
+    )
+    # Dedup runs on the FINGERPRINT array, not the string array: the
+    # oracle's DISTINCT(doc_id, g) collapses a within-doc fp collision
+    # to one row, so the engine must too (distinct strings would keep
+    # both).  array_distinct over longs is also cheaper.
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - 2),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("lang"),
+                            F.lit(":"),
+                            F.element_at(F.col("_words"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("_words"), i + 1),
+                            F.lit(" "),
+                            F.element_at(F.col("_words"), i + 2),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    # (doc_id, g) distinct BY CONSTRUCTION — no shuffle spent on it.
+    dg = d.select("doc_id", F.explode(fps).alias("g"))
     rare = (
-        dg.groupBy("g", "lang")
+        dg.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("g", "lang")
+        .select("g")
     )
-    dgc = dg.join(rare, ["g", "lang"])
+    dgc = dg.join(rare, ["g"])
     sizes = dgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = dgc.alias("a"), dgc.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -34,6 +34,17 @@ _RUNTIME_CONFS: dict[str, str] = {
     # local[32] guidance: match shuffle width to cores; on a real
     # cluster AQE coalesces this down/up as needed.
     "spark.sql.shuffle.partitions": "32",
+    # AQE coalescing only ever MERGES post-shuffle partitions — it
+    # never splits an oversized one — so the pre-coalesce width must
+    # be provisioned for the largest corpus the session will see.  At
+    # 32 the r14 third-decade bench (sf100) sorted ~8M-row partitions
+    # per reducer and spilled (llm_containment_pairs 424 s → 287 s
+    # just from this conf).  256 initial / AQE-coalesced costs the
+    # sub-second sf0.1 keys nothing (measured in bench.py r14: the
+    # coalescer folds them back to a handful of partitions) and is
+    # the shape that survives a 1000-executor cluster, where the same
+    # number would be thousands.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     # NOTE: no global spark.sql.files.minPartitionNum.  Round 4 A/B
     # (scripts/bisect_minpart.py, n=7 paired, sf0.1) showed the global
     # 32-way scan minimum taxed every sub-second query 10-17%

@@ -887,6 +887,39 @@ def test_cm_persisted_probe_reads_sketches_only(spark):
     assert "ecs_cm_cells_" in plan and "ecs_cm_cands_" in plan
 
 
+def test_dup_span_single_window_pass_no_joins(spark):
+    """X33 (r14 third-decade fix): the duplicate-span flag is ONE
+    fingerprint-keyed window (min(doc) != max(doc) over g) — the
+    position frame crosses exactly two exchanges (g-window, per-doc
+    rollup) and NO join exists anywhere in the plan (the old
+    tf→df→join→rollup shape moved it through four shuffles and
+    measured 0.835 sf10→sf100)."""
+    plan = executed_plan(spark, "llm_dup_span_coverage", full=True)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, f"join reintroduced: {j}"
+    final = plan.split("== Initial Plan ==")[0]
+    import re as _re
+
+    n_ex = len(_re.findall(r"Exchange (?:hash|range)partitioning", final))
+    assert n_ex <= 2, f"position frame crosses {n_ex} exchanges"
+    assert "Window" in plan, "window flag pass missing"
+
+
+def test_containment_dedup_is_scan_local(spark):
+    """X54 (r14 third-decade fix): within-doc shingle dedup runs in
+    the scan projection (array_distinct over the fingerprint array) —
+    no shuffling DISTINCT aggregate exists, and shuffles carry 60-bit
+    longs (the old corpus-wide .distinct() moved 260M rows at sf100
+    to remove 0.1% duplicates)."""
+    plan = executed_plan(spark, "llm_containment_pairs", full=True)
+    assert "array_distinct" in plan, "scan-local dedup gone"
+    import re as _re
+
+    assert not _re.search(
+        r"HashAggregate\(keys=\[doc_id[^\]]*\bg[#\d]", plan
+    ), "corpus-wide distinct aggregate reintroduced"
+
+
 def test_theta_persisted_probe_reads_store_only(spark):
     """A37b (r14, verdict item 4): the pair set-algebra probe is served
     ENTIRELY by the persisted theta-sketch store — zero scans of the
