@@ -1620,7 +1620,12 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dg = dd.select("doc_id", F.explode(fps).alias("g"))
-    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Per-doc distinct-gram count is the fp array's own length — a
+    # scan-local projection, not a corpus-wide doc_id shuffle (r14:
+    # that shuffle was most of the exact leg's sf100 cost).
+    sizes = dd.select(
+        "doc_id", F.size(fps).cast("long").alias("n")
+    )
     ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
     gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
     inter = (

@@ -144,16 +144,30 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # (doc_id, g) distinct BY CONSTRUCTION — no shuffle spent on it.
-    dg = d.select("doc_id", F.explode(fps).alias("g"))
-    rare = (
-        dg.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("g")
+    # ONE explicit g-repartition is the only corpus-scale exchange in
+    # the whole query: the df aggregate runs single-phase on it (the
+    # hash partitioning already satisfies its distribution), the
+    # rare/heavy probes and the pair self-join are colocated on the
+    # same partitioning, and Catalyst reuses the one exchange for
+    # every consumer — so the explode+md5 scan runs once, the
+    # occurrence frame crosses the wire once, and nothing ever sorts
+    # it (the r14 third-decade ladder: 424 s spilling-SMJ → 287 s
+    # wider shuffle → 208 s hash joins → this).  Sizes stay
+    # scan-local: size(fps) minus the doc's df>cap occurrences — a
+    # correction frame sized by the HEAVY mass, tiny on a deduped
+    # corpus and the honest cost on a boilerplate one.
+    dg = d.select("doc_id", F.explode(fps).alias("g")).repartition(
+        F.col("g")
     )
-    dgc = dg.join(rare, ["g"])
-    sizes = dgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = dgc.alias("a"), dgc.alias("b")
+    cells = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pairg = cells.filter(
+        (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_DF_CAP)
+    ).select("g")
+    heavyg = cells.filter(F.col("df") > _CONTAIN_DF_CAP).select("g")
+    pair_src = dg.join(pairg.hint("shuffle_hash"), "g").select(
+        "doc_id", "g"
+    )
+    a, b = pair_src.alias("a"), pair_src.alias("b")
     inter = (
         a.join(
             b,
@@ -164,6 +178,21 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    heavy_corr = (
+        dg.join(heavyg.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
+    )
+    sizes = (
+        d.select("doc_id", F.size(fps).cast("long").alias("n_total"))
+        .join(heavy_corr, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_total") - F.coalesce(F.col("n_heavy"), F.lit(0))
+            ).alias("n"),
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
