@@ -1569,7 +1569,12 @@ _SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
 )
 def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
-    cand = _pairs_from_sigs(sigs)
+    # Pin the candidate frame (bucket-capped, ~725k rows at sf100 —
+    # bounded by the banding caps, the r13 pin policy): it feeds the
+    # signature-agreement leg AND the exact leg, and Catalyst does not
+    # dedupe logical subtrees — unpinned, the 73 s banding pipeline
+    # ran once per consumer (r14 third-decade profiling).
+    cand = _pairs_from_sigs(sigs).localCheckpoint()
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
@@ -1591,10 +1596,22 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-locally on the fingerprint array (array_distinct before
     # the explode) — no shuffle spent on a corpus-wide DISTINCT, and
     # dedup on fps (not strings) mirrors the oracle's DISTINCT(doc, g)
-    # exactly even under a fingerprint collision.
+    # exactly even under a fingerprint collision.  The exact leg only
+    # ever consumes grams of docs that appear in a candidate pair, so
+    # the corpus is gated BEFORE the explode by a broadcast semi-join
+    # on the candidate doc set (bounded by 2·|cand|, the same
+    # banding-cap bound the cand pin rests on) — at sf100 that cut
+    # the 260M-md5 fps computation to the candidate 29% and shrank
+    # every downstream join with it.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     dd = with_min_scan_parallelism(
         spark, load_table(spark, sf_dir, "documents")
     )
+    dd = dd.join(F.broadcast(cand_docs), "doc_id", "semi")
     dd = dd.withColumn("_w", F.split("text", " ", -1)).filter(
         F.size("_w") >= 3
     )
@@ -1622,10 +1639,12 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = dd.select("doc_id", F.explode(fps).alias("g"))
     # Per-doc distinct-gram count is the fp array's own length — a
     # scan-local projection, not a corpus-wide doc_id shuffle (r14:
-    # that shuffle was most of the exact leg's sf100 cost).
+    # that shuffle was most of the exact leg's sf100 cost).  Pinned
+    # (doc-dimension rows) so the nza/nzb consumers don't each rerun
+    # the 260M-md5 fps computation.
     sizes = dd.select(
         "doc_id", F.size(fps).cast("long").alias("n")
-    )
+    ).localCheckpoint()
     ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
     gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
     inter = (
