@@ -39,6 +39,7 @@ from .llm_advanced import (
     _SQL_SIGS,
     _STOPWORDS,
     SQL_GRAMS,
+    _expand_pairs,
     _minhash_sigs,
     _pairs_from_sigs,
     grams_df,
@@ -1516,102 +1517,12 @@ _SQL_MATCHES = " + ".join(
 _SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
 
 
-@register(
-    "llm_minhash_calibration",
-    oracle=f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
-    f"{_SQL_CAPPED}, {_SQL_CAND}, "
-    f"m AS (SELECT c.doc_a, c.doc_b, CAST({_SQL_MATCHES} AS BIGINT) "
-    "AS n_match FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
-    "JOIN sigs sb ON sb.doc_id = c.doc_b), "
-    "dg AS (SELECT DISTINCT doc_id, "
-    "CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS g "
-    "FROM grams), "
-    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg "
-    "GROUP BY 1), "
-    "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) "
-    "AS n_common FROM cand c JOIN dg a ON a.doc_id = c.doc_a "
-    "JOIN dg b ON b.doc_id = c.doc_b AND b.g = a.g GROUP BY 1, 2), "
-    "j AS (SELECT m.n_match, "
-    "CAST(coalesce(i.n_common, 0) AS DOUBLE) / "
-    "(sa.n + sb.n - coalesce(i.n_common, 0)) AS jac "
-    "FROM m LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b "
-    "JOIN sizes sa ON m.doc_a = sa.doc_id "
-    "JOIN sizes sb ON m.doc_b = sb.doc_id) "
-    "SELECT j.n_match, "
-    "round(CAST(j.n_match AS DOUBLE) / 8.0, 6) AS est_jaccard, "
-    "CAST(count(*) AS BIGINT) AS n_pairs, "
-    f"round(CAST(sum({sql_quant('j.jac')}) AS DOUBLE) / 10000.0 "
-    "/ count(*), 6) AS mean_exact, "
-    f"round(CAST(sum({sql_quant(f'abs({_SQL_EST} - j.jac)')}) AS DOUBLE) "
-    "/ 10000.0 / count(*), 6) AS mean_abs_err "
-    "FROM j GROUP BY 1 ORDER BY 1",
-    doc="Minhash-estimator calibration (X58): for every LSH candidate "
-    "pair, the 8-component signature agreement n_match/8 IS the "
-    "minwise estimate of Jaccard (Broder); this key groups candidates "
-    "by n_match and puts the estimator next to the EXACT gram-set "
-    "Jaccard — n_pairs, mean exact similarity, and mean absolute "
-    "estimator error per agreement level.  This is the measurement "
-    "that justifies every banding threshold the dedup family uses "
-    "(X2/X6/X21 act on the sketch; this key reports what the sketch "
-    "is worth on THIS corpus — the DataSketches practice of shipping "
-    "the estimator with its measured error).  Banding false "
-    "positives surface as high-n_match/low-exact rows: the exact leg "
-    "is a LEFT join, so zero-overlap candidates keep jac = 0 instead "
-    "of silently dropping.  Engine shape: signatures are scan-local "
-    "array folds (no explode); the pair space is the banding "
-    "candidates (bucket-capped, never all-pairs); the exact leg "
-    "reuses X21's bounded candidate⋈gram join — on 60-bit md5-prefix "
-    "gram FINGERPRINTS, not strings (r14: the third-decade bench "
-    "measured the string leg at 0.834 sf10→sf100; the oracle replays "
-    "the identical fingerprint, collisions merge the same grams on "
-    "both engines); means ride the fixed-point quantize policy; "
-    "output is ≤9 rows.",
-)
-def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs(spark, sf_dir)
-    # Pin the candidate frame (bucket-capped, ~725k rows at sf100 —
-    # bounded by the banding caps, the r13 pin policy): it feeds the
-    # signature-agreement leg AND the exact leg, and Catalyst does not
-    # dedupe logical subtrees — unpinned, the 73 s banding pipeline
-    # ran once per consumer (r14 third-decade profiling).
-    cand = _pairs_from_sigs(sigs).localCheckpoint()
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
-    )
-    n_match = None
-    for s in range(_N_HASHES):
-        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        n_match = t if n_match is None else n_match + t
-    m = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
-    )
-    # (doc_id, g) distinct BY CONSTRUCTION: within-doc dedup runs
-    # scan-locally on the fingerprint array (array_distinct before
-    # the explode) — no shuffle spent on a corpus-wide DISTINCT, and
-    # dedup on fps (not strings) mirrors the oracle's DISTINCT(doc, g)
-    # exactly even under a fingerprint collision.  The exact leg only
-    # ever consumes grams of docs that appear in a candidate pair, so
-    # the corpus is gated BEFORE the explode by a broadcast semi-join
-    # on the candidate doc set (bounded by 2·|cand|, the same
-    # banding-cap bound the cand pin rests on) — at sf100 that cut
-    # the 260M-md5 fps computation to the candidate 29% and shrank
-    # every downstream join with it.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    dd = with_min_scan_parallelism(
-        spark, load_table(spark, sf_dir, "documents")
-    )
-    dd = dd.join(F.broadcast(cand_docs), "doc_id", "semi")
+def _fp_grams_frame(dd: DataFrame) -> DataFrame:
+    """documents frame → (doc_id, fps): the within-doc-DISTINCT 60-bit
+    md5-prefix shingle fingerprint ARRAY, computed scan-locally (no
+    explode, no shuffle — the r14 third-decade rewrite; dedup on fps,
+    not strings, mirrors the oracle's DISTINCT(doc, g) exactly even
+    under a fingerprint collision)."""
     dd = dd.withColumn("_w", F.split("text", " ", -1)).filter(
         F.size("_w") >= 3
     )
@@ -1636,23 +1547,38 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    dg = dd.select("doc_id", F.explode(fps).alias("g"))
-    # Per-doc distinct-gram count is the fp array's own length — a
-    # scan-local projection, not a corpus-wide doc_id shuffle (r14:
-    # that shuffle was most of the exact leg's sf100 cost).  Pinned
-    # (doc-dimension rows) so the nza/nzb consumers don't each rerun
-    # the 260M-md5 fps computation.
-    sizes = dd.select(
-        "doc_id", F.size(fps).cast("long").alias("n")
-    ).localCheckpoint()
-    ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
-    gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return dd.select("doc_id", fps.alias("fps"))
+
+
+def _sig_match_frame(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+    """candidate pairs ⋈ signatures (both sides) → (doc_a, doc_b,
+    n_match): the 8-component signature agreement count."""
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
     )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    )
+    n_match = None
+    for s in range(_N_HASHES):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
+    )
+
+
+def _calibration_report(
+    m: DataFrame, inter: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Assemble the per-agreement-level calibration report from the
+    signature-agreement frame, the exact-intersection counts, and the
+    per-doc distinct-gram sizes (X58's tail, shared with the
+    persisted-store probe)."""
     nza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nzb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     nc = F.coalesce(F.col("n_common"), F.lit(0))
@@ -1686,6 +1612,200 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_match")
     )
+
+
+_SQL_X58_ORACLE = (
+    f"WITH {SQL_GRAMS.strip()}, {_SQL_SIGS}, {_SQL_BANDS}, "
+    f"{_SQL_CAPPED}, {_SQL_CAND}, "
+    f"m AS (SELECT c.doc_a, c.doc_b, CAST({_SQL_MATCHES} AS BIGINT) "
+    "AS n_match FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
+    "JOIN sigs sb ON sb.doc_id = c.doc_b), "
+    "dg AS (SELECT DISTINCT doc_id, "
+    "CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS g "
+    "FROM grams), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg "
+    "GROUP BY 1), "
+    "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) "
+    "AS n_common FROM cand c JOIN dg a ON a.doc_id = c.doc_a "
+    "JOIN dg b ON b.doc_id = c.doc_b AND b.g = a.g GROUP BY 1, 2), "
+    "j AS (SELECT m.n_match, "
+    "CAST(coalesce(i.n_common, 0) AS DOUBLE) / "
+    "(sa.n + sb.n - coalesce(i.n_common, 0)) AS jac "
+    "FROM m LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b "
+    "JOIN sizes sa ON m.doc_a = sa.doc_id "
+    "JOIN sizes sb ON m.doc_b = sb.doc_id) "
+    "SELECT j.n_match, "
+    "round(CAST(j.n_match AS DOUBLE) / 8.0, 6) AS est_jaccard, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    f"round(CAST(sum({sql_quant('j.jac')}) AS DOUBLE) / 10000.0 "
+    "/ count(*), 6) AS mean_exact, "
+    f"round(CAST(sum({sql_quant(f'abs({_SQL_EST} - j.jac)')}) AS DOUBLE) "
+    "/ 10000.0 / count(*), 6) AS mean_abs_err "
+    "FROM j GROUP BY 1 ORDER BY 1"
+)
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=_SQL_X58_ORACLE,
+    doc="Minhash-estimator calibration (X58): for every LSH candidate "
+    "pair, the 8-component signature agreement n_match/8 IS the "
+    "minwise estimate of Jaccard (Broder); this key groups candidates "
+    "by n_match and puts the estimator next to the EXACT gram-set "
+    "Jaccard — n_pairs, mean exact similarity, and mean absolute "
+    "estimator error per agreement level.  This is the measurement "
+    "that justifies every banding threshold the dedup family uses "
+    "(X2/X6/X21 act on the sketch; this key reports what the sketch "
+    "is worth on THIS corpus — the DataSketches practice of shipping "
+    "the estimator with its measured error).  Banding false "
+    "positives surface as high-n_match/low-exact rows: the exact leg "
+    "is a LEFT join, so zero-overlap candidates keep jac = 0 instead "
+    "of silently dropping.  Engine shape: signatures are scan-local "
+    "array folds (no explode); the pair space is the banding "
+    "candidates (bucket-capped, never all-pairs); the exact leg "
+    "reuses X21's bounded candidate⋈gram join — on 60-bit md5-prefix "
+    "gram FINGERPRINTS, not strings (r14: the third-decade bench "
+    "measured the string leg at 0.834 sf10→sf100; the oracle replays "
+    "the identical fingerprint, collisions merge the same grams on "
+    "both engines); means ride the fixed-point quantize policy; "
+    "output is ≤9 rows.",
+)
+def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    # Pin the candidate frame (bucket-capped, ~725k rows at sf100 —
+    # bounded by the banding caps, the r13 pin policy): it feeds the
+    # signature-agreement leg AND the exact leg, and Catalyst does not
+    # dedupe logical subtrees — unpinned, the 73 s banding pipeline
+    # ran once per consumer (r14 third-decade profiling).
+    cand = _pairs_from_sigs(sigs).localCheckpoint()
+    m = _sig_match_frame(cand, sigs)
+    # (doc_id, g) distinct BY CONSTRUCTION: within-doc dedup runs
+    # scan-locally on the fingerprint array (array_distinct before
+    # the explode, _fp_grams_frame) — no shuffle spent on a
+    # corpus-wide DISTINCT.  The exact leg only ever consumes grams
+    # of docs that appear in a candidate pair, so the corpus is gated
+    # BEFORE the explode by a broadcast semi-join on the candidate
+    # doc set (bounded by 2·|cand|, the same banding-cap bound the
+    # cand pin rests on) — at sf100 that cut the 260M-md5 fps
+    # computation to the candidate 29% and shrank every downstream
+    # join with it.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dd = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    st = _fp_grams_frame(dd.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    dg = st.select("doc_id", F.explode("fps").alias("g"))
+    # Per-doc distinct-gram count is the fp array's own length — a
+    # scan-local projection, not a corpus-wide doc_id shuffle (r14:
+    # that shuffle was most of the exact leg's sf100 cost).  Pinned
+    # (doc-dimension rows) so the nza/nzb consumers don't each rerun
+    # the 260M-md5 fps computation.
+    sizes = st.select(
+        "doc_id", F.size("fps").cast("long").alias("n")
+    ).localCheckpoint()
+    ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _calibration_report(m, inter, sizes)
+
+
+def minhash_calib_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Extend the persisted minhash store with the calibration's
+    exact-Jaccard leg: ONE candidate-gated corpus scan materializes
+    the per-doc 60-bit shingle-fingerprint ARRAYS (within-doc
+    distinct, scan-local) for exactly the docs the banding put in a
+    candidate pair — bounded by 2·|cand|, the banding-cap bound.  The
+    stored array table serves BOTH probe legs scan-locally (explode →
+    (doc_id, g) rows; size → per-doc counts), so the probe never
+    scans the corpus and never shuffles to build either frame.
+    Returns (sigs_table, buckets_table, fps_table)."""
+    from ..scratch import scratch_dir
+    from .llm_advanced import _minhash_store_tag, minhash_sig_tables
+
+    sig_t, bkt_t = minhash_sig_tables(spark, sf_dir)
+    tag = _minhash_store_tag(sf_dir)
+    fps_t = f"ecs_mh_fps_{tag}"
+    if spark.catalog.tableExists(fps_t):
+        return sig_t, bkt_t, fps_t
+    cand = _expand_pairs(spark.table(bkt_t)).distinct()
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dd = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    st = _fp_grams_frame(dd.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    spark.sql(f"DROP TABLE IF EXISTS {fps_t}")
+    (
+        st.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_mh_fps", tag))
+        .saveAsTable(fps_t)
+    )
+    return sig_t, bkt_t, fps_t
+
+
+@register(
+    "llm_minhash_calibration_persisted",
+    oracle=_SQL_X58_ORACLE,
+    doc="Persisted minhash store + zero-corpus-scan calibration probe "
+    "(X58b, r15 — the r14 verdict's item 3, the A37b theta pattern "
+    "applied to the banding family): X58 proved the estimator "
+    "calibration but rebuilt the signature scan + banding shuffle + "
+    "gated gram fingerprints from the corpus on every query — the "
+    "family's highest third-decade exponent (0.853).  This key "
+    "answers the SAME question (same oracle, byte-identical output) "
+    "from the pay-once store: signatures and band buckets persist "
+    "via minhash_sig_tables (one corpus scan), the candidate-gated "
+    "fingerprint arrays via minhash_calib_tables (one gated scan), "
+    "and the graded probe's plan contains ZERO documents scans (plan "
+    "contract test_minhash_persisted_probe_reads_store_only) — "
+    "candidate pairs re-derive from the stored bucket member lists "
+    "(an explode over collision-sized rows), both exact-leg frames "
+    "are scan-local projections of the stored arrays, and only the "
+    "candidate⋈gram join shuffles.  At 100 TB this is the difference "
+    "between every calibration/tuning dashboard paying the full "
+    "corpus pipeline and paying it once a day: the store is "
+    "#docs × 8 md5s + collision-sized buckets + candidate-gated "
+    "arrays, all orders of magnitude under the corpus.  Staleness "
+    "rides the X12/X60/X62 source-fingerprint tag.",
+)
+def q_llm_minhash_calibration_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sig_t, bkt_t, fps_t = minhash_calib_tables(spark, sf_dir)
+    sigs = spark.table(sig_t)
+    # Candidate pairs re-derive from the STORED bucket member lists —
+    # a scan-local explode over collision-sized rows + one distinct;
+    # pinned because both the agreement leg and the exact leg consume
+    # it (the r13 pin policy, minus the banding pipeline it used to
+    # shield).
+    cand = _expand_pairs(spark.table(bkt_t)).distinct().localCheckpoint()
+    m = _sig_match_frame(cand, sigs)
+    st = spark.table(fps_t)
+    dg = st.select("doc_id", F.explode("fps").alias("g"))
+    sizes = st.select("doc_id", F.size("fps").cast("long").alias("n"))
+    ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = dg.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _calibration_report(m, inter, sizes)
 
 
 # ---------------------------------------------------------------------------

@@ -116,32 +116,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r14 — one entry: the new third-decade bench (sf10→sf100,
-    # BENCH_THIRD_DECADE.json) measured the string-shuffling X54 at a
-    # 1.344 exponent (gram-string shuffles spilling past executor
-    # memory), so engine AND oracle moved together to 60-bit
-    # md5-prefix shingle fingerprints (Broder's design).  Outputs are
-    # byte-identical on every graded corpus (no fingerprint collision
-    # exists at these sizes, verified), but the oracle string changed,
-    # so it queues for re-grade — the llm_embedding_near_dup (r13)
-    # precedent.
-    "llm_containment_pairs",
-    # Same bench, same disease, same cure: X33's span hash was a
-    # 16-char hex STRING (0.835 third-decade exponent); now a 60-bit
-    # md5-prefix BIGINT on both engines.  Outputs byte-identical
-    # (collision-free verified at sf0.1), oracle string changed.
-    "llm_dup_span_coverage",
-    # X58's exact-Jaccard leg shuffled gram strings (0.834); the
-    # candidate⋈gram join now runs on the same 60-bit fingerprints.
+    # r15 — one entry: X58's body was refactored into shared helpers
+    # (_sig_match_frame / _fp_grams_frame / _calibration_report,
+    # reused by the new persisted-store probe X58b) with an identical
+    # logical plan and the oracle string unchanged — a provably-
+    # pristine no-op, but the engine code moved, so it queues for
+    # re-grade per this block's contract.  Window budget (the r14
+    # verdict's item 1: every r9-stale key must refresh this round):
+    # new keys + this re-grade + 47 r9-stale keys must stay <= 50.
     "llm_minhash_calibration",
-    # Everything else this round is either a NEW key (enters via rule
-    # 2) or the ADVICE r13 fix (checkout.py merge_ok flag — a
-    # Derby-only error path no graded key's output touches).  The
-    # remaining slots drain the r7/r8 grade tail (the r13 verdict's
-    # item 1: 6 r7 + 40 r8 keys).  2 new + 3 re-grades + 46 stale =
-    # 51 candidates for 50 slots: the LAST stale r8 key waits one
-    # round (re-grading a rewrite outranks refreshing an unchanged
-    # green — the ROUND_MODIFIED contract above).
 )
 
 

@@ -935,3 +935,21 @@ def test_theta_persisted_probe_reads_store_only(spark):
     assert "events.parquet" not in plan, "corpus re-scanned in probe"
     assert "ecs_theta_sk_" in plan and "ecs_theta_meta_" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_persisted_probe_reads_store_only(spark):
+    """X58b (r15, verdict item 3): the calibration probe is served
+    ENTIRELY by the persisted minhash store — zero scans of the
+    documents corpus in the executed plan (the signature scan and the
+    candidate-gated fingerprint scan pay once at build), candidate
+    pairs re-derive from the stored bucket member lists, and both
+    exact-leg frames are scan-local projections of the stored arrays
+    (the explode and the array length add no shuffle of their own)."""
+    from event_stream_checkout_spark.operators.llm_curate import (
+        minhash_calib_tables,
+    )
+
+    minhash_calib_tables(spark, SF_DIR)
+    plan = executed_plan(spark, "llm_minhash_calibration_persisted", full=True)
+    assert "documents.parquet" not in plan, "corpus re-scanned in probe"
+    assert "ecs_mh_sigs_" in plan and "ecs_mh_fps_" in plan
