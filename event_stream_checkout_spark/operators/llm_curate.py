@@ -1432,8 +1432,9 @@ def q_llm_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH spans AS (SELECT d.source, "
     f"unnest(list_transform(generate_series(1, "
     f"len(string_split(d.text, ' ')) - {_SPAN_W - 1}), "
-    "i -> substring(md5(array_to_string(string_split(d.text, ' ')"
-    f"[i:i + {_SPAN_W - 1}], ' ')), 1, 16))) AS g "
+    "i -> CAST(concat('0x', substring(md5(array_to_string("
+    f"string_split(d.text, ' ')[i:i + {_SPAN_W - 1}], ' ')), 1, 15)) "
+    "AS BIGINT))) AS g "
     f"FROM documents d WHERE len(string_split(d.text, ' ')) >= {_SPAN_W}), "
     "h AS (SELECT g, source, CAST(count(*) AS BIGINT) AS n "
     "FROM spans GROUP BY 1, 2), "
@@ -1452,8 +1453,12 @@ def q_llm_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "can be down-weighted wholesale, the move CCNet makes across "
     "dumps).  X33 answers 'how much of each DOC is reused'; X49 "
     "answers 'between which SOURCES the reuse flows'.  Same span "
-    "convention as X33 (8-gram, md5-16 fingerprint at construction "
-    "— the r8 shuffle-payload fix).  Scale-critical shape: pairs "
+    "convention as X33 (8-gram, 60-bit md5-prefix BIGINT fingerprint "
+    "at construction — r15, following X33/X54's r14 third-decade "
+    "fix: the span frame and the pair self-join shuffle 8-byte longs "
+    "instead of 16-char hex strings; a collision merges the same "
+    "spans on both engines because the oracle replays the identical "
+    "fingerprint).  Scale-critical shape: pairs "
     "are NEVER doc-level — spans collapse to the (gram, source, n) "
     "frame first (one uniform shuffle, bounded by distinct grams × "
     "sources), and the pair mass is Σ_gram n_a·n_b over that "
@@ -1470,11 +1475,17 @@ def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("_w", words).filter(F.size("_w") >= _SPAN_W)
     gram = F.transform(
         F.sequence(F.lit(1), F.size("_w") - (_SPAN_W - 1)),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")),
-            1,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice(F.col("_w"), i, _SPAN_W), " ")
+                ),
+                1,
+                15,
+            ),
             16,
-        ),
+            10,
+        ).cast("long"),
     )
     spans = d.select("source", F.explode(gram).alias("g"))
     h = spans.groupBy("g", "source").agg(F.count(F.lit(1)).alias("n"))

@@ -700,6 +700,24 @@ def _register_stream_concurrency() -> None:
         )
         q.awaitTermination()
         per_day = spark.read.parquet(out_dir)
+        # Defensive invariant (ADVICE r14): the midnight carry below
+        # sums EVERY emitted net, so it is only correct with exactly
+        # one append emission per day — guaranteed by the one-file-
+        # per-day repartition plus availableNow draining them in one
+        # batch, but a session-level maxFilesPerTrigger (or a future
+        # drain change) would silently double-count.  The frame is
+        # <= #days rows and already materialized, so the check is two
+        # sub-ms jobs; fail loudly instead of guessing which of a
+        # day's emissions is the complete one.
+        n_rows = per_day.count()
+        n_days = per_day.select("day_num").distinct().count()
+        if n_rows != n_days:
+            raise RuntimeError(
+                "stream_concurrency_tws: "
+                f"{n_rows} append emissions for {n_days} days — the "
+                "one-emission-per-day drain invariant broke; the "
+                "midnight carry would double-count nets"
+            )
         wc = Window.orderBy("day_num").rowsBetween(
             Window.unboundedPreceding, -1
         )

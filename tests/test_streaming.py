@@ -1574,3 +1574,86 @@ def test_stream_stream_outer_interval_join_matches_graded_batch(
     }
     assert got == want and len(want) > 0
     assert any(pid is None for _, pid in want)  # outer rows present
+
+
+def test_tws_mapstate_ttl_evicts_idle_entries(spark, tmp_path):
+    """TypeCounterTTL (r15, the TWS TTLConfig state bound): an entry
+    idle past the TTL evicts, so a later batch for the same user
+    restarts its counter instead of accumulating — the bounded-state
+    divergence the class docstring declares (contrast
+    test_tws_mapstate_counters_accumulate_across_batches, where the
+    un-TTL'd counter must accumulate forever).  Two drains on ONE
+    checkpoint, separated by > TTL of processing time: drain 1 writes
+    user 1's counts; after the sleep, drain 2's emission for user 1
+    must carry ONLY the new batch's counts.
+
+    Harness note: TTL needs timeMode="processingTime", and under that
+    mode an availableNow query never self-terminates (the engine
+    keeps scheduling empty batches to evaluate processing-time
+    expiry), so each drain polls the parquet sink for the data
+    batch's emission and then stops the query; drain 2's own rows are
+    the multiset delta over drain 1's (the sink appends)."""
+    import time
+    from collections import Counter
+
+    import pandas as pd
+
+    from event_stream_checkout_spark.streaming.stateful import (
+        ensure_protobuf,
+        type_counts_stream_tws_ttl,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime for TWS")
+    ensure_protobuf(spark)
+
+    events_dir = tmp_path / "ev"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    events_dir.mkdir()
+    ttl_ms = 3_000
+
+    def drain(n_total_expected: int) -> Counter:
+        q = (
+            type_counts_stream_tws_ttl(spark, str(events_dir), ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            rows: list = []
+            for _ in range(240):
+                try:
+                    rows = spark.read.parquet(out_dir).collect()
+                except Exception:  # noqa: BLE001 — sink not committed yet
+                    rows = []
+                if len(rows) >= n_total_expected:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        assert len(rows) >= n_total_expected, "emission never landed"
+        return Counter(
+            (r["user_id"], r["event_type"], r["n"]) for r in rows
+        )
+
+    pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_type": ["view", "view", "click"]}
+    ).to_parquet(str(events_dir / "a.parquet"))
+    first = drain(2)
+    assert first == Counter({(1, "view", 2): 1, (1, "click", 1): 1})
+
+    time.sleep(ttl_ms / 1000 + 2.0)  # idle past the TTL
+    pd.DataFrame(
+        {"user_id": [1], "event_type": ["view"]}
+    ).to_parquet(str(events_dir / "b.parquet"))
+    second = drain(3)
+    # Drain 2's own emission = the sink delta: view restarted at 1
+    # and click's expired entry vanished from the emitted map — both
+    # prior counts evicted, not accumulated.
+    assert second - first == Counter({(1, "view", 1): 1})

@@ -38,6 +38,15 @@ DEFAULT_KEYS = [
     "graph_copurchase_triangles",  # 0.512
     "llm_dup_span_coverage",      # 0.518
     "llm_minhash_calibration",    # 0.503
+    # r15 additions — the next sf1->sf10 exponent tier (r14 verdict
+    # item 5) plus the new pay-once probe path:
+    "graph_copurchase_local_clustering",  # 0.454 over sf1->sf10
+    "evt_peak_concurrency",               # 0.487
+    "llm_item_cf_topk",                   # 0.424
+    "graph_link_prediction",              # 0.402
+    "llm_split_leakage",                  # 0.412
+    "llm_minhash_calibration_persisted",  # X58b store probe (r15)
+    "llm_cross_source_dups",              # X49 after the r15 fp rewrite
 ]
 
 
@@ -70,12 +79,15 @@ def main() -> int:
             results = json.loads(OUT.read_text()).get("keys", {})
         except ValueError:
             results = {}
+    errored: set[str] = set()
     for sf_label, sf_dir in (("sf10", SF10), ("sf100", SF100)):
         if not Path(sf_dir).exists():
             print(f"missing {sf_dir}; run scripts/make_scaled_sf.py first")
             return 2
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         for key in keys:
+            if key in errored:
+                continue  # both labels already nulled; keep the tag
             best = float("inf")
             err = None
             for _ in range(cycles):
@@ -91,7 +103,15 @@ def main() -> int:
             rec = results.setdefault(key, {})
             rec[sf_label] = round(best, 3) if best != float("inf") else None
             if err:
+                # Clear BOTH labels (ADVICE r14): leaving the other
+                # label's timing — from earlier in this run or merged
+                # in from a prior file — would let a later fixed run
+                # pair timings from different code versions into one
+                # exponent.  The error tag marks the key for a full
+                # re-measure.
+                rec["sf10"] = rec["sf100"] = None
                 rec["error"] = err
+                errored.add(key)
             else:
                 rec.pop("error", None)  # clear a stale merged-in error
             print(
@@ -104,8 +124,13 @@ def main() -> int:
     flagged = []
     for key, rec in results.items():
         a, b = rec.get("sf10"), rec.get("sf100")
-        if a and b and a > 0:
-            rec["exponent_3rd_dec"] = round(math.log10(max(b, 1e-3) / a), 3)
+        # `is not None`, not truthiness (ADVICE r14): a legitimate
+        # timing rounded to 0.0 is a measurement, not a gap — floor
+        # both sides at 1 ms instead of dropping the exponent.
+        if a is not None and b is not None:
+            rec["exponent_3rd_dec"] = round(
+                math.log10(max(b, 1e-3) / max(a, 1e-3)), 3
+            )
             if rec["exponent_3rd_dec"] >= 0.8:
                 flagged.append(key)
     payload = {
