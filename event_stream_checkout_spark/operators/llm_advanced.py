@@ -232,20 +232,16 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
 
 
 def _minhash_store_tag(sf_dir: str) -> str:
-    """Source fingerprint + PID (the X12/X60/X62 staleness discipline:
-    a store built from yesterday's corpus must not serve today's)."""
-    import hashlib
-    import os
+    """Staleness tag for the minhash store (shared discipline:
+    scratch.store_tag)."""
+    from ..scratch import store_tag
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    fp = hashlib.md5(
-        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    return f"{fp}_{os.getpid()}"
+    return store_tag(sf_dir, "documents.parquet")
 
 
-def minhash_sig_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def minhash_sig_tables(
+    spark: SparkSession, sf_dir: str, tag: str | None = None
+) -> tuple[str, str]:
     """Day-1 pay-once build of the minhash signature/band store (the
     A37b theta-store pattern applied to X2, r14 verdict item 3): ONE
     corpus scan computes the 8-component minwise signatures
@@ -260,10 +256,16 @@ def minhash_sig_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ~#docs × 8 md5s and the bucket table is collision-sized — both
     orders of magnitude under the corpus, and the probe path never
     reads the corpus at all.
+
+    ``tag`` lets a caller that derives FURTHER store tables (the
+    calibration extension) pin one tag across the whole build — a
+    corpus rewrite between two stat() calls must not produce a
+    mixed-generation store (r15 review finding).
     """
     from ..scratch import scratch_dir
 
-    tag = _minhash_store_tag(sf_dir)
+    if tag is None:
+        tag = _minhash_store_tag(sf_dir)
     sig_t = f"ecs_mh_sigs_{tag}"
     bkt_t = f"ecs_mh_buckets_{tag}"
     if spark.catalog.tableExists(sig_t) and spark.catalog.tableExists(bkt_t):

@@ -1700,15 +1700,12 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand pin rests on) — at sf100 that cut the 260M-md5 fps
     # computation to the candidate 29% and shrank every downstream
     # join with it.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
     dd = with_min_scan_parallelism(
         spark, load_table(spark, sf_dir, "documents")
     )
-    st = _fp_grams_frame(dd.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    st = _fp_grams_frame(
+        dd.join(F.broadcast(_cand_doc_ids(cand)), "doc_id", "semi")
+    )
     dg = st.select("doc_id", F.explode("fps").alias("g"))
     # Per-doc distinct-gram count is the fp array's own length — a
     # scan-local projection, not a corpus-wide doc_id shuffle (r14:
@@ -1729,6 +1726,16 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _calibration_report(m, inter, sizes)
 
 
+def _cand_doc_ids(cand: DataFrame) -> DataFrame:
+    """Candidate pairs → the DISTINCT doc ids appearing in any pair
+    (the exact leg's gating set, bounded by 2·|cand|)."""
+    return (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+
 def minhash_calib_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str, str]:
@@ -1740,25 +1747,31 @@ def minhash_calib_tables(
     stored array table serves BOTH probe legs scan-locally (explode →
     (doc_id, g) rows; size → per-doc counts), so the probe never
     scans the corpus and never shuffles to build either frame.
-    Returns (sigs_table, buckets_table, fps_table)."""
+    Returns (sigs_table, buckets_table, fps_table).
+
+    The tag is computed ONCE and pinned across the whole build (r15
+    review finding): stat()ing the corpus again after
+    minhash_sig_tables could name the fps table for a corpus the
+    sig/bucket tables were not built from — a mixed-generation store
+    the staleness discipline exists to prevent."""
     from ..scratch import scratch_dir
     from .llm_advanced import _minhash_store_tag, minhash_sig_tables
 
-    sig_t, bkt_t = minhash_sig_tables(spark, sf_dir)
     tag = _minhash_store_tag(sf_dir)
+    sig_t, bkt_t = minhash_sig_tables(spark, sf_dir, tag=tag)
     fps_t = f"ecs_mh_fps_{tag}"
     if spark.catalog.tableExists(fps_t):
         return sig_t, bkt_t, fps_t
-    cand = _expand_pairs(spark.table(bkt_t)).distinct()
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # Pinned: both union branches of the gating set consume the
+    # bucket-expand + distinct, and Catalyst does not dedupe logical
+    # subtrees (the r13 pin policy).
+    cand = _expand_pairs(spark.table(bkt_t)).distinct().localCheckpoint()
     dd = with_min_scan_parallelism(
         spark, load_table(spark, sf_dir, "documents")
     )
-    st = _fp_grams_frame(dd.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    st = _fp_grams_frame(
+        dd.join(F.broadcast(_cand_doc_ids(cand)), "doc_id", "semi")
+    )
     spark.sql(f"DROP TABLE IF EXISTS {fps_t}")
     (
         st.write.mode("overwrite")

@@ -663,16 +663,11 @@ _THETA_P_DOMAIN = 4294967296  # 2^32: md5-prefix hash domain size
 
 
 def _theta_store_tag(sf_dir: str) -> str:
-    """Source fingerprint + PID (the X12/X60/X62 staleness discipline)."""
-    import hashlib
-    import os
+    """Staleness tag for the theta store (shared discipline:
+    scratch.store_tag — one definition for every pay-once store)."""
+    from ..scratch import store_tag
 
-    p = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(p)
-    fp = hashlib.md5(
-        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    return f"{fp}_{os.getpid()}"
+    return store_tag(sf_dir, "events.parquet")
 
 
 def theta_sketch_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -133,6 +133,13 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # verdict's item 1: every r9-stale key must refresh this round):
     # new keys + this re-grade + 47 r9-stale keys must stay <= 50.
     "llm_minhash_calibration",
+    # TRAILING pristine no-op (r15 review): _theta_store_tag now
+    # delegates to the shared scratch.store_tag helper — the tag
+    # formula, table names, and plan are byte-identical.  1 new + 2
+    # leading re-grades + 47 r9-stale = 50, so this 51st candidate
+    # waits a round; local parity + the unchanged plan contract
+    # cover it (the sanctioned trailing-no-op case above).
+    "agg_theta_intersect_persisted",
 )
 
 

@@ -38,3 +38,24 @@ def scratch_dir(prefix: str, tag: str) -> str:
         _TRACKED.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
+
+
+def store_tag(sf_dir: str, table_file: str) -> str:
+    """Source fingerprint + PID for a persisted derived store — the
+    X12/X60/X62 staleness discipline shared by every pay-once store
+    (theta sketches, the minhash signature/band store): the tag hashes
+    the source table's path + mtime + size, so a store built from
+    yesterday's corpus can never serve today's, and embeds the pid so
+    concurrent processes never collide.  One definition (r15 review):
+    the theta and minhash stores each carried a verbatim copy, and a
+    future change to the discipline (e.g. hashing per-part mtimes)
+    must land everywhere at once or the stores diverge in staleness
+    behavior."""
+    import hashlib
+
+    p = os.path.join(sf_dir, table_file)
+    st = os.stat(p)
+    fp = hashlib.md5(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    return f"{fp}_{os.getpid()}"

@@ -77,6 +77,38 @@ def main() -> None:
     def key_offset(df, col: str) -> int:
         return int(df.agg(F.max(col)).collect()[0][0]) + 1
 
+    # Guard the cross-copy exact-duplicate foot-gun the module
+    # docstring warns about (ADVICE r14) BEFORE any write — a refusal
+    # must not leave a half-written output dir (r15 review): if the
+    # BASE corpus was itself produced by this script, its words
+    # already end in "<old_suffix><copy#>"; re-suffixing with the
+    # SAME prefix maps copy 1's transform of base-copy 0 onto
+    # base-copy 1 verbatim — a synthetic 90%-duplicate corpus.
+    # Sample from the TOP of the doc_id range: a scaled base keeps
+    # copy 0 unsuffixed, so a head sample would miss the pattern —
+    # the highest ids belong to the last (always-suffixed) copy.
+    import re
+
+    sample = (
+        spark.read.parquet(f"{base}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .orderBy(F.col("doc_id").desc())
+        .limit(50)
+        .collect()
+    )
+    esc = re.escape(suffix)
+    for row in sample:
+        last_word = row["text"].rsplit(" ", 1)[-1]
+        if re.search(rf"{esc}\d+$", last_word):
+            raise SystemExit(
+                f"BASE_DIR {base} already carries the word-suffix "
+                f"pattern '{suffix}<copy#>' (sample word "
+                f"{last_word!r}): re-scaling with the same SUFFIX "
+                "creates cross-copy EXACT duplicates.  Pass a "
+                "disjoint suffix alphabet (e.g. '~a') as argv[4]."
+            )
+
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
         spark.read.parquet(f"{base}/{t}.parquet").write.mode(
@@ -103,36 +135,6 @@ def main() -> None:
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{base}/documents.parquet")
-    # Guard the cross-copy exact-duplicate foot-gun the module
-    # docstring warns about (ADVICE r14): if the BASE corpus was
-    # itself produced by this script, its words already end in
-    # "<old_suffix><copy#>"; re-suffixing with the SAME prefix maps
-    # copy 1's transform of base-copy 0 onto base-copy 1 verbatim —
-    # a synthetic 90%-duplicate corpus.  Sample one scaled-looking
-    # document and refuse a suffix the base already uses.
-    import re
-
-    # Sample from the TOP of the doc_id range: a scaled base keeps
-    # copy 0 unsuffixed, so a head sample would miss the pattern —
-    # the highest ids belong to the last (always-suffixed) copy.
-    sample = (
-        docs.select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
-        .orderBy(F.col("doc_id").desc())
-        .limit(50)
-        .collect()
-    )
-    esc = re.escape(suffix)
-    for row in sample:
-        last_word = row["text"].rsplit(" ", 1)[-1]
-        if re.search(rf"{esc}\d+$", last_word):
-            raise SystemExit(
-                f"BASE_DIR {base} already carries the word-suffix "
-                f"pattern '{suffix}<copy#>' (sample word "
-                f"{last_word!r}): re-scaling with the same SUFFIX "
-                "creates cross-copy EXACT duplicates.  Pass a "
-                "disjoint suffix alphabet (e.g. '~a') as argv[4]."
-            )
     d_off = key_offset(docs, "doc_id")
     scaled_docs = None
     for i in range(factor):

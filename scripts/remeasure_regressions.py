@@ -47,7 +47,13 @@ KEYS = ("llm_ivfpq_topk", "llm_pq_rerank_topk", "agg_market_share")
 def main() -> int:
     cycles = 3
     if "--cycles" in sys.argv:
-        cycles = int(sys.argv[sys.argv.index("--cycles") + 1])
+        i = sys.argv.index("--cycles")
+        try:
+            cycles = int(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit(
+                "usage: remeasure_regressions.py [--cycles N]"
+            ) from None
     spark = get_session("ecs-remeasure-regressions")
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()

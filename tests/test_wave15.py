@@ -14,15 +14,37 @@ QUERIES = load_all()
 
 
 def test_minhash_store_build_is_idempotent(spark):
-    """Second call returns the SAME table names without rebuilding
-    (catalog hit) — the pay-once contract."""
+    """Second call returns the SAME table names WITHOUT rebuilding —
+    the pay-once contract.  Name equality alone is vacuous (the tag
+    is deterministic, so a rebuild-every-call bug would still return
+    equal names — r15 review); the on-disk parquet mtimes of the
+    store's scratch dirs must also be untouched by the second call."""
+    import glob
+    import os
+
     from event_stream_checkout_spark.operators.llm_advanced import (
+        _minhash_store_tag,
         minhash_sig_tables,
     )
 
     t1 = minhash_sig_tables(spark, SF_DIR)
+
+    def mtimes() -> dict[str, float]:
+        import tempfile
+
+        tag = _minhash_store_tag(SF_DIR)
+        out = {}
+        for prefix in ("ecs_mh_sigs", "ecs_mh_buckets"):
+            root = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+            for f in glob.glob(os.path.join(root, "*.parquet")):
+                out[f] = os.stat(f).st_mtime_ns
+        return out
+
+    before = mtimes()
+    assert before, "store files not found on disk"
     t2 = minhash_sig_tables(spark, SF_DIR)
     assert t1 == t2
+    assert mtimes() == before, "second call rewrote the store"
     for t in t1:
         assert spark.catalog.tableExists(t)
 

@@ -110,6 +110,12 @@ def main() -> int:
                 # exponent.  The error tag marks the key for a full
                 # re-measure.
                 rec["sf10"] = rec["sf100"] = None
+                # A merged-in exponent from a prior run must not
+                # survive next to this run's error (r15 review: the
+                # recompute loop skips None pairs, so it would never
+                # be overwritten — a stale >=0.8 exponent displayed
+                # while the key silently drops out of the flag list).
+                rec.pop("exponent_3rd_dec", None)
                 rec["error"] = err
                 errored.add(key)
             else:
