@@ -1488,7 +1488,19 @@ def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     spans = d.select("source", F.explode(gram).alias("g"))
-    h = spans.groupBy("g", "source").agg(F.count(F.lit(1)).alias("n"))
+    # Pinned, DISK_ONLY (r15 third-decade, 0.93 exponent): the pair
+    # self-join consumes h on BOTH sides through differently-named
+    # projections, so Catalyst reuses neither the subplan nor the
+    # exchange — unpinned, the corpus explode + md5 scan + (g, source)
+    # aggregate ran twice per query.  Fact-scale pins ride disk (the
+    # llm_item_cf_topk heap lesson).
+    from pyspark import StorageLevel
+
+    h = (
+        spans.groupBy("g", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
     a = h.select(
         F.col("g"),
         F.col("source").alias("source_a"),
@@ -1841,6 +1853,28 @@ _LEAK_MIN = 0.5     # val doc counts as leaked if >= half its rare grams
                     # appear verbatim in ONE train doc
 
 
+def _leak_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66's deduped gram frame, built SCAN-LOCALLY: array_distinct on
+    the in-row shingle array (still strings — no hash protocol change,
+    so the oracle's DISTINCT(doc_id, lang, gram) is matched by
+    construction).  The r15 third-decade bench measured the key at a
+    1.05 exponent, and the corpus-wide shuffling .distinct() on
+    gram-string rows was the same ~linear-in-corpus term the r14
+    containment fix removed; (doc_id, lang) is unique per doc, so
+    per-doc array dedup IS the triple distinct.  Factored out so the
+    plan contract can assert the scan-local shape (the operator's own
+    checkpoint pin hides it behind an ExistingRDD scan)."""
+    from .llm_advanced import _with_grams_array
+
+    d = _with_grams_array(
+        with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
+    return d.select(
+        "doc_id", "lang", F.explode(F.array_distinct("_grams")).alias("gram")
+    )
+
+
+
 @register(
     "llm_split_leakage",
     oracle=f"WITH {SQL_GRAMS.strip()}, "
@@ -1889,9 +1923,11 @@ _LEAK_MIN = 0.5     # val doc counts as leaked if >= half its rare grams
     "zero surviving pairs cost a left-join null, not a scan.",
 )
 def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from .llm_retrieval import _SPLIT_TRAIN_HI, _SPLIT_VAL_HI
 
-    dg = grams_df(spark, sf_dir).select("doc_id", "lang", "gram").distinct()
+    dg = _leak_gram_frame(spark, sf_dir)
     rare = (
         dg.groupBy("gram", "lang")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1906,11 +1942,12 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pin the capped+tagged gram frame once: it feeds the val sizes,
     # the val join leg, and the train join leg (three consumers of one
-    # corpus explode — the X64 stance).
+    # corpus explode — the X64 stance).  DISK_ONLY: fact-scale pins
+    # ride disk (the llm_item_cf_topk sf100 heap lesson, r15).
     dgc = (
         dg.join(rare, ["gram", "lang"])
         .withColumn("split", split)
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     v = (
         dgc.filter(F.col("split") == "val")

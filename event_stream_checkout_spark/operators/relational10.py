@@ -213,6 +213,8 @@ ORDER BY item, rnk
     "window); the seed cut broadcasts 20 ids.",
 )
 def q_llm_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     pp0 = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -220,7 +222,15 @@ def q_llm_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()  # feeds the gate twice (counts + edges)
+        # Feeds the gate twice (counts + edges).  DISK_ONLY (r15): the
+        # default deserialized MEMORY_AND_DISK pin of this FACT-scale
+        # frame, held concurrently with the gated pin below, blew the
+        # 48g heap at sf100 (600M distinct pairs; third-decade bench).
+        # Corpus-scale pins ride disk; only dimension-sized pins stay
+        # in memory — on a real cluster the same pin distributes, but
+        # the single-JVM bench is the memory-pressure worst case and
+        # the policy is safe at both extremes.
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     return item_cf_topk(pp0)
 
@@ -233,11 +243,15 @@ def item_cf_topk(pp0: DataFrame) -> DataFrame:
 
     from .relational9 import copurchase_gate, copurchase_pairs
 
+    from pyspark import StorageLevel
+
     # Pinned: ONE gated frame feeds both the per-item counts and the
     # pair expansion — the r13 first cut ran the basket gate once per
-    # consumer (a full pp0 shuffle each).  Same scale as pp0, which
-    # the caller already pins.
-    pp = copurchase_gate(pp0).localCheckpoint()
+    # consumer (a full pp0 shuffle each).  Same scale as pp0, so the
+    # same DISK_ONLY discipline (see q_llm_item_cf_topk).
+    pp = copurchase_gate(pp0).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     # Pinned (part-dimension rows): cnt feeds ci, cj AND the seed cut —
     # unpinned, the per-item count aggregate shuffles pp three times.
     cnt = (

@@ -946,7 +946,17 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    # DISK_ONLY (r15): fact-scale pins ride disk — the deserialized
+    # in-memory default, held together with the adjacency pin inside
+    # link_prediction, drove the sf100 third-decade run to a 0.95
+    # exponent from heap/GC pressure (the llm_item_cf_topk lesson).
+    from pyspark import StorageLevel
+
+    e = (
+        copurchase_edges(pp0)
+        .select("pa", "pb")
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
     return link_prediction(e)
 
 
@@ -965,8 +975,13 @@ def link_prediction(e: DataFrame) -> DataFrame:
     )
     # Pinned (adjacency-scale, same order as the checkpointed edge
     # list): the wedge self-join reads mid twice — unpinned, the
-    # degree-gate semi-join executes once per leg.
-    mid = adj.join(low_mid, "nb", "semi").localCheckpoint()
+    # degree-gate semi-join executes once per leg.  DISK_ONLY: the
+    # fact-scale pin discipline (see q_graph_link_prediction).
+    from pyspark import StorageLevel
+
+    mid = adj.join(low_mid, "nb", "semi").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     a = mid.select(F.col("n").alias("x"), "nb")
     b = mid.select(F.col("n").alias("y"), "nb")
     cn = (

@@ -122,7 +122,10 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # for the same cure here).  Engine AND oracle moved together to
     # 60-bit md5-prefix BIGINT fingerprints; outputs identical on the
     # graded corpora (no fp collision at these sizes, verified at
-    # sf0.1), oracle string changed, so it re-grades.
+    # sf0.1), oracle string changed, so it re-grades.  The same round
+    # also pinned its (g, source) frame DISK_ONLY: the pair self-join
+    # consumed it through two renamed projections, recomputing the
+    # corpus explode per side (third-decade profiling).
     "llm_cross_source_dups",
     # X58's body was refactored into shared helpers
     # (_sig_match_frame / _fp_grams_frame / _calibration_report,
@@ -140,6 +143,24 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # waits a round; local parity + the unchanged plan contract
     # cover it (the sanctioned trailing-no-op case above).
     "agg_theta_intersect_persisted",
+    # TRAILING pristine no-op: the CF key's two fact-scale pins moved
+    # to DISK_ONLY after the sf100 third-decade run blew the 48g heap
+    # (storage level only — identical rows, identical plan shape;
+    # parity re-verified locally).  Same trailing rationale as above.
+    "llm_item_cf_topk",
+    # TRAILING pristine no-op: X66's within-doc gram dedup moved from
+    # a corpus-wide shuffling .distinct() to scan-local array_distinct
+    # on the in-row shingle array (r15 third-decade: 1.05 exponent,
+    # the r14 containment pathology) — STRING grams throughout, no
+    # hash protocol change, oracle untouched, so the output is
+    # identical BY CONSTRUCTION (not merely collision-free at graded
+    # sizes); plus the fact-scale pin moved to DISK_ONLY.
+    "llm_split_leakage",
+    # TRAILING pristine no-op: G5's edge and adjacency pins moved to
+    # DISK_ONLY (storage level only — identical rows and plan shape;
+    # parity re-verified) after the 0.95 sf100 exponent pointed at
+    # heap/GC pressure from two fact-scale in-memory pins.
+    "graph_link_prediction",
 )
 
 

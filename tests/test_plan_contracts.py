@@ -953,3 +953,29 @@ def test_minhash_persisted_probe_reads_store_only(spark):
     plan = executed_plan(spark, "llm_minhash_calibration_persisted", full=True)
     assert "documents.parquet" not in plan, "corpus re-scanned in probe"
     assert "ecs_mh_sigs_" in plan and "ecs_mh_fps_" in plan
+
+
+def test_split_leakage_dedup_is_scan_local(spark):
+    """X66 (r15 third-decade fix): within-doc gram dedup runs in the
+    scan projection (array_distinct over the in-row shingle array) —
+    no corpus-wide shuffling DISTINCT aggregate on (doc_id, lang,
+    gram) exists (the 1.05-exponent term the sf100 bench caught; same
+    disease and cure as test_containment_dedup_is_scan_local).  The
+    operator pins this frame (localCheckpoint), which hides it behind
+    an ExistingRDD scan in the key's own plan, so the contract drives
+    the factored frame builder directly."""
+    import re as _re
+
+    from event_stream_checkout_spark.operators.llm_curate import (
+        _leak_gram_frame,
+    )
+
+    df = _leak_gram_frame(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_distinct" in plan, "scan-local dedup gone"
+    assert not _re.search(
+        r"HashAggregate\(keys=\[doc_id[^\]]*\bgram[#\d]", plan
+    ), "corpus-wide distinct aggregate reintroduced"
+    # (No Exchange-freedom assertion: with_min_scan_parallelism adds
+    # a legitimate scan-widening repartition on small inputs.)

@@ -202,6 +202,7 @@ QUERIES = [
     "llm_template_prefix_groups",   # r13c: scan-local prefix slice
     "win_gap_fill_locf",            # r13c: per-user IGNORE NULLS fill
     "agg_theta_intersect_persisted",  # r14: zero-corpus-scan theta probe
+    "llm_minhash_calibration_persisted",  # r15: zero-corpus-scan X58 probe
 ]
 
 
