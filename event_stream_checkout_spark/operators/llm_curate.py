@@ -1461,13 +1461,18 @@ def q_llm_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint).  Scale-critical shape: pairs "
     "are NEVER doc-level — spans collapse to the (gram, source, n) "
     "frame first (one uniform shuffle, bounded by distinct grams × "
-    "sources), and the pair mass is Σ_gram n_a·n_b over that "
-    "frame's self-join on the gram hash — a boilerplate span in a "
-    "million docs contributes ONE row per source, not 10^12 pairs, "
-    "and the join fan-out per gram is ≤ #sources (constant), so no "
-    "df cap is needed.  a.source < b.source halves the matrix "
-    "deterministically; sub-8-word and NULL texts drop out of both "
-    "engines identically.  Output ≤ #sources² rows.",
+    "sources), each gram's source-count list folds into ONE row "
+    "(bounded by #sources, a constant), and the ordered pairs with "
+    "their n_a·n_b mass expand INSIDE that row by array transforms "
+    "(r15: the earlier self-join form consumed the span frame twice "
+    "and its sf100 exponent wobbled 0.93-1.08; gram-local expansion "
+    "measured 0.91 with no join anywhere — plan contract "
+    "test_cross_source_dups_pair_expansion_is_gram_local).  A "
+    "boilerplate span in a million docs contributes ONE row per "
+    "source, not 10^12 pairs, so no df cap is needed.  a.source < "
+    "b.source halves the matrix deterministically; sub-8-word and "
+    "NULL texts drop out of both engines identically.  Output ≤ "
+    "#sources² rows.",
 )
 def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1488,41 +1493,41 @@ def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     spans = d.select("source", F.explode(gram).alias("g"))
-    # Pinned, DISK_ONLY (r15 third-decade, 0.93 exponent): the pair
-    # self-join consumes h on BOTH sides through differently-named
-    # projections, so Catalyst reuses neither the subplan nor the
-    # exchange — unpinned, the corpus explode + md5 scan + (g, source)
-    # aggregate ran twice per query.  Fact-scale pins ride disk (the
-    # llm_item_cf_topk heap lesson).
-    from pyspark import StorageLevel
-
-    h = (
-        spans.groupBy("g", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    h = spans.groupBy("g", "source").agg(F.count(F.lit(1)).alias("n"))
+    # Pair expansion is GRAM-LOCAL, not a self-join (r15 third-decade:
+    # the join form consumed the 250M-row span frame twice — one side
+    # a ReusedExchange, but both sides still sorted/hashed — and its
+    # exponent wobbled 0.93-1.08 across runs, a spill-regime smell).
+    # Each gram's source list is bounded by #sources (constant), so
+    # folding h by g into a source-count array and expanding ordered
+    # pairs inside the row (the _expand_pairs shape) replaces the join
+    # with one more compact exchange + a scan-local transform; the
+    # (g, source) partitioning already clusters g, so AQE plans the
+    # fold without re-shuffling raw span rows.
+    per_g = h.groupBy("g").agg(
+        F.collect_list(F.struct("source", "n")).alias("ss")
     )
-    a = h.select(
-        F.col("g"),
-        F.col("source").alias("source_a"),
-        F.col("n").alias("na"),
-    )
-    b = h.select(
-        F.col("g").alias("gb"),
-        F.col("source").alias("source_b"),
-        F.col("n").alias("nb"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("g") == F.col("gb"))
-            & (F.col("source_a") < F.col("source_b")),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.transform(
+                F.filter(
+                    F.col("ss"), lambda y: y["source"] > x["source"]
+                ),
+                lambda y: F.struct(
+                    x["source"].alias("source_a"),
+                    y["source"].alias("source_b"),
+                    (x["n"] * y["n"]).alias("m"),
+                ),
+            ),
         )
-        .groupBy("source_a", "source_b")
+    )
+    pairs = per_g.select(F.explode(pair_arr).alias("p")).select("p.*")
+    return (
+        pairs.groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("shared_spans"),
-            F.sum(F.col("na") * F.col("nb")).cast("long").alias(
-                "dup_mass"
-            ),
+            F.sum("m").cast("long").alias("dup_mass"),
         )
         .select("source_a", "source_b", "shared_spans", "dup_mass")
         .orderBy("source_a", "source_b")

@@ -979,3 +979,19 @@ def test_split_leakage_dedup_is_scan_local(spark):
     ), "corpus-wide distinct aggregate reintroduced"
     # (No Exchange-freedom assertion: with_min_scan_parallelism adds
     # a legitimate scan-widening repartition on small inputs.)
+
+
+def test_cross_source_dups_pair_expansion_is_gram_local(spark):
+    """X49 (r15 third-decade): the source-pair matrix contains NO join
+    — each gram's source-count list folds into one row (bounded by
+    #sources) and ordered pairs expand INSIDE that row with array
+    transforms.  The earlier self-join form consumed the 250M-row span
+    frame twice (sorted/hashed on both sides even with the exchange
+    reused) and its sf100 exponent wobbled 0.93-1.08 across runs; the
+    gram-local form measured 0.91 with one fewer corpus consumption.
+    A reintroduced join on the span fingerprint fails here."""
+    plan = executed_plan(spark, "llm_cross_source_dups", full=True)
+    assert "Join" not in plan, "span self-join reintroduced"
+    assert "flatten" in plan and "transform" in plan, (
+        "gram-local pair expansion gone"
+    )
