@@ -1545,16 +1545,28 @@ _SQL_MATCHES = " + ".join(
 _SQL_EST = "CAST(j.n_match AS DOUBLE) / 8.0"
 
 
-def _fp_grams_frame(dd: DataFrame) -> DataFrame:
-    """documents frame → (doc_id, fps): the within-doc-DISTINCT 60-bit
-    md5-prefix shingle fingerprint ARRAY, computed scan-locally (no
-    explode, no shuffle — the r14 third-decade rewrite; dedup on fps,
-    not strings, mirrors the oracle's DISTINCT(doc, g) exactly even
-    under a fingerprint collision)."""
-    dd = dd.withColumn("_w", F.split("text", " ", -1)).filter(
+def _with_words(dd: DataFrame) -> DataFrame:
+    """Attach the split-words column `_w` (sub-3-word docs dropped)."""
+    return dd.withColumn("_w", F.split("text", " ", -1)).filter(
         F.size("_w") >= 3
     )
-    fps = F.array_distinct(
+
+
+def _fp_gram_expr():
+    """The within-doc-DISTINCT 60-bit md5-prefix shingle fingerprint
+    ARRAY over a `_w` words column, as a raw EXPRESSION (the r14
+    third-decade rewrite; dedup on fps, not strings, mirrors the
+    oracle's DISTINCT(doc, g) exactly even under a fingerprint
+    collision).  Callers that explode it must pass THIS expression to
+    explode directly, not a projected alias of it: with an alias,
+    InferFiltersFromGenerate adds a cheap-looking size(col) > 0
+    filter that predicate pushdown then rewrites through the
+    projection into size(<whole md5 transform>) — duplicating the
+    most expensive expression in the plan into a per-row filter
+    (measured 2.6 s extra on X58 at sf0.1, r15; the rule skips
+    expensive generator inputs, so the raw-expression form never
+    grows the filter)."""
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("_w") - 2),
             lambda i: F.conv(
@@ -1575,7 +1587,14 @@ def _fp_grams_frame(dd: DataFrame) -> DataFrame:
             ).cast("long"),
         )
     )
-    return dd.select("doc_id", fps.alias("fps"))
+
+
+def _fp_grams_frame(dd: DataFrame) -> DataFrame:
+    """documents frame → (doc_id, fps) with the fingerprint array as a
+    MATERIALIZED column — the store-build shape (the parquet write
+    needs a named column; no explode happens above it, so the
+    _fp_gram_expr alias hazard does not apply)."""
+    return _with_words(dd).select("doc_id", _fp_gram_expr().alias("fps"))
 
 
 def _sig_match_frame(cand: DataFrame, sigs: DataFrame) -> DataFrame:
@@ -1717,20 +1736,23 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand pin rests on) — at sf100 that cut the 260M-md5 fps
     # computation to the candidate 29% and shrank every downstream
     # join with it.
-    dd = with_min_scan_parallelism(
-        spark, load_table(spark, sf_dir, "documents")
+    dd = _with_words(
+        with_min_scan_parallelism(
+            spark, load_table(spark, sf_dir, "documents")
+        ).join(F.broadcast(_cand_doc_ids(cand)), "doc_id", "semi")
     )
-    st = _fp_grams_frame(
-        dd.join(F.broadcast(_cand_doc_ids(cand)), "doc_id", "semi")
-    )
-    dg = st.select("doc_id", F.explode("fps").alias("g"))
+    # Raw EXPRESSION into explode, not a projected alias — see
+    # _fp_gram_expr for the InferFiltersFromGenerate duplication this
+    # avoids (r15: the aliased form cost 2.6 s extra at sf0.1).
+    fps = _fp_gram_expr()
+    dg = dd.select("doc_id", F.explode(fps).alias("g"))
     # Per-doc distinct-gram count is the fp array's own length — a
     # scan-local projection, not a corpus-wide doc_id shuffle (r14:
     # that shuffle was most of the exact leg's sf100 cost).  Pinned
     # (doc-dimension rows) so the nza/nzb consumers don't each rerun
     # the 260M-md5 fps computation.
-    sizes = st.select(
-        "doc_id", F.size("fps").cast("long").alias("n")
+    sizes = dd.select(
+        "doc_id", F.size(fps).cast("long").alias("n")
     ).localCheckpoint()
     ga = dg.select(F.col("doc_id").alias("doc_a"), "g")
     gb = dg.select(F.col("doc_id").alias("doc_b"), "g")

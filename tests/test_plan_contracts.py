@@ -995,3 +995,21 @@ def test_cross_source_dups_pair_expansion_is_gram_local(spark):
     assert "flatten" in plan and "transform" in plan, (
         "gram-local pair expansion gone"
     )
+
+
+def test_minhash_calibration_fps_not_duplicated_into_filters(spark):
+    """X58 (r15 regression, caught by the round's own bench): explode
+    must receive the fingerprint-array EXPRESSION, not a projected
+    alias — with an alias, InferFiltersFromGenerate's size(col) > 0
+    guard gets rewritten through the projection by predicate pushdown
+    and the whole md5-transform lands in a per-row Filter, doubling
+    the scan cost (5.7 s vs 2.8 s at sf0.1).  Every array_distinct in
+    the executed plan must sit in a Generate or Project node, never a
+    Filter."""
+    plan = executed_plan(spark, "llm_minhash_calibration", full=True)
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "array_distinct" in line and "Filter" in line
+    ]
+    assert not bad, f"fps expression duplicated into filters: {bad[:1]}"
