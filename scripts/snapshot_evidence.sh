@@ -38,7 +38,14 @@ for f in BENCH_*.json CORRECTNESS_*.json LEAKCHECK.json COPYCHECK.json \
          EXPLAIN.md SCALE.md NULL_SWEEP.log; do
     # if/fi, not `[ -e ] &&` — under set -e a trailing false test on
     # the last loop iteration would abort the script.
-    if [ -e "$f" ]; then git add -- "$f"; fi
+    # Skip driver-owned gitignored artifacts (r15: LEAKCHECK.json is
+    # in .gitignore; once the driver has written it, `git add` errors
+    # and set -e aborted the whole snapshot before the commit —
+    # the r14 run only survived because the file was absent
+    # mid-round).
+    if [ -e "$f" ] && ! git check-ignore -q -- "$f"; then
+        git add -- "$f"
+    fi
 done
 if git diff --cached --quiet; then
     echo "evidence snapshot: nothing new to commit"
