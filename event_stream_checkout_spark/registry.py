@@ -136,30 +136,32 @@ ROUND_MODIFIED: tuple[str, ...] = (
     # verdict's item 1: every r9-stale key must refresh this round):
     # new keys + this re-grade + 47 r9-stale keys must stay <= 50.
     "llm_minhash_calibration",
-    # TRAILING pristine no-op (r15 review): _theta_store_tag now
-    # delegates to the shared scratch.store_tag helper — the tag
-    # formula, table names, and plan are byte-identical.  1 new + 2
-    # leading re-grades + 47 r9-stale = 50, so this 51st candidate
-    # waits a round; local parity + the unchanged plan contract
-    # cover it (the sanctioned trailing-no-op case above).
+)
+
+
+# Pristine no-op rewrites DEFERRED to next round's window (r15): this
+# tuple does NOT affect load_all ordering — entries here were changed
+# this round but verified output-identical (local parity + NULL sweep
+# + the full test suite), and the window has no room (1 new + the 2
+# ROUND_MODIFIED re-grades + 47 r9-stale keys = exactly 50, and the
+# r14 verdict's item 1 requires every r9 key to refresh).  THE NEXT
+# ROUND'S EDITOR MUST MOVE THESE INTO ROUND_MODIFIED so the driver
+# re-grades them:
+# - agg_theta_intersect_persisted — _theta_store_tag delegates to the
+#   shared scratch.store_tag helper (tag formula, table names, plan
+#   byte-identical).
+# - llm_item_cf_topk — two fact-scale localCheckpoints moved to
+#   DISK_ONLY after the sf100 heap OOM (storage level only).
+# - llm_split_leakage — within-doc gram dedup moved from a corpus-wide
+#   shuffling .distinct() to scan-local array_distinct on the in-row
+#   STRING shingle array (no hash protocol change, oracle untouched —
+#   identical by construction); fact-scale pin DISK_ONLY.
+# - graph_link_prediction — edge/adjacency pins DISK_ONLY (storage
+#   level only).
+ROUND_MODIFIED_DEFERRED: tuple[str, ...] = (
     "agg_theta_intersect_persisted",
-    # TRAILING pristine no-op: the CF key's two fact-scale pins moved
-    # to DISK_ONLY after the sf100 third-decade run blew the 48g heap
-    # (storage level only — identical rows, identical plan shape;
-    # parity re-verified locally).  Same trailing rationale as above.
     "llm_item_cf_topk",
-    # TRAILING pristine no-op: X66's within-doc gram dedup moved from
-    # a corpus-wide shuffling .distinct() to scan-local array_distinct
-    # on the in-row shingle array (r15 third-decade: 1.05 exponent,
-    # the r14 containment pathology) — STRING grams throughout, no
-    # hash protocol change, oracle untouched, so the output is
-    # identical BY CONSTRUCTION (not merely collision-free at graded
-    # sizes); plus the fact-scale pin moved to DISK_ONLY.
     "llm_split_leakage",
-    # TRAILING pristine no-op: G5's edge and adjacency pins moved to
-    # DISK_ONLY (storage level only — identical rows and plan shape;
-    # parity re-verified) after the 0.95 sf100 exponent pointed at
-    # heap/GC pressure from two fact-scale in-memory pins.
     "graph_link_prediction",
 )
 
