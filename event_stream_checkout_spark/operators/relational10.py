@@ -213,53 +213,79 @@ ORDER BY item, rnk
     "window); the seed cut broadcasts 20 ids.",
 )
 def q_llm_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     pp0 = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
             F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
         )
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        # Feeds the gate twice (counts + edges).  DISK_ONLY (r15): the
-        # default deserialized MEMORY_AND_DISK pin of this FACT-scale
-        # frame, held concurrently with the gated pin below, blew the
-        # 48g heap at sf100 (600M distinct pairs; third-decade bench).
-        # Corpus-scale pins ride disk; only dimension-sized pins stay
-        # in memory — on a real cluster the same pin distributes, but
-        # the single-JVM bench is the memory-pressure worst case and
-        # the policy is safe at both extremes.
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        # No .distinct() and no pin: item_cf_topk's basket fold
+        # (collect_set per order) dedups inside its one corpus-scale
+        # exchange — a separate distinct would shuffle the 600M-row
+        # frame once more for nothing (r15 second pass).
     )
     return item_cf_topk(pp0)
 
 
 def item_cf_topk(pp0: DataFrame) -> DataFrame:
-    """X72 body over any distinct (l_orderkey, l_partkey) frame —
-    factored out so the semantics test can drive it with hand-built
-    baskets of known cosine."""
+    """X72 body over any (l_orderkey, l_partkey) frame (duplicates
+    tolerated — the basket fold dedups) — factored out so the
+    semantics test can drive it with hand-built baskets of known
+    cosine.
+
+    Shape (r15 second pass — the X49 gram-local lesson applied to
+    baskets): ONE corpus-scale exchange folds each order's DISTINCT
+    parts into a sorted basket array (collect_set = the dedup AND the
+    2..CAP gate input in one pass); ordered pairs then expand INSIDE
+    the basket row by array transforms (<= C(32,2) structs, the gate
+    bound), and per-item counts explode the same pinned basket frame.
+    The previous shape (distinct -> gate count shuffle -> gate
+    semi-join -> pair SELF-join) moved the 600M-row pair frame through
+    ~6 corpus-scale exchanges and two disk stagings at sf100; it
+    first OOM'd the 48g heap (fixed by DISK_ONLY pins), then still
+    measured a 0.90 third-decade exponent — this form stages only the
+    #orders-row basket frame."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    from .relational9 import copurchase_gate, copurchase_pairs
+    from .relational9 import _COPURCHASE_BASKET_CAP, _COPURCHASE_MIN_SUP
 
-    from pyspark import StorageLevel
-
-    # Pinned: ONE gated frame feeds both the per-item counts and the
-    # pair expansion — the r13 first cut ran the basket gate once per
-    # consumer (a full pp0 shuffle each).  Same scale as pp0, so the
-    # same DISK_ONLY discipline (see q_llm_item_cf_topk).
-    pp = copurchase_gate(pp0).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
+    # Pinned (order-dimension rows, <= CAP-element arrays): the basket
+    # frame feeds the per-item counts AND the pair expansion.
+    # DISK_ONLY — the fact-scale pin discipline.
+    baskets = (
+        pp0.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items").between(2, _COPURCHASE_BASKET_CAP))
+        .select("items")
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     # Pinned (part-dimension rows): cnt feeds ci, cj AND the seed cut —
-    # unpinned, the per-item count aggregate shuffles pp three times.
+    # unpinned, the count aggregate re-reads baskets per consumer.
     cnt = (
-        pp.groupBy(F.col("l_partkey").alias("i"))
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    e = copurchase_pairs(pp).select("pa", "pb", "sup")
+    # Ordered pairs expand basket-locally; raw EXPRESSION into explode
+    # (the InferFiltersFromGenerate alias trap, llm_curate._fp_gram_expr).
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x: F.transform(
+                F.filter(F.col("items"), lambda y: y > x),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    e = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _COPURCHASE_MIN_SUP)
+    )
     sym = e.select(
         F.col("pa").alias("i"), F.col("pb").alias("j"), "sup"
     ).unionAll(

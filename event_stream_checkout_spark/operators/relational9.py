@@ -896,6 +896,44 @@ _LP_MIN_CN = 2
 _LP_TOPK = 20
 
 
+def basket_copurchase_pairs(pp0_raw: DataFrame) -> DataFrame:
+    """Support-capped co-purchase edges via the BASKET-LOCAL shape
+    (r15 second pass, the X72/X49 lesson): ONE corpus-scale exchange
+    folds each order's DISTINCT parts into a sorted basket array
+    (collect_set dedups raw rows AND feeds the 2..CAP gate in the
+    same pass); ordered pairs expand INSIDE the basket row (<=
+    C(CAP,2) structs) and aggregate to (pa, pb, sup).  Byte-identical
+    output to ``copurchase_edges(distinct(pp0_raw))`` — the gate,
+    order, and support semantics are unchanged — with the distinct
+    exchange, the gate count shuffle, the gate semi-join, and the
+    pair SELF-join all gone (X72 measured 300 s -> 80 s at sf100
+    from this shape).  Raw EXPRESSION into explode (the
+    InferFiltersFromGenerate alias trap, llm_curate._fp_gram_expr)."""
+    baskets = (
+        pp0_raw.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items").between(2, _COPURCHASE_BASKET_CAP))
+        .select("items")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x: F.transform(
+                F.filter(F.col("items"), lambda y: y > x),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _COPURCHASE_MIN_SUP)
+    )
+
+
+
 @register(
     "graph_link_prediction",
     oracle="WITH " + _COPURCHASE_GATE_SQL + ", "
@@ -941,19 +979,18 @@ _LP_TOPK = 20
     f"top-{_LP_TOPK} is a TakeOrdered.",
 )
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp0 = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    pp0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    # DISK_ONLY (r15): fact-scale pins ride disk — the deserialized
-    # in-memory default, held together with the adjacency pin inside
-    # link_prediction, drove the sf100 third-decade run to a 0.95
-    # exponent from heap/GC pressure (the llm_item_cf_topk lesson).
+    # Edge list via the basket-local shape (no distinct, no gate
+    # shuffles, no pair self-join — see basket_copurchase_pairs).
+    # Pinned DISK_ONLY: link_prediction consumes e three times (two
+    # adjacency unions + the anti-join), and fact-scale pins ride
+    # disk (the llm_item_cf_topk heap lesson).
     from pyspark import StorageLevel
 
     e = (
-        copurchase_edges(pp0)
+        basket_copurchase_pairs(pp0)
         .select("pa", "pb")
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
@@ -973,20 +1010,32 @@ def link_prediction(e: DataFrame) -> DataFrame:
     low_mid = deg.filter(F.col("d") <= _LP_MID_DEG_CAP).select(
         F.col("n").alias("nb")
     )
-    # Pinned (adjacency-scale, same order as the checkpointed edge
-    # list): the wedge self-join reads mid twice — unpinned, the
-    # degree-gate semi-join executes once per leg.  DISK_ONLY: the
-    # fact-scale pin discipline (see q_graph_link_prediction).
-    from pyspark import StorageLevel
-
-    mid = adj.join(low_mid, "nb", "semi").localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
+    # Wedges expand MIDDLE-LOCALLY, not by self-join (r15 second pass
+    # — the basket-local lesson from X72/X49): each gated middle's
+    # neighbor list is bounded by the degree cap (<= 64 entries, so
+    # <= C(64,2) = 2016 pair structs per row), so one groupBy(nb)
+    # fold + an in-row ordered-pair transform replaces the a⋈b wedge
+    # join that consumed the adjacency frame twice.  No mid pin
+    # needed — the folded frame is consumed once.  Raw EXPRESSION
+    # into explode (the InferFiltersFromGenerate alias trap,
+    # llm_curate._fp_gram_expr).
+    mids = (
+        adj.join(low_mid, "nb", "semi")
+        .groupBy("nb")
+        .agg(F.sort_array(F.collect_set("n")).alias("ns"))
     )
-    a = mid.select(F.col("n").alias("x"), "nb")
-    b = mid.select(F.col("n").alias("y"), "nb")
+    wedge_arr = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda u: F.transform(
+                F.filter(F.col("ns"), lambda v: v > u),
+                lambda v: F.struct(u.alias("x"), v.alias("y")),
+            ),
+        )
+    )
     cn = (
-        a.join(b, "nb")
-        .filter(F.col("x") < F.col("y"))
+        mids.select(F.explode(wedge_arr).alias("w"))
+        .select("w.*")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
         .filter(F.col("common_neighbors") >= _LP_MIN_CN)
