@@ -313,12 +313,13 @@ def q_graph_copurchase_components(
 ) -> DataFrame:
     from .llm_advanced import _connected_components
 
-    pp0 = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Edge list via the basket-local shape (r15: one corpus-scale
+    # exchange replaces distinct + gate shuffles + the pair self-join
+    # — see basket_copurchase_pairs; byte-identical edges).
+    pp0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    e = copurchase_edges(pp0).localCheckpoint()
+    e = basket_copurchase_pairs(pp0).localCheckpoint()
     edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -496,12 +497,11 @@ def triangle_census(e: DataFrame) -> DataFrame:
 def q_graph_copurchase_triangles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pp0 = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Basket-local edge build (see basket_copurchase_pairs, r15).
+    pp0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    e = basket_copurchase_pairs(pp0).select("pa", "pb").localCheckpoint()
     return triangle_census(e)
 
 
@@ -554,12 +554,11 @@ def q_graph_copurchase_triangles(
 def q_graph_copurchase_local_clustering(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pp0 = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Basket-local edge build (see basket_copurchase_pairs, r15).
+    pp0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    e = copurchase_edges(pp0).select("pa", "pb").localCheckpoint()
+    e = basket_copurchase_pairs(pp0).select("pa", "pb").localCheckpoint()
     deg = edge_degrees(e)  # shared with the enumeration below
     # Pinned: the corner union reads the triangle frame THREE times —
     # unpinned, the whole wedge+closure join would execute 3x (the

@@ -158,11 +158,19 @@ ROUND_MODIFIED: tuple[str, ...] = (
 #   identical by construction); fact-scale pin DISK_ONLY.
 # - graph_link_prediction — edge/adjacency pins DISK_ONLY (storage
 #   level only).
+# - graph_copurchase_components / _triangles / _local_clustering —
+#   edge construction moved to the shared basket-local shape
+#   (basket_copurchase_pairs; byte-identical edges by construction,
+#   parity + the 19 graph-family tests re-verified; sf10 suite times
+#   fell 3.4-5.8×).
 ROUND_MODIFIED_DEFERRED: tuple[str, ...] = (
     "agg_theta_intersect_persisted",
     "llm_item_cf_topk",
     "llm_split_leakage",
     "graph_link_prediction",
+    "graph_copurchase_components",
+    "graph_copurchase_triangles",
+    "graph_copurchase_local_clustering",
 )
 
 
