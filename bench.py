@@ -239,6 +239,10 @@ EXTRA = [
     "graph_link_prediction",
     "llm_template_prefix_groups",
     "win_gap_fill_locf",
+    # r15: the persisted minhash-store probe — cycle 1 pays the
+    # signature/band/fingerprint store build (the r10c persisted-ANN
+    # pattern), later cycles time the zero-corpus-scan probe.
+    "llm_minhash_calibration_persisted",
 ]
 
 SF1_RESULTS = Path(__file__).resolve().parent / "BENCH_SF1.json"
