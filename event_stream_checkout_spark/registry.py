@@ -116,62 +116,46 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r15, behavioral first: X49's span frame and pair self-join
-    # shuffled 16-char hex strings — the exact pathology the r14
-    # third-decade bench fixed on X33/X54 (ADVICE r14 item 1 asked
-    # for the same cure here).  Engine AND oracle moved together to
-    # 60-bit md5-prefix BIGINT fingerprints; outputs identical on the
-    # graded corpora (no fp collision at these sizes, verified at
-    # sf0.1), oracle string changed, so it re-grades.  The same round
-    # also pinned its (g, source) frame DISK_ONLY: the pair self-join
-    # consumed it through two renamed projections, recomputing the
-    # corpus explode per side (third-decade profiling).
-    "llm_cross_source_dups",
-    # X58's body was refactored into shared helpers
-    # (_sig_match_frame / _fp_grams_frame / _calibration_report,
-    # reused by the new persisted-store probe X58b) with an identical
-    # logical plan and the oracle string unchanged — a provably-
-    # pristine no-op, but the engine code moved, so it queues for
-    # re-grade per this block's contract.  Window budget (the r14
-    # verdict's item 1: every r9-stale key must refresh this round):
-    # new keys + this re-grade + 47 r9-stale keys must stay <= 50.
-    "llm_minhash_calibration",
-)
-
-
-# Pristine no-op rewrites DEFERRED to next round's window (r15): this
-# tuple does NOT affect load_all ordering — entries here were changed
-# this round but verified output-identical (local parity + NULL sweep
-# + the full test suite), and the window has no room (1 new + the 2
-# ROUND_MODIFIED re-grades + 47 r9-stale keys = exactly 50, and the
-# r14 verdict's item 1 requires every r9 key to refresh).  THE NEXT
-# ROUND'S EDITOR MUST MOVE THESE INTO ROUND_MODIFIED so the driver
-# re-grades them:
-# - agg_theta_intersect_persisted — _theta_store_tag delegates to the
-#   shared scratch.store_tag helper (tag formula, table names, plan
-#   byte-identical).
-# - llm_item_cf_topk — two fact-scale localCheckpoints moved to
-#   DISK_ONLY after the sf100 heap OOM (storage level only).
-# - llm_split_leakage — within-doc gram dedup moved from a corpus-wide
-#   shuffling .distinct() to scan-local array_distinct on the in-row
-#   STRING shingle array (no hash protocol change, oracle untouched —
-#   identical by construction); fact-scale pin DISK_ONLY.
-# - graph_link_prediction — edge/adjacency pins DISK_ONLY (storage
-#   level only).
-# - graph_copurchase_components / _triangles / _local_clustering —
-#   edge construction moved to the shared basket-local shape
-#   (basket_copurchase_pairs; byte-identical edges by construction,
-#   parity + the 19 graph-family tests re-verified; sf10 suite times
-#   fell 3.4-5.8×).
-ROUND_MODIFIED_DEFERRED: tuple[str, ...] = (
-    "agg_theta_intersect_persisted",
-    "llm_item_cf_topk",
-    "llm_split_leakage",
-    "graph_link_prediction",
+    # r16: the seven r15 rewrites whose re-grade was deferred (the r15
+    # window was full — see the r15 entry in the VERDICT.md table,
+    # marked †).  All were verified output-identical locally in r15
+    # (per-key DuckDB parity, NULL sweep, full test suite) and the
+    # judge re-ran that 699-test suite against the current code, but
+    # the DRIVER grade must catch up to the shipped code — this is
+    # r16 verdict item 1.  Behavioral-risk order (storage-level-only
+    # changes trail):
+    # - graph_copurchase_* — edge construction moved to the shared
+    #   basket-local shape (basket_copurchase_pairs; byte-identical
+    #   edges by construction).
+    # - graph_link_prediction — same edge builder + DISK_ONLY pins.
+    # - llm_split_leakage — within-doc gram dedup moved from a
+    #   corpus-wide .distinct() to scan-local array_distinct.
+    # - llm_item_cf_topk — fact-scale localCheckpoints → DISK_ONLY
+    #   (storage level only, after the sf100 heap OOM).
+    # - agg_theta_intersect_persisted — _theta_store_tag delegates to
+    #   scratch.store_tag (tag formula/table names byte-identical).
     "graph_copurchase_components",
     "graph_copurchase_triangles",
     "graph_copurchase_local_clustering",
+    "graph_link_prediction",
+    "llm_split_leakage",
+    "llm_item_cf_topk",
+    "agg_theta_intersect_persisted",
 )
+
+
+# Pristine no-op rewrites DEFERRED to a LATER round's window: entries
+# here were changed in round ``deferred_in`` but verified
+# output-identical (local parity + NULL sweep + full test suite), and
+# that round's 50-key window had no room.  Each entry carries the
+# round it was deferred in; tests/test_registry_contracts.py fails
+# the suite once driver evidence for ``deferred_in`` exists on disk
+# and the key has not been promoted into ROUND_MODIFIED — so the
+# promotion cannot be silently skipped (ADVICE r15 item 3: the old
+# bare-tuple + comment contract had no mechanical teeth).
+#
+# r16: empty — all seven r15 deferrals promoted above.
+ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = ()
 
 
 # Keys that must take the FIRST slots of this round's window.
