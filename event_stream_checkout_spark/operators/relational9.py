@@ -255,15 +255,33 @@ def copurchase_edges(pp0: DataFrame) -> DataFrame:
     BETWEEN-2-AND-CAP basket gate semi-joins the pair leg BEFORE the
     self-join, so one degenerate basket must contribute zero join
     INPUT rows — never a C(n,2) pair block (r12, the r11 verdict's
-    robustness note on G2)."""
-    return copurchase_pairs(copurchase_gate(pp0))
+    robustness note on G2).
+
+    NULL keys dropped up front, matching ``basket_copurchase_pairs``
+    (ADVICE r15 item 1): without the filter the gate's count(*) sees
+    NULL-part rows the pair self-join then drops, so the two builders
+    would diverge at the 2..CAP boundary on dirty data — the
+    byte-identity contract between them is pinned by
+    tests/test_wave12.py on a null-key corpus."""
+    return copurchase_pairs(
+        copurchase_gate(
+            pp0.filter(
+                F.col("l_orderkey").isNotNull()
+                & F.col("l_partkey").isNotNull()
+            )
+        )
+    )
 
 
 
 @register(
     "graph_copurchase_components",
     oracle="WITH RECURSIVE "
-    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    # NULL-key exclusion mirrors _COPURCHASE_GATE_SQL (ADVICE r15
+    # item 1) — this oracle inlines the gate because WITH RECURSIVE
+    # needs its own CTE chain.
+    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), "
     "ok AS (SELECT l_orderkey FROM pp0 GROUP BY 1 "
     f"HAVING count(*) BETWEEN 2 AND {_COPURCHASE_BASKET_CAP}), "
     "pp AS (SELECT pp0.* FROM pp0 JOIN ok USING (l_orderkey)), "
@@ -344,7 +362,12 @@ def q_graph_copurchase_components(
 # ---------------------------------------------------------------------------
 
 _COPURCHASE_GATE_SQL = (
-    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    # NULL keys excluded EXPLICITLY (ADVICE r15 item 1): the engine
+    # filters them up front (basket_copurchase_pairs), and without
+    # this WHERE the oracle's HAVING count(*) would count a NULL-part
+    # row, shifting the 2..CAP gate at the boundary on dirty data.
+    "pp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), "
     "ok AS (SELECT l_orderkey FROM pp0 GROUP BY 1 "
     "HAVING count(*) BETWEEN 2 AND 32), "
     "pp AS (SELECT pp0.* FROM pp0 JOIN ok USING (l_orderkey)), "
@@ -907,9 +930,21 @@ def basket_copurchase_pairs(pp0_raw: DataFrame) -> DataFrame:
     exchange, the gate count shuffle, the gate semi-join, and the
     pair SELF-join all gone (X72 measured 300 s -> 80 s at sf100
     from this shape).  Raw EXPRESSION into explode (the
-    InferFiltersFromGenerate alias trap, llm_curate._fp_gram_expr)."""
+    InferFiltersFromGenerate alias trap, llm_curate._fp_gram_expr).
+
+    NULL keys are dropped up front (ADVICE r15 item 1): the oracle's
+    equi-joins and the old semi-join/self-join shape both discard
+    NULL l_orderkey/l_partkey, but groupBy keeps a NULL-orderkey
+    group as a basket and collect_set silently drops NULL parts while
+    the oracle's HAVING count(*) would still count the row — so
+    without the filter the 2..CAP gate shifts at the boundary on
+    dirty data.  A no-op on clean keys (TPC-H lineitem keys are
+    NOT NULL); pinned by the null-key case in tests/test_wave12.py."""
     baskets = (
-        pp0_raw.groupBy("l_orderkey")
+        pp0_raw.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .filter(F.size("items").between(2, _COPURCHASE_BASKET_CAP))
         .select("items")

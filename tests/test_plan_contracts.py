@@ -989,9 +989,18 @@ def test_cross_source_dups_pair_expansion_is_gram_local(spark):
     frame twice (sorted/hashed on both sides even with the exchange
     reused) and its sf100 exponent wobbled 0.93-1.08 across runs; the
     gram-local form measured 0.91 with one fewer corpus consumption.
-    A reintroduced join on the span fingerprint fails here."""
+    A reintroduced join on the span fingerprint fails here.  The
+    check matches the specific physical join node names, not the bare
+    substring 'Join' (ADVICE r15 item 4: any incidental plan text
+    containing 'Join' — a hint name, a node rename across Spark
+    versions — made the bare form brittle in both directions)."""
     plan = executed_plan(spark, "llm_cross_source_dups", full=True)
-    assert "Join" not in plan, "span self-join reintroduced"
+    joins = re.findall(
+        r"\b(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)\b",
+        plan,
+    )
+    assert not joins, f"span self-join reintroduced: {sorted(set(joins))}"
     assert "flatten" in plan and "transform" in plan, (
         "gram-local pair expansion gone"
     )

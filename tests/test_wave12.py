@@ -103,13 +103,29 @@ def test_lsh_tuning_single_pair_pipeline(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_copurchase_basket_gate_blocks_oversized_order(spark):
-    """copurchase_edges: an order with more distinct parts than the cap
-    contributes ZERO pair rows (it is excluded before the self-join),
+def _copurchase_builders():
+    """Both edge builders under the same adversarial contract (ADVICE
+    r15 item 2: the cap-guard tests drove only copurchase_edges after
+    the live path moved to basket_copurchase_pairs — the r12
+    degenerate-basket guarantee was asserted against dead code)."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        basket_copurchase_pairs,
+        copurchase_edges,
+    )
+
+    return [
+        pytest.param(copurchase_edges, id="copurchase_edges"),
+        pytest.param(basket_copurchase_pairs, id="basket_copurchase_pairs"),
+    ]
+
+
+@pytest.mark.parametrize("builder", _copurchase_builders())
+def test_copurchase_basket_gate_blocks_oversized_order(spark, builder):
+    """Either builder: an order with more distinct parts than the cap
+    contributes ZERO pair rows (it is excluded before pair expansion),
     while normal baskets still form their support-counted edges."""
     from event_stream_checkout_spark.operators.relational9 import (
         _COPURCHASE_BASKET_CAP,
-        copurchase_edges,
     )
 
     rows = []
@@ -120,9 +136,73 @@ def test_copurchase_basket_gate_blocks_oversized_order(spark):
     rows += [Row(l_orderkey=2, l_partkey=7), Row(l_orderkey=2, l_partkey=9)]
     rows += [Row(l_orderkey=3, l_partkey=7), Row(l_orderkey=3, l_partkey=9)]
     pp = spark.createDataFrame(rows)
-    got = {(r["pa"], r["pb"], r["sup"])
-           for r in copurchase_edges(pp).collect()}
+    got = {(r["pa"], r["pb"], r["sup"]) for r in builder(pp).collect()}
     assert got == {(7, 9, 2)}, got
+
+
+@pytest.mark.parametrize("builder", _copurchase_builders())
+def test_copurchase_null_keys_dropped(spark, builder):
+    """NULL l_orderkey / l_partkey rows never reach the gate or the
+    pair expansion (ADVICE r15 item 1: groupBy keeps a NULL-orderkey
+    basket and collect_set drops NULL parts AFTER the row was counted
+    by a SQL oracle's count(*), so unfiltered null keys shift the
+    2..CAP gate at the boundary).  Both builders must drop them up
+    front and agree with the oracle's equi-join semantics."""
+    rows = [
+        # NULL-orderkey basket: must form NO edges even though its
+        # two parts co-occur "in one basket" under a groupBy that
+        # keeps the null group.
+        Row(l_orderkey=None, l_partkey=51),
+        Row(l_orderkey=None, l_partkey=52),
+        # order 2: exactly 2 real parts + a NULL part.  The NULL row
+        # must not count toward the basket size (unfiltered, a SQL
+        # count(*) gate would see 3).
+        Row(l_orderkey=2, l_partkey=7),
+        Row(l_orderkey=2, l_partkey=9),
+        Row(l_orderkey=2, l_partkey=None),
+        # order 3: the same bundle, pushing support to the >= 2 gate
+        Row(l_orderkey=3, l_partkey=7),
+        Row(l_orderkey=3, l_partkey=9),
+    ]
+    pp = spark.createDataFrame(
+        rows, schema="l_orderkey bigint, l_partkey bigint"
+    )
+    got = {(r["pa"], r["pb"], r["sup"]) for r in builder(pp).collect()}
+    assert got == {(7, 9, 2)}, got
+
+
+def test_copurchase_builders_identical_on_null_boundary(spark):
+    """The byte-identity contract between copurchase_edges and
+    basket_copurchase_pairs, exercised AT the cap boundary with null
+    keys mixed in: a basket with exactly CAP real parts plus one NULL
+    part must pass the gate in BOTH builders (the null row does not
+    count), and the edge sets must match exactly."""
+    from event_stream_checkout_spark.operators.relational9 import (
+        _COPURCHASE_BASKET_CAP,
+        basket_copurchase_pairs,
+        copurchase_edges,
+    )
+
+    cap = _COPURCHASE_BASKET_CAP
+    rows = []
+    # two orders with the SAME cap-sized basket (+1 null part each):
+    # every in-basket pair reaches support 2
+    for ok in (1, 2):
+        rows += [Row(l_orderkey=ok, l_partkey=p) for p in range(cap)]
+        rows += [Row(l_orderkey=ok, l_partkey=None)]
+    # a null-orderkey basket that must vanish
+    rows += [Row(l_orderkey=None, l_partkey=p) for p in (1, 2, 3)]
+    pp = spark.createDataFrame(
+        rows, schema="l_orderkey bigint, l_partkey bigint"
+    )
+    a = {(r["pa"], r["pb"], r["sup"])
+         for r in copurchase_edges(pp).collect()}
+    b = {(r["pa"], r["pb"], r["sup"])
+         for r in basket_copurchase_pairs(pp).collect()}
+    assert a == b
+    # the boundary basket PASSED the gate: C(cap, 2) support-2 edges
+    assert len(a) == cap * (cap - 1) // 2
+    assert all(s == 2 for (_, _, s) in a)
 
 
 def test_copurchase_gate_below_self_join(spark):
