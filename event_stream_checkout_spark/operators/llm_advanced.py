@@ -1453,12 +1453,20 @@ def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    s = F.col("jaccard")
     # min_jaccard=0: the tuner's whole point is the LOW-similarity
     # mass (expected false candidates); the dedup keys' 0.2 floor
     # would leave the fp branch vacuous (6 pairs, all true, at
     # sf0.01 — vs 356 mixed pairs unfloored).
-    chain = jaccard_pairs(dg, min_jaccard=0.0).select(
+    return _lsh_tuning_report(jaccard_pairs(dg, min_jaccard=0.0))
+
+
+def _lsh_tuning_report(pairs: DataFrame) -> DataFrame:
+    """The tuner's S-curve sweep over an exact-Jaccard pair frame
+    (shared by X69 and the persisted-store probe X69b): one aggregate
+    pass computes all four (b, r) legs as measures, the 1-row result
+    explodes into the 4-row report."""
+    s = F.col("jaccard")
+    chain = pairs.select(
         s.alias("s"),
         (s * s).alias("s2"),
         ((s * s) * (s * s)).alias("s4"),
@@ -1524,3 +1532,73 @@ def q_llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_leg")
     )
     return rows.select("_leg.*").orderBy(F.col("bands").desc())
+
+
+def jaccard_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 pay-once build of the blocked exact-Jaccard PAIR table
+    (the A37b/X58b pay-once pattern applied to the X2 pair family,
+    r16 verdict item 3): ONE run of the grams → df-cap → blocked
+    self-join pipeline materializes every (lang, length-bucket)
+    blocked pair with its exact Jaccard at min_jaccard = 0 — the
+    COMPLETE observed pair-similarity population, bounded at
+    O(|grams|·cap) rows by the df cap, orders of magnitude under the
+    corpus.  Every consumer that sweeps or thresholds this population
+    (the X69 tuner; any s >= θ dedup cut, which is a stored-frame
+    filter) probes the table instead of re-exploding the corpus and
+    re-shuffling gram strings per query — at sf100 the tuner was the
+    slowest key in the suite (252 s) for a 4-row report over exactly
+    this frame.  Staleness rides the X12/X60/X62 source-fingerprint
+    tag (scratch.store_tag)."""
+    from ..scratch import scratch_dir, store_tag
+
+    tag = store_tag(sf_dir, "documents.parquet")
+    t = f"ecs_jac_pairs_{tag}"
+    if spark.catalog.tableExists(t):
+        return t
+    dg = (
+        grams_df(spark, sf_dir)
+        .select(
+            "doc_id", "lang", F.expr("n_chars div 50").alias("bucket"), "gram"
+        )
+        .distinct()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        jaccard_pairs(dg, min_jaccard=0.0)
+        .write.mode("overwrite")
+        .option("path", scratch_dir("ecs_jac_pairs", tag))
+        .saveAsTable(t)
+    )
+    return t
+
+
+@register(
+    "llm_lsh_tuning_persisted",
+    oracle=QUERIES["llm_lsh_tuning"].oracle,
+    doc="Persisted pair-population store + zero-corpus-scan banding "
+    "tuner probe (X69b, r16 — the r15 verdict's item 3, the X58b "
+    "pattern applied to the S-curve tuner): X69 answers a 4-row "
+    "report by rebuilding the grams → df-cap → blocked self-join "
+    "pipeline on every run — the slowest absolute key of the sf100 "
+    "suite (252 s) for a report whose input, the observed "
+    "pair-similarity population, changes only when the corpus does.  "
+    "This key answers the SAME question (same oracle, byte-identical "
+    "output — the report helper is shared verbatim) from the "
+    "pay-once jaccard_pair_store: the full min_jaccard=0 blocked "
+    "pair table persists once per corpus generation (O(|grams|·cap) "
+    "rows, df-cap bounded), and the graded probe is ONE scan of that "
+    "slim table + the fused 14-measure aggregate + the 4-row "
+    "explode — zero documents scans in the executed plan (plan "
+    "contract test_lsh_tuning_persisted_probe_reads_store_only).  At "
+    "100 TB this is the difference between every tuning dashboard "
+    "refresh paying the corpus pipeline and paying it once a day; "
+    "the same stored population serves any s >= θ threshold cut as "
+    "a filter.  Staleness rides the X12/X60/X62 source-fingerprint "
+    "tag.",
+)
+def q_llm_lsh_tuning_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _lsh_tuning_report(
+        spark.table(jaccard_pair_store(spark, sf_dir))
+    )

@@ -154,8 +154,15 @@ ROUND_MODIFIED: tuple[str, ...] = (
 # promotion cannot be silently skipped (ADVICE r15 item 3: the old
 # bare-tuple + comment contract had no mechanical teeth).
 #
-# r16: empty — all seven r15 deferrals promoted above.
-ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = ()
+# r16 deferrals (window: 1 new key + 7 promoted re-grades + 42
+# r10-stale keys = 50):
+# - llm_lsh_tuning — the S-curve sweep tail was factored into
+#   _lsh_tuning_report (shared with the new persisted probe X69b)
+#   with an identical logical plan and the oracle untouched — a
+#   provably-pristine no-op pinned by local parity; re-grades r17.
+ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = (
+    ("llm_lsh_tuning", 16),
+)
 
 
 # Keys that must take the FIRST slots of this round's window.

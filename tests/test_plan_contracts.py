@@ -955,6 +955,22 @@ def test_minhash_persisted_probe_reads_store_only(spark):
     assert "ecs_mh_sigs_" in plan and "ecs_mh_fps_" in plan
 
 
+def test_lsh_tuning_persisted_probe_reads_store_only(spark):
+    """X69b (r16, verdict item 3): the tuner probe is served ENTIRELY
+    by the persisted pair-population store — zero scans of the
+    documents corpus in the executed plan (the grams → df-cap →
+    blocked self-join pipeline pays once at build), and the probe is
+    one stored-table scan + the fused 14-measure aggregate."""
+    from event_stream_checkout_spark.operators.llm_advanced import (
+        jaccard_pair_store,
+    )
+
+    jaccard_pair_store(spark, SF_DIR)
+    plan = executed_plan(spark, "llm_lsh_tuning_persisted", full=True)
+    assert "documents.parquet" not in plan, "corpus re-scanned in probe"
+    assert "ecs_jac_pairs_" in plan, "stored pair table not read"
+
+
 def test_split_leakage_dedup_is_scan_local(spark):
     """X66 (r15 third-decade fix): within-doc gram dedup runs in the
     scan projection (array_distinct over the in-row shingle array) —
