@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import QUERIES, register
 from ..tables import load_table, with_min_scan_parallelism
 
 # --------------------------------------------------------------------------
@@ -36,6 +36,40 @@ from ..tables import load_table, with_min_scan_parallelism
 
 _CONTAIN_DF_CAP = 10  # same skew guard as the Jaccard key
 _CONTAIN_MIN = 0.6
+
+
+def _contain_fps():
+    """X54's (lang ':' word-3-gram) 60-bit md5-prefix fingerprint
+    ARRAY expression over a `_words` column (shared by the inline key
+    and the store build, so the two protocols cannot drift).  Dedup
+    runs on the FINGERPRINT array, not the string array: the oracle's
+    DISTINCT(doc_id, g) collapses a within-doc fp collision to one
+    row, so the engine must too (distinct strings would keep both).
+    array_distinct over longs is also cheaper."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - 2),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("lang"),
+                            F.lit(":"),
+                            F.element_at(F.col("_words"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("_words"), i + 1),
+                            F.lit(" "),
+                            F.element_at(F.col("_words"), i + 2),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
 
 
 @register(
@@ -115,34 +149,7 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_words", words)
         .filter(F.size("_words") >= 3)
     )
-    # Dedup runs on the FINGERPRINT array, not the string array: the
-    # oracle's DISTINCT(doc_id, g) collapses a within-doc fp collision
-    # to one row, so the engine must too (distinct strings would keep
-    # both).  array_distinct over longs is also cheaper.
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_words") - 2),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("lang"),
-                            F.lit(":"),
-                            F.element_at(F.col("_words"), i),
-                            F.lit(" "),
-                            F.element_at(F.col("_words"), i + 1),
-                            F.lit(" "),
-                            F.element_at(F.col("_words"), i + 2),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
-    )
+    fps = _contain_fps()
     # (doc_id, g) distinct BY CONSTRUCTION — no shuffle spent on it.
     # ONE explicit g-repartition is the only corpus-scale exchange in
     # the whole query: the df aggregate runs single-phase on it (the
@@ -167,18 +174,6 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_src = dg.join(pairg.hint("shuffle_hash"), "g").select(
         "doc_id", "g"
     )
-    a, b = pair_src.alias("a"), pair_src.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     heavy_corr = (
         dg.join(heavyg.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
@@ -193,6 +188,26 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_total") - F.coalesce(F.col("n_heavy"), F.lit(0))
             ).alias("n"),
         )
+    )
+    return _containment_tail(pair_src, sizes)
+
+
+def _containment_tail(pair_src: DataFrame, sizes: DataFrame) -> DataFrame:
+    """X54's pair half over the capped occurrence frame + the heavy-
+    corrected per-doc sizes — the capped self-join on g, the size
+    joins, and the containment gate (shared verbatim with the
+    persisted-store probe X54b, so the two keys cannot drift)."""
+    a, b = pair_src.alias("a"), pair_src.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -212,6 +227,110 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-1 pay-once build of X54's capped-gram occurrence store
+    (r16, the r15 verdict's item 5 — the A37b/X58b pay-once pattern):
+    ONE run of the corpus scan → fingerprint explode → df-count →
+    cap/heavy split materializes (a) the df-capped (doc_id, g)
+    occurrence frame, BUCKETED AND SORTED BY g so the probe's pair
+    self-join is a zero-exchange bucket-to-bucket join of the stored
+    table against itself, and (b) the heavy-corrected per-doc sizes.
+    The corpus explode, the 260M-row md5 computation, and the
+    g-repartition (the scan-dominated terms of X54's 161 s at sf100)
+    all pay once per corpus generation; the probe pays only the
+    capped self-join (output O(|dgc|·cap), df-cap bounded) and the
+    doc-keyed size joins.  Staleness rides the X12/X60/X62
+    source-fingerprint tag.  Returns (pairs_table, sizes_table)."""
+    from ..scratch import scratch_dir, store_tag
+
+    tag = store_tag(sf_dir, "documents.parquet")
+    dg_t = f"ecs_cont_dg_{tag}"
+    sz_t = f"ecs_cont_sz_{tag}"
+    if spark.catalog.tableExists(dg_t) and spark.catalog.tableExists(sz_t):
+        return dg_t, sz_t
+
+    d = with_min_scan_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    d = (
+        d.filter(F.col("lang").isNotNull())
+        .withColumn("_words", F.split("text", " ", -1))
+        .filter(F.size("_words") >= 3)
+    )
+    fps = _contain_fps()
+    dg = d.select("doc_id", F.explode(fps).alias("g")).repartition(
+        F.col("g")
+    )
+    cells = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pairg = cells.filter(
+        (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_DF_CAP)
+    ).select("g")
+    heavyg = cells.filter(F.col("df") > _CONTAIN_DF_CAP).select("g")
+    spark.sql(f"DROP TABLE IF EXISTS {dg_t}")
+    (
+        dg.join(pairg.hint("shuffle_hash"), "g")
+        .select("doc_id", "g")
+        .write.mode("overwrite")
+        # 32 buckets ≈ the local core count; at cluster scale this is
+        # the knob that sizes the probe's zero-exchange join tasks.
+        .bucketBy(32, "g")
+        .sortBy("g")
+        .option("path", scratch_dir("ecs_cont_dg", tag))
+        .saveAsTable(dg_t)
+    )
+    heavy_corr = (
+        dg.join(heavyg.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
+    )
+    sizes = (
+        d.select("doc_id", F.size(fps).cast("long").alias("n_total"))
+        .join(heavy_corr, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_total") - F.coalesce(F.col("n_heavy"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {sz_t}")
+    (
+        sizes.write.mode("overwrite")
+        .option("path", scratch_dir("ecs_cont_sz", tag))
+        .saveAsTable(sz_t)
+    )
+    return dg_t, sz_t
+
+
+@register(
+    "llm_containment_pairs_persisted",
+    oracle=QUERIES["llm_containment_pairs"].oracle,
+    doc="Persisted capped-gram store + containment probe (X54b, r16 — "
+    "the r15 verdict's item 5, the X58b pattern applied to the "
+    "asymmetric near-dup key): X54 pays the corpus scan, the 260M-md5 "
+    "fingerprint explode, and the g-repartition on every run — 161 s "
+    "at sf100 with a 0.799 sf10→sf100 exponent, scan-dominated.  "
+    "This key answers the SAME question (same oracle, byte-identical "
+    "output — the pair tail is shared verbatim) from the pay-once "
+    "containment_store: the df-capped (doc_id, g) occurrence frame "
+    "persists bucketed+sorted by g, so the probe's pair self-join is "
+    "a zero-exchange bucket-to-bucket join of the stored table "
+    "against itself (plan contract "
+    "test_containment_persisted_probe_reads_store_only pins zero "
+    "documents scans AND no g-exchange under the self-join), and the "
+    "heavy-corrected sizes come from their own stored doc-dimension "
+    "table.  What remains at probe time is exactly the irreducible "
+    "pair work: the capped self-join's O(|dgc|·cap) output and the "
+    "doc-keyed size joins.  Staleness rides the X12/X60/X62 "
+    "source-fingerprint tag.",
+)
+def q_llm_containment_pairs_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    dg_t, sz_t = containment_store(spark, sf_dir)
+    return _containment_tail(spark.table(dg_t), spark.table(sz_t))
 
 
 # --------------------------------------------------------------------------

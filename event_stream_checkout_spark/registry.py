@@ -141,6 +141,12 @@ ROUND_MODIFIED: tuple[str, ...] = (
     "llm_split_leakage",
     "llm_item_cf_topk",
     "agg_theta_intersect_persisted",
+    # r16 rewrites, output-identical with the oracle untouched:
+    # - llm_cross_source_dups — the folded per-gram span frame moved
+    #   behind the persisted cross_source_span_store (verdict item 4:
+    #   the probe no longer re-explodes the corpus; same oracle,
+    #   byte-identical output, local parity + plan contract).
+    "llm_cross_source_dups",
 )
 
 
@@ -154,14 +160,20 @@ ROUND_MODIFIED: tuple[str, ...] = (
 # promotion cannot be silently skipped (ADVICE r15 item 3: the old
 # bare-tuple + comment contract had no mechanical teeth).
 #
-# r16 deferrals (window: 1 new key + 7 promoted re-grades + 42
-# r10-stale keys = 50):
+# r16 deferrals (window: 2 new keys + 8 promoted/modified re-grades
+# + 40 r10-stale keys = 50; the remaining stale cohort re-grades
+# r17 together with these):
 # - llm_lsh_tuning — the S-curve sweep tail was factored into
 #   _lsh_tuning_report (shared with the new persisted probe X69b)
 #   with an identical logical plan and the oracle untouched — a
 #   provably-pristine no-op pinned by local parity; re-grades r17.
+# - llm_containment_pairs — the fingerprint expression and the pair
+#   tail were factored into _contain_fps/_containment_tail (shared
+#   with the new persisted probe X54b), identical logical plan,
+#   oracle untouched; re-grades r17.
 ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = (
     ("llm_lsh_tuning", 16),
+    ("llm_containment_pairs", 16),
 )
 
 

@@ -971,6 +971,32 @@ def test_lsh_tuning_persisted_probe_reads_store_only(spark):
     assert "ecs_jac_pairs_" in plan, "stored pair table not read"
 
 
+def test_containment_persisted_probe_reads_store_only(spark):
+    """X54b (r16, verdict item 5): the containment probe is served
+    ENTIRELY by the persisted capped-gram store — zero scans of the
+    documents corpus (the fingerprint explode and the df split pay
+    once at build), and the pair self-join runs bucket-to-bucket on
+    the stored g-bucketed table with NO exchange on g under it."""
+    from event_stream_checkout_spark.operators.llm_sketch import (
+        containment_store,
+    )
+
+    containment_store(spark, SF_DIR)
+    plan = executed_plan(
+        spark, "llm_containment_pairs_persisted", full=True
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "documents.parquet" not in final, "corpus re-scanned in probe"
+    assert "ecs_cont_dg_" in final and "ecs_cont_sz_" in final
+    # The self-join's legs read the bucketed table directly: no
+    # hash-repartition on the join key g anywhere in the final plan
+    # (the store's bucketing satisfies the join's distribution).
+    assert not re.search(r"Exchange hashpartitioning\(g#", final), (
+        "probe re-shuffles the stored occurrence frame on g"
+    )
+    assert "SelectedBucketsCount" in final, "bucketed scan not used"
+
+
 def test_split_leakage_dedup_is_scan_local(spark):
     """X66 (r15 third-decade fix): within-doc gram dedup runs in the
     scan projection (array_distinct over the in-row shingle array) —
@@ -1009,7 +1035,12 @@ def test_cross_source_dups_pair_expansion_is_gram_local(spark):
     check matches the specific physical join node names, not the bare
     substring 'Join' (ADVICE r15 item 4: any incidental plan text
     containing 'Join' — a hint name, a node rename across Spark
-    versions — made the bare form brittle in both directions)."""
+    versions — made the bare form brittle in both directions).
+
+    r16: the folded per-gram frame now comes from the persisted
+    cross_source_span_store, so the probe plan must ALSO contain zero
+    documents scans — the corpus explode and both span-scale
+    exchanges pay once at build."""
     plan = executed_plan(spark, "llm_cross_source_dups", full=True)
     joins = re.findall(
         r"\b(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
@@ -1020,6 +1051,8 @@ def test_cross_source_dups_pair_expansion_is_gram_local(spark):
     assert "flatten" in plan and "transform" in plan, (
         "gram-local pair expansion gone"
     )
+    assert "documents.parquet" not in plan, "corpus re-scanned in probe"
+    assert "ecs_xsrc_pg_" in plan, "stored span frame not read"
 
 
 def test_minhash_calibration_fps_not_duplicated_into_filters(spark):

@@ -46,7 +46,8 @@ DEFAULT_KEYS = [
     "graph_link_prediction",              # 0.402
     "llm_split_leakage",                  # 0.412
     "llm_minhash_calibration_persisted",  # X58b store probe (r15)
-    "llm_cross_source_dups",              # X49 after the r15 fp rewrite
+    "llm_cross_source_dups",              # X49 span-store probe (r16)
+    "llm_lsh_tuning_persisted",           # X69b pair-store probe (r16)
 ]
 
 
