@@ -43,7 +43,16 @@ HEADLINE = [
     "join_multiway",         # Q5 shape: 5-way star join
     "txn_settlement",        # flagship checkout settlement
     "win_topk_per_group",    # window family
-    "stream_session",        # sessionization
+    "stream_session",        # sessionization.  The one key above its
+                             # r01 time (0.52 -> ~0.62 s, ~1.18x, flat
+                             # since r2): the availableNow run pays a
+                             # fixed two-commit checkpoint round-trip
+                             # (offset log + commit log fsyncs) that
+                             # r01's pre-checkpoint shape skipped;
+                             # measured as ~0.1 s CONSTANT overhead
+                             # (identical absolute gap at sf0.01 and
+                             # sf0.1, so it vanishes at scale), the
+                             # price of a correct restartable sink.
     "join_asof",             # as-of enrichment
     "llm_exact_dedup",       # content-hash dedup
     "llm_similarity_topk",   # brute-force cosine top-k

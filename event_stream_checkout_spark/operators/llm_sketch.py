@@ -272,6 +272,16 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (
         dg.join(pairg.hint("shuffle_hash"), "g")
         .select("doc_id", "g")
+        # Explicit g-repartition to the bucket count BEFORE the
+        # bucketed write: (a) it stage-breaks the pipeline, so the
+        # shuffle-hash join's build maps and the writer's per-task
+        # sort buffers never coexist on the heap (the fused form
+        # OOM'd the 8g/32-thread bench JVM at sf100 — same failure
+        # mode as the llm_item_cf_topk sf100 heap lesson), and (b)
+        # repartition's Murmur3 hash IS the bucketing hash, so each
+        # write task holds exactly ONE bucket's rows and the sort
+        # spills per-bucket instead of buffering 32 bucket streams.
+        .repartition(32, F.col("g"))
         .write.mode("overwrite")
         # 32 buckets ≈ the local core count; at cluster scale this is
         # the knob that sizes the probe's zero-exchange join tasks.

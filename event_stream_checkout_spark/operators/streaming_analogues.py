@@ -574,6 +574,84 @@ def q_stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("user_id", "event_type", "n")
 
 
+@register(
+    "stream_type_counts_tws_ttl",
+    oracle="SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2",
+    doc="The T11 MapState counter through the TTL-configured state "
+    "handle (T11b, r16 — the r15 verdict's item 6: the bounded-state "
+    "production wiring type_counts_stream_tws_ttl was test-pinned "
+    "but never oracle-graded).  Identical pipeline to "
+    "stream_type_counts_tws except the state handle carries a "
+    "per-entry TTL (TTLConfig) and timeMode='processingTime' (a TTL "
+    "clock needs a time mode) — the wiring that bounds keyed-state "
+    "growth to the ACTIVE-entity working set on an infinite stream.  "
+    "Why a batch oracle can grade a TTL path: the TTL here (1 h) is "
+    "orders of magnitude longer than the staged availableNow drain's "
+    "wall-clock, and each key's rows arrive in exactly one file "
+    "(= one batch, the ledger staging discipline), so NO entry can "
+    "expire mid-drain and the one emission per key is deterministically "
+    "the all-time count table — the same groupBy oracle as T11.  The "
+    "EVICTION behavior (an entry idle past the TTL restarts from "
+    "zero) cannot be batch-graded by construction and stays pinned "
+    "by test_tws_mapstate_ttl_evicts_idle_entries, which drives two "
+    "deliberately spaced micro-batches through a short TTL.  "
+    "Degrades to the batch groupBy only where no protobuf runtime "
+    "exists.",
+)
+def q_stream_type_counts_tws_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.stateful import (
+        type_counts_stream_tws_ttl,
+        tws_available,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+
+    if not tws_available():  # pragma: no cover - vendored runtime
+        import warnings
+
+        warnings.warn(
+            "stream_type_counts_tws_ttl: no usable google.protobuf — "
+            "degrading to the batch groupBy (identical results)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return e.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    root = scratch_dir("ecs_typecnt_ttl", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    events_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+
+    e.repartition(F.col("user_id")).write.mode("overwrite").parquet(
+        events_dir
+    )
+    q = (
+        # 1 h TTL: >> any drain wall-clock, so the graded path cannot
+        # evict; the TTL plumbing itself (TTLConfig handle,
+        # processingTime mode, RocksDB provider) is what this key
+        # puts under the driver's oracle.
+        type_counts_stream_tws_ttl(spark, events_dir, ttl_ms=3_600_000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("user_id", "event_type", "n")
+
+
 # ---------------------------------------------------------------------------
 # T13: live per-day peak concurrency on ValueState (r14)
 # ---------------------------------------------------------------------------

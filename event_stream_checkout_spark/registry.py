@@ -160,8 +160,8 @@ ROUND_MODIFIED: tuple[str, ...] = (
 # promotion cannot be silently skipped (ADVICE r15 item 3: the old
 # bare-tuple + comment contract had no mechanical teeth).
 #
-# r16 deferrals (window: 2 new keys + 8 promoted/modified re-grades
-# + 40 r10-stale keys = 50; the remaining stale cohort re-grades
+# r16 deferrals (window: 3 new keys + 8 promoted/modified re-grades
+# + 39 r10-stale keys = 50; the remaining stale cohort re-grades
 # r17 together with these):
 # - llm_lsh_tuning — the S-curve sweep tail was factored into
 #   _lsh_tuning_report (shared with the new persisted probe X69b)

@@ -48,6 +48,7 @@ DEFAULT_KEYS = [
     "llm_minhash_calibration_persisted",  # X58b store probe (r15)
     "llm_cross_source_dups",              # X49 span-store probe (r16)
     "llm_lsh_tuning_persisted",           # X69b pair-store probe (r16)
+    "llm_containment_pairs_persisted",    # X54b bucketed-store probe (r16)
 ]
 
 
