@@ -36,6 +36,7 @@ from ..tables import load_table, with_min_scan_parallelism
 
 _CONTAIN_DF_CAP = 10  # same skew guard as the Jaccard key
 _CONTAIN_MIN = 0.6
+_CONT_BUCKETS = 128  # X54b store bucket count — see containment_store
 
 
 def _contain_fps():
@@ -251,6 +252,8 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if spark.catalog.tableExists(dg_t) and spark.catalog.tableExists(sz_t):
         return dg_t, sz_t
 
+    from pyspark import StorageLevel
+
     d = with_min_scan_parallelism(
         spark, load_table(spark, sf_dir, "documents")
     )
@@ -260,8 +263,17 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .filter(F.size("_words") >= 3)
     )
     fps = _contain_fps()
-    dg = d.select("doc_id", F.explode(fps).alias("g")).repartition(
-        F.col("g")
+    # Pinned DISK_ONLY: the build runs TWO write actions (dg table,
+    # sizes table) and Catalyst's exchange reuse does not cross jobs,
+    # so unpinned the corpus explode + md5 + g-shuffle would run once
+    # per action — and the fused build pipeline sat at the 8g JVM's
+    # edge at sf100 (fact-scale pins ride disk, the llm_item_cf_topk
+    # heap lesson).  The checkpoint also stage-isolates the join/
+    # write memory from the explode's.
+    dg = (
+        d.select("doc_id", F.explode(fps).alias("g"))
+        .repartition(F.col("g"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     cells = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     pairg = cells.filter(
@@ -280,12 +292,18 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # mode as the llm_item_cf_topk sf100 heap lesson), and (b)
         # repartition's Murmur3 hash IS the bucketing hash, so each
         # write task holds exactly ONE bucket's rows and the sort
-        # spills per-bucket instead of buffering 32 bucket streams.
-        .repartition(32, F.col("g"))
+        # spills per-bucket instead of buffering every bucket stream.
+        .repartition(_CONT_BUCKETS, F.col("g"))
         .write.mode("overwrite")
-        # 32 buckets ≈ the local core count; at cluster scale this is
-        # the knob that sizes the probe's zero-exchange join tasks.
-        .bucketBy(32, "g")
+        # The bucket count is the probe's task-size knob: the
+        # zero-exchange self-join gets exactly one task per bucket
+        # and AQE cannot re-split a bucketed scan, so each bucket
+        # must fit a task's working set (reader batches + the pair
+        # aggregate's partial maps).  32 buckets held ~1/32 of the
+        # sf100 occurrence frame per task and OOM'd the 8g JVM; 128
+        # keeps per-task state in the tens of MB through sf100 while
+        # still saturating 32 cores in 4 waves.
+        .bucketBy(_CONT_BUCKETS, "g")
         .sortBy("g")
         .option("path", scratch_dir("ecs_cont_dg", tag))
         .saveAsTable(dg_t)

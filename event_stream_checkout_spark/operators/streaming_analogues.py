@@ -591,13 +591,18 @@ def q_stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wall-clock, and each key's rows arrive in exactly one file "
     "(= one batch, the ledger staging discipline), so NO entry can "
     "expire mid-drain and the one emission per key is deterministically "
-    "the all-time count table — the same groupBy oracle as T11.  The "
-    "EVICTION behavior (an entry idle past the TTL restarts from "
-    "zero) cannot be batch-graded by construction and stays pinned "
-    "by test_tws_mapstate_ttl_evicts_idle_entries, which drives two "
-    "deliberately spaced micro-batches through a short TTL.  "
-    "Degrades to the batch groupBy only where no protobuf runtime "
-    "exists.",
+    "the all-time count table — the same groupBy oracle as T11.  "
+    "Harness note (shared with the eviction unit test): under "
+    "timeMode='processingTime' an availableNow query never "
+    "self-terminates (the engine keeps scheduling empty batches to "
+    "evaluate processing-time expiry), so the drain polls the sink "
+    "for the batch-side-computed expected row count and then stops "
+    "the query.  The EVICTION behavior (an entry idle past the TTL "
+    "restarts from zero) cannot be batch-graded by construction and "
+    "stays pinned by test_tws_mapstate_ttl_evicts_idle_entries, "
+    "which drives two deliberately spaced micro-batches through a "
+    "short TTL.  Degrades to the batch groupBy only where no "
+    "protobuf runtime exists.",
 )
 def q_stream_type_counts_tws_ttl(
     spark: SparkSession, sf_dir: str
@@ -635,6 +640,16 @@ def q_stream_type_counts_tws_ttl(
     e.repartition(F.col("user_id")).write.mode("overwrite").parquet(
         events_dir
     )
+    # Expected emission size, computed batch-side BEFORE the stream:
+    # the drain's final sink holds exactly one row per distinct
+    # (user_id, event_type) — the poll-and-stop harness needs the
+    # target count because under timeMode="processingTime" an
+    # availableNow query never self-terminates (the engine keeps
+    # scheduling empty batches to evaluate processing-time expiry —
+    # the harness note on test_tws_mapstate_ttl_evicts_idle_entries,
+    # which this wiring mirrors).
+    n_expected = e.select("user_id", "event_type").distinct().count()
+
     q = (
         # 1 h TTL: >> any drain wall-clock, so the graded path cannot
         # evict; the TTL plumbing itself (TTLConfig handle,
@@ -648,7 +663,29 @@ def q_stream_type_counts_tws_ttl(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        import time
+
+        # A user's rows live in exactly ONE staged file (the
+        # repartition above), so each user's full map lands in one
+        # batch and emissions across batches are disjoint — the sink
+        # row count grows monotonically to exactly n_expected.
+        for _ in range(480):
+            try:
+                n_rows = spark.read.parquet(out_dir).count()
+            except Exception:  # noqa: BLE001 — sink not committed yet
+                n_rows = 0
+            if n_rows >= n_expected:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                "stream_type_counts_tws_ttl: emission never landed "
+                f"(have {n_rows}, want {n_expected})"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select("user_id", "event_type", "n")
 
 
