@@ -278,6 +278,27 @@ def containment_store(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(t):
         return t
 
+    # Build-scoped scan granularity: the default 128m splits hand the
+    # pair-frame sorts ~6M rows per task, and 32 concurrent SMJ
+    # pointer arrays (~100-250MB humongous allocations each) exhaust
+    # the 8g JVM's execution pool faster than force-spill can free it
+    # (bisected at sf100: every stage passed except the size stitch;
+    # at 32m the same stitch runs in 38 s).  Restored in finally —
+    # the session-wide trade-off analysis lives in session.py and
+    # scripts/bisect_minpart.py; this override is the build's own.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+    try:
+        return _containment_store_build(spark, sf_dir, tag, t)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+def _containment_store_build(
+    spark: SparkSession, sf_dir: str, tag: str, t: str
+) -> str:
+    from ..scratch import scratch_dir
+
     from pyspark import StorageLevel
 
     d = with_min_scan_parallelism(
@@ -315,9 +336,19 @@ def containment_store(spark: SparkSession, sf_dir: str) -> str:
             ),
         )
     )
+    # Explicit (doc_a, doc_b) repartition BEFORE the aggregate — the
+    # single-phase idiom the inline key uses for its df count: the
+    # hash partitioning satisfies the groupBy's distribution, so NO
+    # map-side partial aggregate runs over the exploded pair rows.
+    # Partial agg buys almost nothing here (32M pair rows collapse
+    # only to 28.6M distinct pairs at sf10) and its per-task hash
+    # maps, live in the same stage as the shuffle sorter, are what
+    # blew the 8g/32-thread JVM at sf100.  No partition count: AQE
+    # sizes the flexible exchange from initialPartitionNum=256.
     inter = (
         per_g.select(F.explode(pair_arr).alias("p"))
         .select("p.*")
+        .repartition(F.col("doc_a"), F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -326,9 +357,16 @@ def containment_store(spark: SparkSession, sf_dir: str) -> str:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_heavy"))
     )
+    # merge hint: heavy_corr derives from the CHECKPOINTED dg, whose
+    # post-checkpoint stats are opaque, so AQE's size estimate can
+    # elect a hashed relation for a frame that is actually
+    # doc-dimension-sized (most docs carry at least one heavy
+    # boilerplate shingle) — the build OOM'd at sf100 in exactly
+    # this stage.  SMJ sorts both sides with full spill support;
+    # build-time cost, paid once.
     sizes = (
         d.select("doc_id", F.size(fps).cast("long").alias("n_total"))
-        .join(heavy_corr, "doc_id", "left")
+        .join(heavy_corr.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             (
@@ -336,21 +374,48 @@ def containment_store(spark: SparkSession, sf_dir: str) -> str:
             ).alias("n"),
         )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # Stage the two intermediate frames to scratch parquet and stitch
+    # FROM FILES (bisected at sf100: the fused stitch consumed the
+    # pair frame through AQE-coalesced exchanges — 64MB-advisory-fat
+    # partitions whose ~6M-row SMJ pointer arrays, 32 concurrent,
+    # exhausted the 8g execution pool faster than force-spill freed
+    # it.  Staged, the 32m maxPartitionBytes override in
+    # containment_store gives the stitch fine-grained scan splits and
+    # it runs in 38 s; the staged form's four jobs measured
+    # 70+97+59+38 s end-to-end at sf100).  Eager cleanup: the staging
+    # is single-consumer (the scratch.py discipline).
+    import shutil
+
+    stage_root = scratch_dir("ecs_cont_stage", tag)
+    inter.write.mode("overwrite").parquet(f"{stage_root}/inter")
+    sizes.write.mode("overwrite").parquet(f"{stage_root}/sizes")
+    inter2 = spark.read.parquet(f"{stage_root}/inter")
+    sizes2 = spark.read.parquet(f"{stage_root}/sizes")
+    sa = sizes2.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes2.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
     )
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # merge hints on the size stitch as well: at sf100 AQE's
+        # per-partition estimate elects shuffled-hash builds of the
+        # doc-dimension sizes frame, and 32 concurrent ~50MB hashed
+        # relations beside the pair-side sort buffers tip the 8g
+        # JVM.  SMJ spills both sides; build-time cost, paid once.
+        inter2.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(cont >= _CONT_STORE_FLOOR)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         .write.mode("overwrite")
         .option("path", scratch_dir("ecs_cont_pairs", tag))
         .saveAsTable(t)
     )
+    shutil.rmtree(stage_root, ignore_errors=True)
     return t
 
 
