@@ -278,20 +278,32 @@ def containment_store(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(t):
         return t
 
-    # Build-scoped scan granularity: the default 128m splits hand the
-    # pair-frame sorts ~6M rows per task, and 32 concurrent SMJ
-    # pointer arrays (~100-250MB humongous allocations each) exhaust
-    # the 8g JVM's execution pool faster than force-spill can free it
-    # (bisected at sf100: every stage passed except the size stitch;
-    # at 32m the same stitch runs in 38 s).  Restored in finally —
+    # Build-scoped granularity overrides, restored in finally.  The
+    # pair frame is ~300M slim, highly compressible rows at sf100:
+    # under the session defaults (128m scan splits, 64m AQE advisory)
+    # every sort or hashed-relation task holds ~6M rows, and 32
+    # concurrent ~100-250MB pointer-array allocations exhaust the 8g
+    # JVM's execution pool faster than force-spill can free it — a
+    # fresh session squeaks through, a warm one OOMs (bisected at
+    # sf100 across four runs; the finer-grained stitch ran in 38 s).
+    # 8m/16m keep every build task's working set in the tens of MB;
     # the session-wide trade-off analysis lives in session.py and
-    # scripts/bisect_minpart.py; this override is the build's own.
-    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+    # scripts/bisect_minpart.py — this override is the build's own.
+    _scoped = {
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    }
+    prev = {k: spark.conf.get(k, None) for k in _scoped}
+    for k, v in _scoped.items():
+        spark.conf.set(k, v)
     try:
         return _containment_store_build(spark, sf_dir, tag, t)
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _containment_store_build(
