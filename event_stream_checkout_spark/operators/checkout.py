@@ -589,9 +589,19 @@ def _chunked_greedy_replay(
         items.withColumn("rn", F.row_number().over(w).cast("long"))
         .select("product_id", "rn", "event_id", "quantity")
     )
-    n_chunks_row = ranked.agg(
-        F.ceil(F.max("rn") / F.lit(chunk_rows)).alias("n")
-    ).collect()[0]
+    # Chunk-count probe (r16): max(rn) over the ranked frame IS the
+    # max per-product row count, so the probe can be a map-side-
+    # combinable groupBy count instead of re-running the full rank
+    # window (guide §2.3 "aggregate before you shuffle"): the old
+    # probe paid the per-product sort+window a SECOND time just to
+    # read one number; this one shuffles 1 partial count per
+    # (task, product) and sorts nothing.  Same n at every SF.
+    n_chunks_row = (
+        items.groupBy("product_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.ceil(F.max("_c") / F.lit(chunk_rows)).alias("n"))
+        .collect()[0]
+    )
     n_chunks = int(n_chunks_row["n"] or 0)
     if n_chunks > 1:
         # Multi-chunk path: pin the ranked table once so each chunk's

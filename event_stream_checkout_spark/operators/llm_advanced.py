@@ -65,6 +65,26 @@ def grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (doc_id, gram) rows with the dedup done SCAN-LOCALLY.
+
+    ``grams_df(...).select("doc_id", "gram").distinct()`` pays a
+    corpus-scale exchange to remove duplicates that only ever occur
+    WITHIN a document (doc_id is on every row, so cross-doc rows are
+    never equal).  ``array_distinct`` over the in-row shingle array
+    produces the identical row set with zero shuffles — the same
+    rewrite r15 applied to llm_split_leakage (guide §2.4: remove
+    shuffles outright; a distinct on data that is already unique
+    across the shuffle key is an accidental exchange).
+    """
+    d = _with_grams_array(
+        with_min_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct("_grams")).alias("gram")
+    )
+
+
 # --------------------------------------------------------------------------
 # X2a: minhash + LSH banding
 # --------------------------------------------------------------------------
@@ -1163,7 +1183,9 @@ _CONTAM_DF_CAP = 10  # grams in more than this many docs are stop-phrases
     "100 TB, so it is joined, not broadcast.)",
 )
 def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    # r16: within-doc gram dedup is scan-local (identical row set, one
+    # corpus exchange removed — see distinct_grams_df).
+    dg = distinct_grams_df(spark, sf_dir)
     rare = (
         dg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))

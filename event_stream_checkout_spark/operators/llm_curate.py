@@ -42,6 +42,7 @@ from .llm_advanced import (
     _expand_pairs,
     _minhash_sigs,
     _pairs_from_sigs,
+    distinct_grams_df,
     grams_df,
     quality_frame,
 )
@@ -356,7 +357,9 @@ _SQL_CAND = (
 )
 def q_llm_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _pairs_from_sigs(_minhash_sigs(spark, sf_dir))
-    dg = grams_df(spark, sf_dir).select("doc_id", "gram").distinct()
+    # r16: within-doc gram dedup is scan-local (identical row set, one
+    # corpus exchange removed — see distinct_grams_df).
+    dg = distinct_grams_df(spark, sf_dir)
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dg.select(F.col("doc_id").alias("doc_a"), "gram")
     b = dg.select(F.col("doc_id").alias("doc_b"), "gram")

@@ -1174,16 +1174,25 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket filter to the scan).  Same desc-rank arithmetic, same
     # tie rule (ties share a value, so the picked VALUE is identical
     # under any tie order), no checkpoint, no window over the corpus.
-    from .relational import quantile_bucketed
+    from .relational import quantile_bucketed, sampled_boundaries_multi
+
+    # r16: the four per-column boundary probes run as ONE batched job
+    # (sampled_boundaries_multi) instead of four serial sample+collect
+    # actions — same exact quartiles under any boundary set (bucket id
+    # is a pure function of the value; boundaries affect balance only).
+    ts = [
+        load_table(spark, sf_dir, table)
+        .select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        for table, col in _IQR_COLS
+    ]
+    all_bounds = sampled_boundaries_multi([(t, "v") for t in ts], nb=32)
 
     legs = []
-    for table, col in _IQR_COLS:
-        t = (
-            load_table(spark, sf_dir, table)
-            .select(F.col(col).alias("v"))
-            .filter(F.col("v").isNotNull())
+    for (table, col), t, bnds in zip(_IQR_COLS, ts, all_bounds):
+        bucketed = quantile_bucketed(
+            t, "v", nb=32, pin=False, bounds_values=bnds
         )
-        bucketed = quantile_bucketed(t, "v", nb=32, pin=False)
         counts = bucketed.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("_c")
         )

@@ -536,8 +536,52 @@ def rank_from_buckets(bucketed, keys):
     )
 
 
+def sampled_boundaries_multi(legs, nb: int = 32, fraction: float = 0.1,
+                             accuracy: int = 5000):
+    """ONE action computing ``quantile_bucketed`` boundary arrays for
+    several ``(df, val_col)`` legs at once.
+
+    The per-leg boundary probes are independent sample+sketch jobs
+    that a multi-column consumer (dq_outlier_iqr: 4 columns) used to
+    run SERIALLY — four driver round-trips before the real query
+    could start (guide §1.2: job count is part of the distributed
+    algorithm).  Batching them as one grouped aggregate over a
+    tagged union runs all sample scans inside a single job, so the
+    wall cost is the slowest leg, not the sum.  Boundary VALUES can
+    differ slightly from the per-leg path (double-cast + sketch merge
+    order), which affects only bucket BALANCE, never output — bucket
+    id is a pure function of the value, so exact-rank consumers give
+    identical answers under any boundary set (the quantile_bucketed
+    contract below).  Returns one boundary list (or None for an
+    empty/degenerate leg) per input leg, in order.
+    """
+    from pyspark.sql import functions as F
+
+    pcts = [i / nb for i in range(1, nb)]
+    frames = [
+        df.select(
+            F.lit(i).alias("_leg"), F.col(col).cast("double").alias("_v")
+        ).sample(fraction=fraction, seed=42)
+        for i, (df, col) in enumerate(legs)
+    ]
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    rows = u.groupBy("_leg").agg(
+        F.percentile_approx(
+            "_v", F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
+        ).alias("_bs")
+    ).collect()
+    by_leg = {r["_leg"]: r["_bs"] for r in rows}
+    # [] (not None) for a leg whose sample was empty/degenerate, so a
+    # quantile_bucketed caller passing it through goes single-bucket
+    # WITHOUT falling back to its own boundary job.
+    return [by_leg.get(i) or [] for i in range(len(legs))]
+
+
 def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
-                      accuracy: int = 5000, pin: bool = True):
+                      accuracy: int = 5000, pin: bool = True,
+                      bounds_values=None):
     """Statistics-seeded range bucketing for the two-pass sort (the
     production variant q_sort_orders's docstring promises): boundaries
     come from a percentile_approx sketch over a SAMPLE of the value
@@ -561,8 +605,12 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     class as the _assign centroid collect; the boundary frame now
     cannot execute twice because it no longer exists in the plan).
 
-    Returns the bucketed frame, PINNED by default so the data scan
-    also executes exactly once across consumer branches.  The pin is
+    Returns the bucketed frame over a PINNED input by default so the
+    data scan executes exactly once across consumer branches (since
+    r16 the INPUT is pinned before the boundary probe — see the body
+    comment — so the upstream pipeline runs once, not twice; `_pid`
+    is a deterministic literal-bounds expression evaluated per read).
+    The pin is
     DISK_ONLY (r11): the default deserialized-on-heap checkpoint held
     data-scale frames in executor storage, and a consumer holding
     several legs at once (dq_outlier_iqr pins four — two of them
@@ -572,14 +620,31 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     the checkpoint; with literal boundaries that is now safe
     unconditionally.
     """
+    # Pin the INPUT before the boundary probe (r16): the old order
+    # (sample boundaries from the live frame, then checkpoint the
+    # bucketed frame) executed df's full upstream pipeline TWICE —
+    # once under the sample job, once under the checkpoint job.
+    # Checkpointing first makes the boundary probe a cheap read of
+    # the pinned blocks, and the returned frame is the pinned input
+    # plus the deterministic literal-bounds `_pid` expression — a
+    # narrow per-read column add, so every consumer branch still sees
+    # one materialized scan and identical `_pid`s (guide §1.2: remove
+    # whole passes before touching per-task work).
+    if pin:
+        from pyspark import StorageLevel
+
+        df = df.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     pcts = [i / nb for i in range(1, nb)]
     vtype = dict(df.dtypes)[val_col]
-    sample = df.select(val_col).sample(fraction=fraction, seed=42)
-    bs = sample.agg(
-        F.percentile_approx(
-            val_col, F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
-        ).alias("_bs")
-    ).first()["_bs"]
+    if bounds_values is not None:
+        bs = bounds_values
+    else:
+        sample = df.select(val_col).sample(fraction=fraction, seed=42)
+        bs = sample.agg(
+            F.percentile_approx(
+                val_col, F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
+            ).alias("_bs")
+        ).first()["_bs"]
     # Empty/degenerate sample → null sketch → everything in one bucket
     # (still correct, just unbalanced — same failure mode as an empty
     # statistics table in a production optimizer).
@@ -589,12 +654,7 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
         bounds = F.array().cast(f"array<{vtype}>")
     idx = F.size(F.filter(bounds, lambda b: b < F.col(val_col)))
     pid = F.lit(nb - 1) - idx
-    out = df.withColumn("_pid", pid)
-    if not pin:
-        return out
-    from pyspark import StorageLevel
-
-    return out.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    return df.withColumn("_pid", pid)
 
 
 @register(
