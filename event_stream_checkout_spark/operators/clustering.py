@@ -365,6 +365,43 @@ def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
     return kmeans_refined(e, k)[1]
 
 
+def kmeans_refined_pair(
+    ea: DataFrame,
+    eb: DataFrame,
+    k: int,
+    train_a: DataFrame | None = None,
+    train_b: DataFrame | None = None,
+) -> tuple[
+    tuple[DataFrame, DataFrame, DataFrame],
+    tuple[DataFrame, DataFrame, DataFrame],
+]:
+    """Train the two PQ subspace quantizers CONCURRENTLY (r16; guide
+    §2.6 — overlap independent jobs).  The a/b Lloyd passes share no
+    state, so running them from two driver threads lets each one's
+    serial actions (seed-assignment collect, centroid checkpoint,
+    final-assignment collect) back-fill the other's stage tails
+    instead of idling the executors between jobs.  Each training is
+    deterministic and independent, so results are identical to the
+    sequential calls this replaces.  Returns the two
+    ``kmeans_refined_full`` triples ((cent, d2, assign) each)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            inheritable_thread_target(
+                lambda: kmeans_refined_full(ea, k, train=train_a)
+            )
+        )
+        fb = pool.submit(
+            inheritable_thread_target(
+                lambda: kmeans_refined_full(eb, k, train=train_b)
+            )
+        )
+        return fa.result(), fb.result()
+
+
 # ---------------------------------------------------------------------------
 # X27: IVF ANN search with the LEARNED coarse quantizer
 # ---------------------------------------------------------------------------
@@ -779,8 +816,7 @@ def pq_code_frame(e: DataFrame, k: int = _PQ_K) -> DataFrame:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    _, aa = kmeans_refined(sub_a, k)
-    _, ab = kmeans_refined(sub_b, k)
+    (_ca, _d2a, aa), (_cb, _d2b, ab) = kmeans_refined_pair(sub_a, sub_b, k)
     aa = aa.select(
         "vec_id", F.col("cluster").alias("code_a"), F.col("dq").alias("dqa")
     )
@@ -851,8 +887,7 @@ def q_llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    d2a, aa = kmeans_refined(sub_a, _PQ_K)
-    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    (_ca, d2a, aa), (_cb, d2b, ab) = kmeans_refined_pair(sub_a, sub_b, _PQ_K)
     luta = d2a.filter(F.col("vec_id") == 0).select(
         "cluster", F.col("dq").alias("la")
     )
@@ -949,8 +984,10 @@ def q_llm_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
     tr = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < _PQ_TRAIN_HI
-    _, d2a, aa = kmeans_refined_full(sub_a, _PQ_K, train=sub_a.filter(tr))
-    _, d2b, ab = kmeans_refined_full(sub_b, _PQ_K, train=sub_b.filter(tr))
+    (_ca, d2a, aa), (_cb, d2b, ab) = kmeans_refined_pair(
+        sub_a, sub_b, _PQ_K,
+        train_a=sub_a.filter(tr), train_b=sub_b.filter(tr),
+    )
     luta = d2a.filter(F.col("vec_id") == 0).select(
         "cluster", F.col("dq").alias("la")
     )
@@ -1765,8 +1802,7 @@ def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    d2a, aa = kmeans_refined(sub_a, _PQ_K)
-    d2b, ab = kmeans_refined(sub_b, _PQ_K)
+    (_ca, d2a, aa), (_cb, d2b, ab) = kmeans_refined_pair(sub_a, sub_b, _PQ_K)
     luta = d2a.filter(F.col("vec_id") == 0).select(
         "cluster", F.col("dq").alias("la")
     )
@@ -1863,8 +1899,9 @@ def ivfpq_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    acent, _d2a, aa = kmeans_refined_full(sub_a, _PQ_K)
-    bcent, _d2b, ab = kmeans_refined_full(sub_b, _PQ_K)
+    (acent, _d2a, aa), (bcent, _d2b, ab) = kmeans_refined_pair(
+        sub_a, sub_b, _PQ_K
+    )
     codes_df = (
         ca2.select("vec_id", F.col("cluster").alias("cell"))
         .join(aa.select("vec_id", F.col("cluster").alias("ca")), "vec_id")
@@ -2056,8 +2093,9 @@ def ivfpq_refreshed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
         )
 
-    acent, _d2a, aa = kmeans_refined_full(half_a(base), _PQ_K)
-    bcent, _d2b, ab = kmeans_refined_full(half_b(base), _PQ_K)
+    (acent, _d2a, aa), (bcent, _d2b, ab) = kmeans_refined_pair(
+        half_a(base), half_b(base), _PQ_K
+    )
     base_codes = (
         ca2.select("vec_id", F.col("cluster").alias("cell"))
         .join(aa.select("vec_id", F.col("cluster").alias("ca")), "vec_id")
