@@ -388,18 +388,31 @@ def kmeans_refined_pair(
 
     from pyspark import inheritable_thread_target
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fa = pool.submit(
-            inheritable_thread_target(
-                lambda: kmeans_refined_full(ea, k, train=train_a)
-            )
-        )
-        fb = pool.submit(
-            inheritable_thread_target(
-                lambda: kmeans_refined_full(eb, k, train=train_b)
-            )
-        )
-        return fa.result(), fb.result()
+    a, b = kmeans_refined_many([(ea, k, train_a), (eb, k, train_b)])
+    return a, b
+
+
+def kmeans_refined_many(
+    specs: list[tuple[DataFrame, int, DataFrame | None]],
+) -> list[tuple[DataFrame, DataFrame, DataFrame]]:
+    """Run several independent seeded-Lloyd trainings concurrently
+    (guide §2.6) — the generalization behind kmeans_refined_pair, also
+    used to overlap the IVF coarse quantizer with the two PQ subspace
+    trainings (X59's 'three independent seeded-Lloyd rounds over the
+    same scan' run as three concurrent jobs instead of serially).
+    ``specs`` is [(frame, k, train-subset-or-None), ...]; returns the
+    ``kmeans_refined_full`` triples in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def run(spec):
+        e, k, train = spec
+        return kmeans_refined_full(e, k, train=train)
+
+    with ThreadPoolExecutor(max_workers=max(2, len(specs))) as pool:
+        futs = [pool.submit(inheritable_thread_target(run), s) for s in specs]
+        return [f.result() for f in futs]
 
 
 # ---------------------------------------------------------------------------
@@ -1779,9 +1792,26 @@ def q_llm_pca_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # Coarse quantizer: one Lloyd round at k=8, probe the query's 2
-    # nearest cells, membership from the final assignment.
-    d2, a2 = kmeans_refined(e, _KM_K)
+    # Coarse quantizer (one Lloyd round at k=8) and the two PQ
+    # subspace codebooks are three INDEPENDENT seeded-Lloyd rounds —
+    # run concurrently (r16, guide §2.6) instead of serially.
+    n = F.size("embedding")
+    h = (n / 2).cast("int")
+    sub_a = e.select(
+        "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
+    )
+    sub_b = e.select(
+        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
+    )
+    (
+        (_cc, d2, a2),
+        (_ca, d2a, aa),
+        (_cb, d2b, ab),
+    ) = kmeans_refined_many(
+        [(e, _KM_K, None), (sub_a, _PQ_K, None), (sub_b, _PQ_K, None)]
+    )
+    # Probe the query's 2 nearest cells, membership from the final
+    # assignment.
     probe = (
         d2.filter(F.col("vec_id") == 0)
         .orderBy("dq", "cluster")
@@ -1793,16 +1823,6 @@ def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probe), "cluster")
         .select("vec_id")
     )
-    # PQ codes: per-subspace 256-codeword codebooks on the half-vectors.
-    n = F.size("embedding")
-    h = (n / 2).cast("int")
-    sub_a = e.select(
-        "vec_id", F.slice("embedding", F.lit(1), h).alias("embedding")
-    )
-    sub_b = e.select(
-        "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
-    )
-    (_ca, d2a, aa), (_cb, d2b, ab) = kmeans_refined_pair(sub_a, sub_b, _PQ_K)
     luta = d2a.filter(F.col("vec_id") == 0).select(
         "cluster", F.col("dq").alias("la")
     )
@@ -1890,7 +1910,6 @@ def ivfpq_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if spark.catalog.tableExists(codes) and spark.catalog.tableExists(cents):
         return codes, cents
     e = load_table(spark, sf_dir, "embeddings")
-    ccent, _cd2, ca2 = kmeans_refined_full(e, _KM_K)
     n = F.size("embedding")
     h = (n / 2).cast("int")
     sub_a = e.select(
@@ -1899,8 +1918,13 @@ def ivfpq_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sub_b = e.select(
         "vec_id", F.slice("embedding", h + 1, (n - h)).alias("embedding")
     )
-    (acent, _d2a, aa), (bcent, _d2b, ab) = kmeans_refined_pair(
-        sub_a, sub_b, _PQ_K
+    # Coarse + two PQ codebooks trained concurrently (r16, guide §2.6).
+    (
+        (ccent, _cd2, ca2),
+        (acent, _d2a, aa),
+        (bcent, _d2b, ab),
+    ) = kmeans_refined_many(
+        [(e, _KM_K, None), (sub_a, _PQ_K, None), (sub_b, _PQ_K, None)]
     )
     codes_df = (
         ca2.select("vec_id", F.col("cluster").alias("cell"))

@@ -341,7 +341,10 @@ def q_graph_copurchase_components(
     edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    labels = _connected_components(edges)
+    # pin_edges=False (r16): edges are two narrow selects over the
+    # already-pinned pair frame — the default second checkpoint only
+    # re-materialized the same blocks (one full action saved).
+    labels = _connected_components(edges, pin_edges=False)
     comp = labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_parts")
     )
