@@ -341,10 +341,12 @@ def q_graph_copurchase_components(
     edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    # pin_edges=False (r16): edges are two narrow selects over the
-    # already-pinned pair frame — the default second checkpoint only
-    # re-materialized the same blocks (one full action saved).
-    labels = _connected_components(edges, pin_edges=False)
+    # pin_edges stays True (r16 A/B): the edge union IS two narrow
+    # selects over the pinned pair frame, but every fixpoint round
+    # re-reads it — measured at sf0.1, re-deriving per round cost
+    # ~1 s MORE than the one-time materialization it saves (5.4 s
+    # pinned vs 6.4 s unpinned, matched calibration).
+    labels = _connected_components(edges)
     comp = labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_parts")
     )
