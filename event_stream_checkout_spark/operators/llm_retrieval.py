@@ -347,16 +347,15 @@ def _sql_bpe_oracle(sample_pred: str = "TRUE") -> str:
     "broadcast, and the rewrite is one scan-local string replace "
     "(left-to-right non-overlapping in both engines — greedy BPE "
     "semantics). Per round: one pair-count shuffle, zero corpus "
-    "shuffles. The corpus is PARQUET-STAGED between rounds (r7 "
-    "verdict item 3, replacing two full-corpus localCheckpoints): "
-    "round N+1 reads N's rewritten text from compressed columnar "
-    "files on disk instead of pinning corpus-scale blocks in "
-    "executor storage — the same trade the graded ledger fold made "
-    "(commit bc6f81c), and the one production BPE trainers make "
-    "(each merge round is a materialized dataset, not a cached "
-    "lineage). Staging dirs are per-process-tagged and removed once "
-    "the merge table is materialized; the 1-row winners stay "
-    "localCheckpoint-pinned (they must survive the cleanup).",
+    "shuffles. Rounds are LITERAL-WINNER CHAINED (r16, replacing the "
+    "r7 parquet staging): each round's 1-row winner collects to the "
+    "driver (the bounded-collect class) and the next round's count "
+    "pass re-reads the ORIGINAL corpus with the previous merges "
+    "applied as literal replace expressions — N scans, zero corpus "
+    "writes, versus staging's 2(N-1) extra reads + (N-1) writes. "
+    "The trade inverts for thousands-of-merges production training, "
+    "where the replace chain grows with N and per-K-rounds "
+    "materialization wins again (bpe_rounds docstring).",
 )
 def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -773,11 +772,11 @@ def _sql_bpe_encode_oracle() -> str:
     "compression the vocabulary actually buys per document — the "
     "number a tokenization pipeline budgets context windows with. "
     "Same distributed shape as the trainer (scan-local pair zip, one "
-    "pair-vocabulary shuffle per round, broadcast 1-row winner, "
-    "parquet-staged rounds — earlier stages deleted as later ones "
-    "land, so at most one corpus copy on scratch disk); the final "
-    "corpus stays in the last stage and the count compare is one "
-    "co-partitioned join of two slim (doc_id, n) frames. In a real "
+    "pair-vocabulary shuffle per round, literal-chained winners — "
+    "r16: no corpus bytes ever staged to disk); the final corpus is "
+    "one scan of the original with all merges applied as literal "
+    "replaces, and the count compare is a scan-local expression. "
+    "In a real "
     "deployment the merge table is learned ONCE on a sample and this "
     "encode pass is the only corpus-wide cost — which is why its "
     "per-round shape (zero corpus shuffles) is what matters at "
@@ -998,8 +997,8 @@ _BPE_SAMPLE_HI = "8000"  # md5-prefix < 0x8000 ≈ half the corpus
     "runs, engines, and partitionings — rand() is none of those), "
     "bounding per-round pair-count cost by the sample size while "
     "the plan shape stays X29's exactly (scan-local pair zip, one "
-    "pair-vocabulary shuffle per round, 1-row broadcast winner, "
-    "parquet-staged rounds).  Graded as the learned (round, pair, "
+    "pair-vocabulary shuffle per round, literal-chained 1-row "
+    "winners — r16).  Graded as the learned (round, pair, "
     "count) table — counts over the SAMPLE, which is the honest "
     "semantics (the merge table is what ships; its counts are "
     "training diagnostics).",
