@@ -147,6 +147,45 @@ ROUND_MODIFIED: tuple[str, ...] = (
     #   the probe no longer re-explodes the corpus; same oracle,
     #   byte-identical output, local parity + plan contract).
     "llm_cross_source_dups",
+    # r16 OPTIMIZATION-round rewrites (OPTIMIZATION_r16.md), all
+    # output-identical with oracles untouched, behavioral-risk order:
+    # - BPE loop: parquet staging -> literal-winner chaining (new
+    #   code path; empty-corpus edge explicitly mirrored + tested).
+    "llm_phrase_merges",
+    "llm_bpe_encode",
+    "llm_phrase_merges_sampled",
+    # - within-doc gram dedup moved scan-local (identical row set).
+    "llm_contamination",
+    "llm_ngram_jaccard_lsh",
+    # - chunk-count probe via groupBy count (same n at every SF).
+    "state_inventory_replay",
+    # - boundary probes batched / input pinned before bucketing
+    #   (exact ranks are boundary-independent; the heaviest two).
+    "dq_outlier_iqr",
+    "dq_outlier_mad",
+    "agg_weighted_median",
+    # - trailing low-risk tail: remaining bucketed-rank consumers
+    #   (pin-order change only; identical boundaries and ranks) and
+    #   the PQ/IVF-PQ keys (concurrent training — scheduling-level,
+    #   plans unchanged).  A trailing key missing the window is
+    #   covered by local parity (all re-verified this round).
+    "dq_ks_drift",
+    "llm_gram_novelty",
+    "agg_abc_classes",
+    "agg_revenue_concentration",
+    "evt_rfm_segments",
+    "evt_gini",
+    "evt_session_duration",
+    "evt_power_users",
+    "sort_orders_sampled",
+    "llm_pq_code",
+    "llm_pq_adc_topk",
+    "llm_pq_rerank_topk",
+    "llm_ivfpq_topk",
+    "llm_ivfpq_indexed",
+    "llm_ivfpq_index_append",
+    # (graph_copurchase_components already re-grades via the r15
+    # promotion group above; its r16 edge-pin A/B ended in a revert.)
 )
 
 
