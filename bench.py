@@ -309,17 +309,34 @@ def main() -> None:
     # r11 A/B found the host itself 1.5× slower than when the r10
     # headline was recorded; without a calibration constant every
     # such shift reads as a regression).
-    calib = float("inf")
-    for _ in range(3):
+    def _calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).select(
             F.sum(F.xxhash64("id") % 997)  # mod keeps the ANSI sum in range
         ).collect()
-        calib = min(calib, time.perf_counter() - t0)
-    calib = round(calib, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    calib = min(_calibrate() for _ in range(3))
+
+    # r17 (VERDICT r16 item 2, additions-only methodology change,
+    # called out in OPTIMIZATION_r17.md): host-steal waves on this
+    # sandbox inflate single cycles by 1.5-6x, so ONE calibration
+    # constant per run can't tell the driver which cycle of which key
+    # was hit.  Record a calibration probe BEFORE EACH CYCLE plus every
+    # key's raw per-cycle samples; the min-over-cycles ``queries`` map
+    # and every existing field are unchanged, the new fields are
+    # appended so a noise-normalized re-read stays possible after the
+    # fact.  Cost: ~1 s per cycle of extra calibrated work, outside
+    # every timed region.
+    cycle_calibration: list[float] = []
+    samples: dict[str, list[float]] = {}
+
+    def _record(key: str, t: float) -> None:
+        samples.setdefault(key, []).append(round(t, 3))
 
     timings: dict[str, float] = {}
     for _cycle in range(cycles):
+        cycle_calibration.append(_calibrate())
         for key in HEADLINE + EXTENDED + EXTRA:
             if key == "snk_bucketed":
                 t0 = time.perf_counter()
@@ -330,6 +347,8 @@ def main() -> None:
                                ("snk_bucketed_read", tr)):
                     timings[leg] = min(timings.get(leg, float("inf")),
                                        round(t, 3))
+                    _record(leg, t)
+                _record(key, tw + tr)
                 # Blended number = min over PER-CYCLE write+read sums —
                 # the same quantity the r2-r5 series measured (one
                 # combined run per cycle), so series continuity is
@@ -352,6 +371,7 @@ def main() -> None:
                 _PCA_MOMENT_CACHE.clear()
             t = _time(lambda: _noop(registry[key].fn(spark, sf_dir)))
             timings[key] = min(timings.get(key, float("inf")), round(t, 3))
+            _record(key, t)
             # progress to STDERR (stdout carries only the JSON line):
             # when a scaled run dies mid-suite (the r11 sf10 OOM), the
             # log must say which key was in flight.
@@ -385,6 +405,16 @@ def main() -> None:
     # script; BENCH_SF1/SF10.json are snapshots of that file.
     out = {
         "queries": {k: timings[k] for k in HEADLINE + EXTENDED},
+        # r17 additions (VERDICT r16 item 2): raw per-cycle samples for
+        # the series keys + a calibration probe taken before each
+        # cycle, so the driver can separate host-steal waves from code
+        # deltas per key per cycle.  Every pre-existing field —
+        # queries' min-over-cycles values, extended_sec, cycles,
+        # host_calibration_sec, metric/unit/sf/value — is computed
+        # exactly as before; these two are appended mid-line so the
+        # bounded stdout tail still ends with metric/value/sf.
+        "samples": {k: samples[k] for k in HEADLINE + EXTENDED},
+        "cycle_calibration_sec": cycle_calibration,
         "extended_sec": extended,
         "cycles": cycles,
         "host_calibration_sec": calib,
@@ -396,6 +426,7 @@ def main() -> None:
 
     detail = dict(out)
     detail["queries"] = timings
+    detail["samples"] = samples
     # sf1/sf10 blocks + two-decade scaling exponents
     # (log100(t_sf10 / t_sf0.1), r9 verdict item 5) embed only on the
     # sf0.1 pass, where both comparands exist.

@@ -184,7 +184,9 @@ def _assign_expr(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
     )
 
 
-def _assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+def _assign(
+    e: DataFrame, cent_arr: DataFrame, _rows: list | None = None
+) -> DataFrame:
     """Vectorized argmin assignment (r11 perf): ship the ≤k-row
     centroid matrix to every task as a numpy array (a BOUNDED driver
     collect — ≤256×d doubles, the nprobe-centroid class the repo's
@@ -214,8 +216,14 @@ def _assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # ``_rows`` (r17, VERDICT r16 item 4): callers that already hold
+    # the collected centroid rows (kmeans_refined_full materializes
+    # them ONCE per Lloyd pass now) pass them in, skipping this
+    # bounded collect action entirely.
     rows = sorted(
-        cent_arr.select("cluster", "carr").collect(),
+        cent_arr.select("cluster", "carr").collect()
+        if _rows is None
+        else _rows,
         key=lambda r: r["cluster"],
     )
     if not rows:
@@ -293,6 +301,27 @@ def _centroid_arrays(cent: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_local(c1: DataFrame) -> tuple[list, DataFrame]:
+    """Materialize a (cluster, dim, cval) centroid-update frame as BOTH
+    the collected rows and a driver-local DataFrame (r17, VERDICT r16
+    item 4).  One bounded action (≤k rows of ≤256 doubles — the
+    nprobe-centroid collect class) replaces the former localCheckpoint
+    job + per-_assign re-collect: the local relation broadcasts with
+    no scan job, downstream ``_assign`` calls reuse the rows without
+    touching the cluster, and collect→createDataFrame round-trips
+    binary64 exactly (Python floats are the same IEEE-754 doubles), so
+    every consumer sees bit-identical centroids."""
+    rows = sorted(
+        _centroid_arrays(c1).collect(), key=lambda r: r["cluster"]
+    )
+    spark = c1.sparkSession
+    cent = spark.createDataFrame(
+        [(r["cluster"], r["carr"]) for r in rows],
+        "cluster bigint, carr array<double>",
+    )
+    return rows, cent
+
+
 def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     """One Lloyd round over an embeddings frame; returns the final
     round's FULL distance frame d2 (every (vec, cluster) pair — the
@@ -352,9 +381,16 @@ def kmeans_refined_full(
         .groupBy("cluster", "dim")
         .agg(davg("val").alias("cval"))
     )
-    cent2 = _centroid_arrays(c1).localCheckpoint()
+    # r17 (VERDICT r16 item 4): the learned centroids are collected
+    # ONCE and rebuilt as a driver-local frame — the former shape paid
+    # a localCheckpoint job here AND a separate bounded collect inside
+    # every downstream _assign; now one action serves both, and
+    # consumers that broadcast or join cent2 (the LUT legs, the
+    # persisted-index codebook write) read a LocalTableScan with no
+    # cluster job at all.
+    rows, cent2 = _centroid_local(c1)
     d2 = _distances(e, cent2)
-    return cent2, d2, _assign(e, cent2)
+    return cent2, d2, _assign(e, cent2, _rows=rows)
 
 
 def kmeans_refined_assignment(e: DataFrame, k: int) -> DataFrame:
@@ -384,10 +420,6 @@ def kmeans_refined_pair(
     deterministic and independent, so results are identical to the
     sequential calls this replaces.  Returns the two
     ``kmeans_refined_full`` triples ((cent, d2, assign) each)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
     a, b = kmeans_refined_many([(ea, k, train_a), (eb, k, train_b)])
     return a, b
 

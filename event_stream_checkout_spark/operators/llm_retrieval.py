@@ -359,7 +359,7 @@ def _sql_bpe_oracle(sample_pred: str = "TRUE") -> str:
 )
 def q_llm_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out, _ = bpe_rounds(spark, d, rewrite_last=False, tag="train")
+    out, _ = bpe_rounds(spark, d, rewrite_last=False)
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
@@ -370,7 +370,6 @@ def bpe_rounds(
     spark: SparkSession,
     d: DataFrame,
     rewrite_last: bool,
-    tag: str,
 ) -> tuple[list[DataFrame], DataFrame]:
     """The BPE merge loop, shared by the trainer (X29 — merge table
     only), the sampled trainer (X29b) and the encoder (X34 — applies
@@ -422,8 +421,12 @@ def bpe_rounds(
             )
         if not merges:
             return df
-        cols = [c for c in df.columns if c != "text"]
-        return df.select(*cols, txt.alias("text"))
+        # Preserve the input column ORDER (ADVICE r16): the staged
+        # loop kept (doc_id, text, *passthrough); a positional consumer
+        # of the returned corpus must not silently read a moved column.
+        return df.select(
+            *[txt.alias(c) if c == "text" else c for c in df.columns]
+        )
 
     out: list[DataFrame] = []
     merges: list[str] = []
@@ -790,7 +793,7 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_before", F.size(F.split("text", " ", -1)).cast("long")
         )
     )
-    _, final = bpe_rounds(spark, d, rewrite_last=True, tag="encode")
+    _, final = bpe_rounds(spark, d, rewrite_last=True)
     return final.select(
         "doc_id",
         "n_before",
@@ -1009,7 +1012,7 @@ def q_llm_phrase_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
         < _BPE_SAMPLE_HI
     )
-    out, _ = bpe_rounds(spark, sampled, rewrite_last=False, tag="strain")
+    out, _ = bpe_rounds(spark, sampled, rewrite_last=False)
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

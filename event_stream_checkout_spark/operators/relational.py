@@ -613,12 +613,16 @@ def quantile_bucketed(df, val_col: str, nb: int = 32, fraction: float = 0.1,
     The pin is
     DISK_ONLY (r11): the default deserialized-on-heap checkpoint held
     data-scale frames in executor storage, and a consumer holding
-    several legs at once (dq_outlier_iqr pins four — two of them
-    60M-row lineitem columns at sf10) starved execution memory into a
-    fatal OOM under the 8 GB heap.  pin=False callers (each consumer
-    a cheap column-pruned scan — the histogram-quantile path) skip
-    the checkpoint; with literal boundaries that is now safe
-    unconditionally.
+    several data-scale legs at once (the r11 dq_outlier_iqr shape —
+    two of its four legs were 60M-row lineitem columns at sf10)
+    starved execution memory into a fatal OOM under the 8 GB heap.
+    dq_outlier_iqr itself moved to the pin=False + precomputed
+    ``bounds_values`` path in r16 (sampled_boundaries_multi batches
+    its four boundary probes into one job); dq_outlier_mad and the
+    bucketed-rank family remain pin=True callers.  pin=False callers
+    (each consumer a cheap column-pruned scan — the histogram-
+    quantile path) skip the checkpoint; with literal boundaries that
+    is now safe unconditionally.
     """
     # Pin the INPUT before the boundary probe (r16): the old order
     # (sample boundaries from the live frame, then checkpoint the

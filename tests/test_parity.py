@@ -5,9 +5,28 @@ the DuckDB SQL on the same parquet tables and require *exact* equality:
 same columns, same row count, same values (order-insensitive).  The
 engine's numeric policy (functions/numeric.py) is what makes exact
 float equality achievable across engines.
+
+Execution model (r17, the driver's tests_ok timeout fix): the ~290
+keys used to run SERIALLY, one Spark action chain at a time — at
+sf0.001 every key is driver/launch-overhead-bound, so the suite spent
+~30 min idling 7 of 8 executor slots and the driver's pytest window
+expired at ~60%.  All keys now run ONCE through a session-scoped
+thread pool (guide §2.6 — Spark happily overlaps independent jobs;
+each key's serial actions back-fill the others' stage tails), and the
+per-key parametrized tests below just re-raise that key's stored
+outcome — same coverage, same per-key granularity, same -x semantics,
+~6x less wall.  Keys that build process-scoped scratch stores or
+catalog tables (the *_persisted / index / sink families) share one
+mutex so two keys can never race a store build; everything else is
+read-only over the parquet inputs and independent by construction.
 """
 
 from __future__ import annotations
+
+import re
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -18,6 +37,12 @@ from tools.null_sweep import canon  # single shared canonicalization
 
 QUERIES = load_all()
 from tests.conftest import SF_DIR  # noqa: E402
+
+# Keys whose fn builds shared process-scoped state (scratch-dir parquet
+# stores, warehouse tables): serialized behind one lock so concurrent
+# builds of a SHARED store (e.g. the day-1 ANN index consumed by both
+# the refresh and append keys) can't interleave half-written files.
+_STORE_SERIAL = re.compile(r"persisted|index|bucketed|incremental|snk_")
 
 
 def assert_frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: str):
@@ -55,15 +80,51 @@ def assert_frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: st
                 )
 
 
+def _run_one(key, spark, duck, store_lock):
+    """One key's parity check; returns None or the formatted failure."""
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def body():
+        q = QUERIES[key]
+        spark.sparkContext.setJobDescription(f"parity: {key}")
+        if _STORE_SERIAL.search(key):
+            with store_lock:
+                sdf = q.fn(spark, SF_DIR).toPandas()
+        else:
+            sdf = q.fn(spark, SF_DIR).toPandas()
+        if q.oracle is None:
+            assert len(sdf) >= 0  # rows-only smoke, driver's weak check
+            return
+        # One DuckDB cursor per task: cursors share the session's view
+        # catalog but are safe to use from distinct threads.
+        odf = duck.cursor().sql(q.oracle).df()
+        assert_frames_equal(sdf, odf, key)
+
+    try:
+        body()
+        return None
+    except Exception:  # noqa: BLE001 — re-raised verbatim per key below
+        return traceback.format_exc()
+
+
+@pytest.fixture(scope="session")
+def parity_results(spark, duck):
+    """Run every key's parity check once, overlapped across threads."""
+    store_lock = threading.Lock()
+    keys = sorted(QUERIES)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outcomes = list(
+            pool.map(lambda k: _run_one(k, spark, duck, store_lock), keys)
+        )
+    return dict(zip(keys, outcomes))
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
-def test_parity(key, spark, duck):
-    q = QUERIES[key]
-    sdf = q.fn(spark, SF_DIR).toPandas()
-    if q.oracle is None:
-        assert len(sdf) >= 0  # rows-only smoke, mirrors driver's weak check
-        return
-    odf = duck.sql(q.oracle).df()
-    assert_frames_equal(sdf, odf, key)
+def test_parity(key, parity_results):
+    failure = parity_results[key]
+    if failure is not None:
+        pytest.fail(f"{key} parity failed:\n{failure}")
 
 
 def test_approx_distinct_error_bound(spark, duck):

@@ -80,7 +80,7 @@ def test_bpe_rounds_empty_corpus_edge(spark):
     d = spark.createDataFrame(
         [(1, "solo"), (2, "word")], "doc_id long, text string"
     )
-    out, final = bpe_rounds(spark, d, rewrite_last=True, tag="t_empty")
+    out, final = bpe_rounds(spark, d, rewrite_last=True)
     assert all(df.count() == 0 for df in out)
     assert final.count() == 0
     assert set(final.columns) == {"doc_id", "text"}
@@ -98,7 +98,7 @@ def test_bpe_rounds_chain_matches_round_semantics(spark):
     d = spark.createDataFrame(
         [(i, "a b c a b") for i in range(10)], "doc_id long, text string"
     )
-    out, final = bpe_rounds(spark, d, rewrite_last=True, tag="t_chain")
+    out, final = bpe_rounds(spark, d, rewrite_last=True)
     r1 = out[0].collect()[0]
     assert (r1["pair"], r1["cnt"]) == ("a b", 20)
     r2 = out[1].collect()[0]

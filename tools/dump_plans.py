@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for a list of query keys to plans/r16/.
+"""Dump .explain("formatted") for a list of query keys to plans/<round>.
 
 Usage: python tools/dump_plans.py <suffix> key [key ...]
        python tools/dump_plans.py before agg_pricing_summary join_multiway
 
-Writes plans/r16/<key>_<suffix>.txt.  Building a query's DataFrame may
+Writes plans/$PLANS_ROUND/<key>_<suffix>.txt (PLANS_ROUND defaults to
+r17).  Building a query's DataFrame may
 run real jobs for keys that train/collect during construction; run on
 an otherwise idle host.
 """
@@ -30,7 +31,11 @@ def main() -> None:
 
     spark = get_session("ecs-plan-dump")
     registry = load_all()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r17")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     for key in keys:
