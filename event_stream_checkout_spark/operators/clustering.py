@@ -243,50 +243,76 @@ def _assign(
 
     def part(batches):
         for pdf in batches:
-            # Enforce the non-null fixed-length precondition the numpy
-            # conversion assumes (ADVICE r11: a single bad vector used
-            # to fail the whole job for every kmeans/PQ/IVF consumer).
-            # NULLs drop — a null join key matches no centroid, the
-            # semantics of the replaced expression path; a RAGGED
-            # vector is corrupt input and fails loudly with its id.
-            emb = pdf["embedding"]
-            null_mask = emb.isna()
-            if null_mask.any():
-                pdf = pdf[~null_mask]
-                emb = pdf["embedding"]
-            m = len(pdf)
-            if m == 0:
+            vmat, pdf = _clean_embedding_batch(pdf, d_expect)
+            if vmat is None:
                 continue
-            lens = emb.map(len).to_numpy()
-            if (lens != d_expect).any():
-                bad = pdf["vec_id"].to_numpy()[lens != d_expect][:5]
-                raise ValueError(
-                    f"_assign: ragged embedding(s) — expected dim "
-                    f"{d_expect}, offending vec_id(s) {list(bad)}"
-                )
-            vmat = np.array(emb.tolist(), dtype=np.float64)
-            oc = np.empty(m, np.int64)
-            od = np.empty(m, np.int64)
-            # chunk rows so the (rows, k, d) float64 tensor stays small
-            step = max(1, 8_000_000 // max(1, cmat.shape[0] * cmat.shape[1]))
-            for s in range(0, m, step):
-                vc = vmat[s : s + step]
-                diff = vc[:, None, :] - cmat[None, :, :]
-                dq = (
-                    np.floor(diff * diff * 10000.0 + 0.5)
-                    .astype(np.int64)
-                    .sum(axis=2)
-                )
-                idx = dq.argmin(axis=1)
-                oc[s : s + len(vc)] = clusters[idx]
-                od[s : s + len(vc)] = dq[np.arange(len(vc)), idx]
+            idx, od = _batch_argmin(vmat, cmat)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": oc, "dq": od}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": clusters[idx],
+                    "dq": od,
+                }
             )
 
     return e.select("vec_id", "embedding").mapInPandas(
         part, "vec_id long, cluster long, dq long"
     )
+
+
+def _clean_embedding_batch(pdf, d_expect: int):
+    """Enforce the non-null fixed-length precondition the numpy
+    conversion assumes (ADVICE r11: a single bad vector used to fail
+    the whole job for every kmeans/PQ/IVF consumer).  NULLs drop — a
+    null join key matches no centroid, the semantics of the replaced
+    expression path; a RAGGED vector is corrupt input and fails loudly
+    with its id.  Returns (float64 matrix, filtered pdf) or
+    (None, None) for an emptied batch."""
+    import numpy as np
+
+    emb = pdf["embedding"]
+    null_mask = emb.isna()
+    if null_mask.any():
+        pdf = pdf[~null_mask]
+        emb = pdf["embedding"]
+    if len(pdf) == 0:
+        return None, None
+    lens = emb.map(len).to_numpy()
+    if (lens != d_expect).any():
+        bad = pdf["vec_id"].to_numpy()[lens != d_expect][:5]
+        raise ValueError(
+            f"_assign: ragged embedding(s) — expected dim "
+            f"{d_expect}, offending vec_id(s) {list(bad)}"
+        )
+    return np.array(emb.tolist(), dtype=np.float64), pdf
+
+
+def _batch_argmin(vmat, cmat):
+    """The r11 vectorized argmin kernel, shared by ``_assign`` and the
+    fused training pass ``_lloyd_centroids``: per-dim
+    floor(diff²·1e4 + 0.5) int64 row sums against the centroid matrix,
+    first-minimum argmin over cluster-ascending rows (the (dq,
+    cluster) struct tiebreak).  Returns (centroid row index, dq) per
+    input row.  Rows are chunked so the (rows, k, d) float64 tensor
+    stays ≤64 MB."""
+    import numpy as np
+
+    m = len(vmat)
+    oi = np.empty(m, np.int64)
+    od = np.empty(m, np.int64)
+    step = max(1, 8_000_000 // max(1, cmat.shape[0] * cmat.shape[1]))
+    for s in range(0, m, step):
+        vc = vmat[s : s + step]
+        diff = vc[:, None, :] - cmat[None, :, :]
+        dq = (
+            np.floor(diff * diff * 10000.0 + 0.5)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        idx = dq.argmin(axis=1)
+        oi[s : s + len(vc)] = idx
+        od[s : s + len(vc)] = dq[np.arange(len(vc)), idx]
+    return oi, od
 
 
 def _centroid_arrays(cent: DataFrame) -> DataFrame:
@@ -320,6 +346,88 @@ def _centroid_local(c1: DataFrame) -> tuple[list, DataFrame]:
         "cluster bigint, carr array<double>",
     )
     return rows, cent
+
+
+def _lloyd_centroids(t: DataFrame, seed_rows: list) -> DataFrame:
+    """One Lloyd centroid update as a SINGLE fused corpus scan (r17,
+    guide §8 — shuffle lightweight partials, never the payload): each
+    task assigns its Arrow batches with the shared ``_batch_argmin``
+    kernel and accumulates per-(cluster, dim) QUANTIZED value sums +
+    member counts, emitting one ≤k·d-row partial per task; a final
+    k·d-key aggregate finishes davg.  Replaces the r7 exploded form —
+    assignment pass, (vec, dim, val) posexplode scan, corpus×d join on
+    vec_id, (cluster, dim) shuffle — with one scan and a k·d-row
+    shuffle.
+
+    Numerically IDENTICAL to davg over the exploded join: the per-task
+    int64 partials sum floor(val·1e4 + 0.5) terms (the same doubles
+    ``quant`` floors — float→double widening is exact), integer
+    addition is order-independent, the DECIMAL(25,0) re-sum matches
+    ``F.sum(quant(val))`` exactly, and the closing
+    ``(sum/SCALE)/count`` is the same two double divisions in the same
+    order.  Per-task overflow is impossible (|quant| ≲ 1e7 per term ×
+    ≲1e9 rows/task ≪ 2^63); the cross-task sum rides DECIMAL(25,0)
+    like every engine reduction.  Null vectors drop (same as the
+    assignment they never joined); a cluster with no members is simply
+    absent, as before.  Empty seeds → empty centroid frame, matching
+    the old empty-assignment join."""
+    import numpy as np
+
+    spark = t.sparkSession
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "cluster long, dim int, cval double"
+        )
+    srows = sorted(seed_rows, key=lambda r: r["cluster"])
+    clusters = np.array([r["cluster"] for r in srows], dtype=np.int64)
+    cmat = np.array([r["carr"] for r in srows], dtype=np.float64)
+    k, d_expect = cmat.shape
+
+    def part(batches):
+        import pandas as pd
+
+        qsum = np.zeros((k, d_expect), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            vmat, pdf = _clean_embedding_batch(pdf, d_expect)
+            if vmat is None:
+                continue
+            idx, _ = _batch_argmin(vmat, cmat)
+            q = np.floor(vmat * 10000.0 + 0.5).astype(np.int64)
+            order = np.argsort(idx, kind="stable")
+            so = idx[order]
+            qs = q[order]
+            starts = np.searchsorted(so, np.arange(k), side="left")
+            ends = np.searchsorted(so, np.arange(k), side="right")
+            for c in range(k):
+                if ends[c] > starts[c]:
+                    qsum[c] += qs[starts[c] : ends[c]].sum(axis=0)
+                    cnt[c] += ends[c] - starts[c]
+        nz = np.nonzero(cnt)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(clusters[nz], d_expect),
+                    "dim": np.tile(
+                        np.arange(d_expect, dtype=np.int32), len(nz)
+                    ),
+                    "qsum": qsum[nz].reshape(-1),
+                    "cnt": np.repeat(cnt[nz], d_expect),
+                }
+            )
+
+    parts = t.select("vec_id", "embedding").mapInPandas(
+        part, "cluster long, dim int, qsum long, cnt long"
+    )
+    from ..functions.numeric import DEC
+
+    return parts.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("qsum").cast(DEC)).cast("double")
+            / F.lit(SCALE)
+            / F.sum("cnt")
+        ).alias("cval")
+    )
 
 
 def kmeans_refined(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
@@ -370,17 +478,20 @@ def kmeans_refined_full(
             "carr"
         ),
     )
-    a1 = _assign(t, seeds)
-    # Centroid update stays on the exploded form: (cluster, dim) keys
-    # collapse map-side to k·d rows — the cheap leg.
-    ex = t.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "fval")
-    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
-    c1 = (
-        ex.join(a1.select("vec_id", "cluster"), "vec_id")
-        .groupBy("cluster", "dim")
-        .agg(davg("val").alias("cval"))
+    # Seed collect: the same bounded ≤k-row action _assign used to run
+    # internally; collected once here so the fused training scan below
+    # can ship the seed matrix into its tasks directly.
+    seed_rows = sorted(
+        seeds.select("cluster", "carr").collect(),
+        key=lambda r: r["cluster"],
     )
+    # Centroid update (r17): ONE fused scan of the training frame —
+    # per-task assignment (shared _batch_argmin kernel) + quantized
+    # per-(cluster, dim) partials — replaces the r7 exploded form
+    # (assignment pass + posexplode scan + corpus×d vec_id join +
+    # (cluster, dim) shuffle of n·d rows).  See _lloyd_centroids for
+    # the bit-exactness argument.
+    c1 = _lloyd_centroids(t, seed_rows)
     # r17 (VERDICT r16 item 4): the learned centroids are collected
     # ONCE and rebuilt as a driver-local frame — the former shape paid
     # a localCheckpoint job here AND a separate bounded collect inside

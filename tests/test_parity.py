@@ -39,10 +39,16 @@ QUERIES = load_all()
 from tests.conftest import SF_DIR  # noqa: E402
 
 # Keys whose fn builds shared process-scoped state (scratch-dir parquet
-# stores, warehouse tables): serialized behind one lock so concurrent
-# builds of a SHARED store (e.g. the day-1 ANN index consumed by both
-# the refresh and append keys) can't interleave half-written files.
-_STORE_SERIAL = re.compile(r"persisted|index|bucketed|incremental|snk_")
+# stores, warehouse tables, availableNow streaming sinks): serialized
+# behind one lock so concurrent builds of a SHARED dir can't interleave
+# half-written files.  The streaming/state families are included
+# because keys there COMPOSE (stream_concurrency_tws re-runs
+# stream_session_tws's query into the same per-tag sink dir — measured
+# collision: its _spark_metadata vanished mid-read when both ran
+# concurrently).
+_STORE_SERIAL = re.compile(
+    r"persisted|index|bucketed|incremental|snk_|stream_|state_"
+)
 
 
 def assert_frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: str):

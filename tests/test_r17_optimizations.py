@@ -93,6 +93,58 @@ def test_centroid_local_bit_identical_and_rows_shortcut(spark):
     assert [r["cluster"] for r in via_rows] == [0, 1, 1]
 
 
+def test_lloyd_centroids_matches_exploded_davg(spark):
+    """The fused training scan (_lloyd_centroids: per-task assignment
+    + quantized per-(cluster, dim) partials) must be bit-identical to
+    the exploded form it replaced: _assign on the seeds, posexplode,
+    join on vec_id, groupBy(cluster, dim).agg(davg) — on values chosen
+    to stress the quantization boundary (x.5 ulps, negatives, floats
+    that widen inexactly in decimal)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_checkout_spark.functions.numeric import davg
+    from event_stream_checkout_spark.operators.clustering import (
+        _assign,
+        _lloyd_centroids,
+    )
+
+    rows = [
+        (0, [0.00005, 1.5]),
+        (1, [-0.00005, -1.5]),
+        (2, [0.1, 0.30000001]),
+        (3, [2.0 / 3.0, -0.12345]),
+        (7, [1e-9, 123.4567]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "carr"
+        ),
+    )
+    seed_rows = sorted(
+        seeds.select("cluster", "carr").collect(),
+        key=lambda r: r["cluster"],
+    )
+
+    a1 = _assign(e, seeds)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    old = {
+        (r["cluster"], r["dim"]): r["cval"]
+        for r in ex.join(a1.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(davg("val").alias("cval"))
+        .collect()
+    }
+    new = {
+        (r["cluster"], r["dim"]): r["cval"]
+        for r in _lloyd_centroids(e, seed_rows).collect()
+    }
+    assert old == new  # exact float equality — same bits or bust
+
+
 def test_kmeans_refined_full_empty_training_edge(spark):
     from event_stream_checkout_spark.operators.clustering import (
         kmeans_refined_full,
