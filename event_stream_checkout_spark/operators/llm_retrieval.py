@@ -436,19 +436,32 @@ def bpe_rounds(
             out.append(spark.createDataFrame([], win_schema))
             continue
         cur = with_merges(d, merges)
-        toks = F.split("text", " ", -1)
-        n = F.size(toks)
+        # Token array materialized as a COLUMN before the pair build
+        # (r17): the old form closed over the raw split(text)
+        # expression inside the transform lambda, so Catalyst
+        # re-evaluated the full split — O(tokens) — for EVERY sequence
+        # element: O(tokens²) work per document (measured 3.9 s/round
+        # at sf0.1 where the whole scan+split costs 0.4 s).  Adjacent
+        # pairs are now a zip_with over two slices of the bound
+        # column — one split per row, O(tokens) pairs — and the pair
+        # ARRAY is itself materialized before the explode so
+        # InferFiltersFromGenerate's size>0 guard checks the column
+        # instead of re-evaluating the zip_with.  Identical pair list:
+        # zip_with(toks[1..n-1], toks[2..n], concat) enumerates the
+        # same "tok_i tok_i+1" strings in the same order.
+        tok_df = cur.select(F.split("text", " ", -1).alias("_toks"))
+        n = F.size(F.col("_toks"))
         pairs_arr = F.when(
             n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-                ),
+            F.zip_with(
+                F.slice(F.col("_toks"), F.lit(1), n - 1),
+                F.slice(F.col("_toks"), F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>"))
         counts = (
-            cur.select(F.explode(pairs_arr).alias("pair"))
+            tok_df.select(pairs_arr.alias("_parr"))
+            .select(F.explode("_parr").alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
