@@ -116,76 +116,47 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LATEST_GREEN)
 # trailing key missing the window is covered by the local null-sweep
 # parity plus the unchanged pristine contract.
 ROUND_MODIFIED: tuple[str, ...] = (
-    # r16: the seven r15 rewrites whose re-grade was deferred (the r15
-    # window was full — see the r15 entry in the VERDICT.md table,
-    # marked †).  All were verified output-identical locally in r15
-    # (per-key DuckDB parity, NULL sweep, full test suite) and the
-    # judge re-ran that 699-test suite against the current code, but
-    # the DRIVER grade must catch up to the shipped code — this is
-    # r16 verdict item 1.  Behavioral-risk order (storage-level-only
-    # changes trail):
-    # - graph_copurchase_* — edge construction moved to the shared
-    #   basket-local shape (basket_copurchase_pairs; byte-identical
-    #   edges by construction).
-    # - graph_link_prediction — same edge builder + DISK_ONLY pins.
-    # - llm_split_leakage — within-doc gram dedup moved from a
-    #   corpus-wide .distinct() to scan-local array_distinct.
-    # - llm_item_cf_topk — fact-scale localCheckpoints → DISK_ONLY
-    #   (storage level only, after the sf100 heap OOM).
-    # - agg_theta_intersect_persisted — _theta_store_tag delegates to
-    #   scratch.store_tag (tag formula/table names byte-identical).
-    "graph_copurchase_components",
-    "graph_copurchase_triangles",
-    "graph_copurchase_local_clustering",
-    "graph_link_prediction",
-    "llm_split_leakage",
-    "llm_item_cf_topk",
-    "agg_theta_intersect_persisted",
-    # r16 rewrites, output-identical with the oracle untouched:
-    # - llm_cross_source_dups — the folded per-gram span frame moved
-    #   behind the persisted cross_source_span_store (verdict item 4:
-    #   the probe no longer re-explodes the corpus; same oracle,
-    #   byte-identical output, local parity + plan contract).
-    "llm_cross_source_dups",
-    # r16 OPTIMIZATION-round rewrites (OPTIMIZATION_r16.md), all
-    # output-identical with oracles untouched, behavioral-risk order:
-    # - BPE loop: parquet staging -> literal-winner chaining (new
-    #   code path; empty-corpus edge explicitly mirrored + tested).
+    # r17 OPTIMIZATION-round rewrites (OPTIMIZATION_r17.md), all
+    # output-identical with oracles untouched, behavioral-risk order.
+    # (Every r16 entry graded green in CORRECTNESS_r16 and rotated
+    # out; LATEST_GREEN carries their evidence.)
+    #
+    # - BPE pair build: the transform-over-sequence closure re-
+    #   evaluated split(text) per element; now zip_with over two
+    #   slices of a materialized token column (new expression shape —
+    #   identical pair list, winners verified against the oracle).
     "llm_phrase_merges",
     "llm_bpe_encode",
     "llm_phrase_merges_sampled",
-    # - within-doc gram dedup moved scan-local (identical row set).
-    "llm_contamination",
-    "llm_ngram_jaccard_lsh",
-    # - chunk-count probe via groupBy count (same n at every SF).
-    "state_inventory_replay",
-    # - boundary probes batched / input pinned before bucketing
-    #   (exact ranks are boundary-independent; the heaviest two).
-    "dq_outlier_iqr",
-    "dq_outlier_mad",
-    "agg_weighted_median",
-    # - trailing low-risk tail: remaining bucketed-rank consumers
-    #   (pin-order change only; identical boundaries and ranks) and
-    #   the PQ/IVF-PQ keys (concurrent training — scheduling-level,
-    #   plans unchanged).  A trailing key missing the window is
-    #   covered by local parity (all re-verified this round).
-    "dq_ks_drift",
-    "llm_gram_novelty",
-    "agg_abc_classes",
-    "agg_revenue_concentration",
-    "evt_rfm_segments",
-    "evt_gini",
-    "evt_session_duration",
-    "evt_power_users",
-    "sort_orders_sampled",
+    # - k-means training: the Lloyd centroid update fused into the
+    #   assignment scan (_lloyd_centroids — quantized per-task
+    #   partials replace the posexplode+join+davg pipeline,
+    #   bit-identical by the exact-integer argument pinned in
+    #   tests/test_r17_optimizations.py), and the learned centroids
+    #   now ride a driver-local frame instead of a localCheckpoint
+    #   (collect→createDataFrame round-trips binary64 exactly).
+    "llm_kmeans_refine",
+    "llm_semantic_dedup",
+    "llm_similarity_ivf_kmeans",
     "llm_pq_code",
     "llm_pq_adc_topk",
     "llm_pq_rerank_topk",
     "llm_ivfpq_topk",
     "llm_ivfpq_indexed",
     "llm_ivfpq_index_append",
-    # (graph_copurchase_components already re-grades via the r15
-    # promotion group above; its r16 edge-pin A/B ended in a revert.)
+    "llm_ann_recall",
+    "llm_ann_retrain_decision",
+    # - connected-components fixpoint: per-round eager checkpoint +
+    #   probe fused into one action (lazy checkpoint materialized by
+    #   a full-aggregate probe; same labels, same convergence rule).
+    "graph_copurchase_components",
+    "llm_near_dedup_groups",
+    "llm_curation_pipeline",
+    # - r16 deferrals promoted on schedule (ROUND_MODIFIED_DEFERRED
+    #   contract): pristine no-op factorings whose driver re-grade
+    #   was deferred to this round's window.
+    "llm_lsh_tuning",
+    "llm_containment_pairs",
 )
 
 
@@ -199,21 +170,11 @@ ROUND_MODIFIED: tuple[str, ...] = (
 # promotion cannot be silently skipped (ADVICE r15 item 3: the old
 # bare-tuple + comment contract had no mechanical teeth).
 #
-# r16 deferrals (window: 3 new keys + 8 promoted/modified re-grades
-# + 39 r10-stale keys = 50; the remaining stale cohort re-grades
-# r17 together with these):
-# - llm_lsh_tuning — the S-curve sweep tail was factored into
-#   _lsh_tuning_report (shared with the new persisted probe X69b)
-#   with an identical logical plan and the oracle untouched — a
-#   provably-pristine no-op pinned by local parity; re-grades r17.
-# - llm_containment_pairs — the fingerprint expression and the pair
-#   tail were factored into _contain_fps/_containment_tail (shared
-#   with the new persisted probe X54b), identical logical plan,
-#   oracle untouched; re-grades r17.
-ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = (
-    ("llm_lsh_tuning", 16),
-    ("llm_containment_pairs", 16),
-)
+# r17: the two r16 deferrals (llm_lsh_tuning, llm_containment_pairs)
+# were promoted into ROUND_MODIFIED above on schedule; nothing is
+# deferred from this round (the r17 window has room: 19 modified
+# re-grades + 31 stale-rotation slots).
+ROUND_MODIFIED_DEFERRED: tuple[tuple[str, int], ...] = ()
 
 
 # Keys that must take the FIRST slots of this round's window.
